@@ -1,0 +1,23 @@
+"""pytorch_geometric_tpu — a TPU-native graph neural network framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+pyg-team/pytorch_geometric (reference v2.8.0): EdgeIndex sparse runtime,
+Data/Batch pytree containers, a MessagePassing operator substrate whose
+gather -> message -> segment-reduce chain compiles onto the TPU MXU/VPU,
+host-side samplers/loaders emitting fixed-shape padded batches, and
+multi-chip scaling via jax.sharding meshes with halo exchange.
+"""
+
+__version__ = '0.1.0'
+
+from .edge_index import EdgeIndex, CSR
+from .data import Data, Batch
+from .seed import seed_everything
+from . import ops
+from . import utils
+from . import nn
+
+__all__ = [
+    'EdgeIndex', 'CSR', 'Data', 'Batch', 'seed_everything',
+    'ops', 'utils', 'nn', '__version__',
+]

@@ -1,0 +1,4 @@
+from .data import Data
+from .batch import Batch
+
+__all__ = ['Data', 'Batch']

@@ -1,0 +1,171 @@
+"""EdgeIndex — the sparse-graph container (pytree).
+
+TPU-native redesign of the reference's ``EdgeIndex`` tensor subclass
+(``torch_geometric/edge_index.py:153``, 2067 LoC). The reference lazily
+caches CSR/CSC views by mutating private attributes; under JAX everything
+is an immutable pytree, so cached views are built explicitly
+(:meth:`fill_cache`) and carried as optional leaves. All sizes are
+**static** aux data so the container can flow through ``jit`` without
+retracing on metadata.
+
+Layout conventions (match the reference):
+  * ``coo``: int32 ``[2, E]`` — row 0 = source, row 1 = destination.
+  * CSR = sorted by row (source) — ``get_csr`` -> (indptr, col, perm)
+    (reference ``edge_index.py:626``).
+  * CSC = sorted by col (destination) — ``get_csc`` -> (indptr, row, perm)
+    (reference ``edge_index.py:646``).
+
+Padded edges point both endpoints at ``num_nodes`` (one past the last
+real row); every segment op in :mod:`ops` drops out-of-range indices, so
+padding is a no-op end to end.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CSR(NamedTuple):
+    """One sorted orientation: indptr [N+1], indices [E], perm [E]
+    (perm maps sorted-edge position -> original COO position)."""
+    indptr: jnp.ndarray
+    indices: jnp.ndarray
+    perm: jnp.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+class EdgeIndex:
+    """Immutable ``[2, E]`` edge index with static sparse size and optional
+    cached CSR/CSC orientations."""
+
+    def __init__(self, coo, sparse_size: Optional[Tuple[int, int]] = None,
+                 csr: Optional[CSR] = None, csc: Optional[CSR] = None,
+                 num_real_edges: Optional[int] = None):
+        coo = jnp.asarray(coo)
+        if coo.ndim != 2 or coo.shape[0] != 2:
+            raise ValueError(f"EdgeIndex expects shape [2, E], got "
+                             f"{tuple(coo.shape)}")
+        if coo.dtype not in (jnp.int32, jnp.int64):
+            coo = coo.astype(jnp.int32)
+        self.coo = coo
+        if sparse_size is None:
+            n = int(coo.max()) + 1 if coo.size else 0
+            sparse_size = (n, n)
+        self.sparse_size = tuple(sparse_size)
+        self.csr = csr
+        self.csc = csc
+        # Number of non-padding edges (static); defaults to all.
+        self.num_real_edges = (int(coo.shape[1]) if num_real_edges is None
+                               else int(num_real_edges))
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        children = (self.coo, self.csr, self.csc)
+        aux = (self.sparse_size, self.num_real_edges)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.coo, obj.csr, obj.csc = children
+        obj.sparse_size, obj.num_real_edges = aux
+        return obj
+
+    # -- basic accessors ----------------------------------------------------
+    @property
+    def row(self) -> jnp.ndarray:
+        return self.coo[0]
+
+    @property
+    def col(self) -> jnp.ndarray:
+        return self.coo[1]
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.coo.shape[1])
+
+    @property
+    def num_src_nodes(self) -> int:
+        return self.sparse_size[0]
+
+    @property
+    def num_dst_nodes(self) -> int:
+        return self.sparse_size[1]
+
+    def __getitem__(self, i):
+        return self.coo[i]
+
+    def __repr__(self):
+        return (f"EdgeIndex(E={self.num_edges}, "
+                f"sparse_size={self.sparse_size}, "
+                f"csr={'cached' if self.csr is not None else None}, "
+                f"csc={'cached' if self.csc is not None else None})")
+
+    # -- cached orientations (reference get_csr/get_csc/fill_cache_) --------
+    def get_csr(self) -> CSR:
+        if self.csr is not None:
+            return self.csr
+        return _build_sorted(self.row, self.col, self.num_src_nodes)
+
+    def get_csc(self) -> CSR:
+        if self.csc is not None:
+            return self.csc
+        return _build_sorted(self.col, self.row, self.num_dst_nodes)
+
+    def fill_cache(self) -> 'EdgeIndex':
+        """Return a copy with both CSR and CSC materialised
+        (reference ``fill_cache_`` at ``edge_index.py:677``)."""
+        return EdgeIndex(self.coo, self.sparse_size,
+                         csr=self.get_csr(), csc=self.get_csc(),
+                         num_real_edges=self.num_real_edges)
+
+    def sort_by(self, order: str = 'row') -> Tuple['EdgeIndex', jnp.ndarray]:
+        """Sort edges by 'row' or 'col'; returns (sorted EdgeIndex, perm)
+        (reference ``sort_by`` at ``edge_index.py:727``)."""
+        key = self.row if order == 'row' else self.col
+        perm = jnp.argsort(key, stable=True)
+        coo = self.coo[:, perm]
+        return EdgeIndex(coo, self.sparse_size,
+                         num_real_edges=self.num_real_edges), perm
+
+    def flip(self) -> 'EdgeIndex':
+        """Transpose: swap src/dst, swap cached orientations."""
+        return EdgeIndex(self.coo[::-1], (self.sparse_size[1],
+                                          self.sparse_size[0]),
+                         csr=self.csc, csc=self.csr,
+                         num_real_edges=self.num_real_edges)
+
+    def to_dense_adj(self, edge_weight: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
+        n_src, n_dst = self.sparse_size
+        w = (jnp.ones((self.num_edges,), jnp.float32)
+             if edge_weight is None else edge_weight)
+        adj = jnp.zeros((n_src + 1, n_dst + 1), w.dtype)
+        r = jnp.minimum(self.row, n_src)
+        c = jnp.minimum(self.col, n_dst)
+        adj = adj.at[r, c].add(w)
+        return adj[:n_src, :n_dst]
+
+    # -- SpMM ---------------------------------------------------------------
+    def matmul(self, x: jnp.ndarray,
+               edge_weight: Optional[jnp.ndarray] = None,
+               reduce: str = 'sum', transpose: bool = False) -> jnp.ndarray:
+        """out[dst] = reduce_{(src,dst) in E} w * x[src] — see ops.spmm."""
+        from .ops.spmm import spmm
+        return spmm(self, x, edge_weight, reduce=reduce, transpose=transpose)
+
+
+def _build_sorted(key: jnp.ndarray, other: jnp.ndarray, n: int) -> CSR:
+    perm = jnp.argsort(key, stable=True)
+    sorted_key = key[perm]
+    pos = jnp.arange(n + 1, dtype=sorted_key.dtype)
+    indptr = jnp.searchsorted(sorted_key, pos, side='left').astype(jnp.int32)
+    return CSR(indptr=indptr, indices=other[perm], perm=perm.astype(jnp.int32))
+
+
+def from_numpy_coo(row: np.ndarray, col: np.ndarray,
+                   num_nodes: int) -> EdgeIndex:
+    coo = jnp.asarray(np.stack([row, col]).astype(np.int32))
+    return EdgeIndex(coo, (num_nodes, num_nodes))

@@ -1,0 +1,187 @@
+"""GAT / GATv2 — attention convolutions.
+
+Reference: ``nn/conv/gat_conv.py:35`` and ``gatv2_conv.py``. The attention
+coefficient pass is the reference's ``edge_update`` (``gat_conv.py:387``):
+LeakyReLU -> grouped softmax over incoming edges -> dropout; message is
+``alpha * x_j`` (``:408``). The 3-pass edge softmax fuses under XLA; a
+Pallas fused variant is the ops/pallas follow-up.
+"""
+
+from typing import Optional, Tuple, Union
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from ..message_passing import MessagePassing
+from ...ops import softmax
+from ...utils.loop import add_self_loops as _add_self_loops
+
+
+class GATConv(MessagePassing):
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    add_self_loops: bool = True
+    edge_dim: Optional[int] = None
+    use_bias: bool = True
+    aggr: str = 'sum'
+
+    @fnn.compact
+    def __call__(self, x: Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]],
+                 edge_index, edge_attr: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True,
+                 return_attention_weights: bool = False):
+        H, C = self.heads, self.out_channels
+        x_src, x_dst = x if isinstance(x, tuple) else (x, x)
+        num_src, num_dst = x_src.shape[0], x_dst.shape[0]
+
+        x_src = fnn.Dense(H * C, use_bias=False,
+                          kernel_init=fnn.initializers.glorot_uniform(),
+                          name='lin_src')(x_src).reshape(num_src, H, C)
+        if x_dst is x_src:
+            x_dst = x_src
+        else:
+            x_dst = fnn.Dense(H * C, use_bias=False,
+                              kernel_init=fnn.initializers.glorot_uniform(),
+                              name='lin_dst')(x_dst).reshape(num_dst, H, C)
+
+        att_src = self.param('att_src', fnn.initializers.glorot_uniform(),
+                             (1, H, C))
+        att_dst = self.param('att_dst', fnn.initializers.glorot_uniform(),
+                             (1, H, C))
+        alpha_src = (x_src * att_src).sum(-1)  # [N_src, H]
+        alpha_dst = (x_dst * att_dst).sum(-1)  # [N_dst, H]
+
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        if self.add_self_loops and num_src == num_dst:
+            coo, _ = _add_self_loops(coo, num_nodes=num_dst)
+            if edge_mask is not None:
+                edge_mask = jnp.concatenate(
+                    [edge_mask, jnp.ones((num_dst,), bool)])
+            if edge_attr is not None:
+                edge_attr = jnp.concatenate(
+                    [edge_attr, jnp.zeros((num_dst,) + edge_attr.shape[1:],
+                                          edge_attr.dtype)])
+
+        j_idx = jnp.minimum(coo[0], num_src - 1)
+        i_idx = jnp.minimum(coo[1], num_dst - 1)
+        alpha = alpha_src[j_idx] + alpha_dst[i_idx]  # [E, H]
+        if edge_attr is not None:
+            att_edge = self.param('att_edge',
+                                  fnn.initializers.glorot_uniform(),
+                                  (1, H, C))
+            ea = fnn.Dense(H * C, use_bias=False, name='lin_edge')(
+                edge_attr).reshape(-1, H, C)
+            alpha = alpha + (ea * att_edge).sum(-1)
+        alpha = fnn.leaky_relu(alpha, negative_slope=self.negative_slope)
+        valid = coo[1] < num_dst
+        if edge_mask is not None:
+            valid = valid & edge_mask
+        alpha = softmax(alpha, i_idx, num_dst, mask=valid)
+        if self.dropout > 0 and not deterministic:
+            rng = self.make_rng('dropout')
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0)
+
+        msgs = x_src[j_idx] * alpha[..., None]           # [E, H, C]
+        msgs = jnp.where(valid[:, None, None], msgs, 0)
+        out = jax.ops.segment_sum(msgs, jnp.where(valid, i_idx, num_dst),
+                                  num_dst)
+
+        if self.concat:
+            out = out.reshape(num_dst, H * C)
+        else:
+            out = out.mean(axis=1)
+        if self.use_bias:
+            bias = self.param('bias', fnn.initializers.zeros,
+                              (H * C if self.concat else C,))
+            out = out + bias
+        if return_attention_weights:
+            return out, (coo, alpha)
+        return out
+
+
+class GATv2Conv(MessagePassing):
+    """GATv2 (Brody et al.): attention applied after the nonlinearity on the
+    *joint* transformed features (reference ``gatv2_conv.py``)."""
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    add_self_loops: bool = True
+    edge_dim: Optional[int] = None
+    use_bias: bool = True
+    share_weights: bool = False
+    aggr: str = 'sum'
+
+    @fnn.compact
+    def __call__(self, x, edge_index, edge_attr: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True,
+                 return_attention_weights: bool = False):
+        H, C = self.heads, self.out_channels
+        x_src, x_dst = x if isinstance(x, tuple) else (x, x)
+        num_src, num_dst = x_src.shape[0], x_dst.shape[0]
+
+        lin_l = fnn.Dense(H * C, use_bias=self.use_bias,
+                          kernel_init=fnn.initializers.glorot_uniform(),
+                          name='lin_l')
+        x_l = lin_l(x_src).reshape(num_src, H, C)
+        if self.share_weights:
+            x_r = lin_l(x_dst).reshape(num_dst, H, C)
+        else:
+            x_r = fnn.Dense(H * C, use_bias=self.use_bias,
+                            kernel_init=fnn.initializers.glorot_uniform(),
+                            name='lin_r')(x_dst).reshape(num_dst, H, C)
+
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        if self.add_self_loops and num_src == num_dst:
+            coo, _ = _add_self_loops(coo, num_nodes=num_dst)
+            if edge_mask is not None:
+                edge_mask = jnp.concatenate(
+                    [edge_mask, jnp.ones((num_dst,), bool)])
+            if edge_attr is not None:
+                edge_attr = jnp.concatenate(
+                    [edge_attr, jnp.zeros((num_dst,) + edge_attr.shape[1:],
+                                          edge_attr.dtype)])
+
+        j_idx = jnp.minimum(coo[0], num_src - 1)
+        i_idx = jnp.minimum(coo[1], num_dst - 1)
+        joint = x_l[j_idx] + x_r[i_idx]                 # [E, H, C]
+        if edge_attr is not None:
+            ea = fnn.Dense(H * C, use_bias=False, name='lin_edge')(
+                edge_attr).reshape(-1, H, C)
+            joint = joint + ea
+        joint = fnn.leaky_relu(joint, negative_slope=self.negative_slope)
+        att = self.param('att', fnn.initializers.glorot_uniform(), (1, H, C))
+        alpha = (joint * att).sum(-1)                   # [E, H]
+        valid = coo[1] < num_dst
+        if edge_mask is not None:
+            valid = valid & edge_mask
+        from ...ops import softmax as _softmax
+        alpha = _softmax(alpha, i_idx, num_dst, mask=valid)
+        if self.dropout > 0 and not deterministic:
+            rng = self.make_rng('dropout')
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0)
+
+        msgs = x_l[j_idx] * alpha[..., None]
+        msgs = jnp.where(valid[:, None, None], msgs, 0)
+        out = jax.ops.segment_sum(msgs, jnp.where(valid, i_idx, num_dst),
+                                  num_dst)
+        if self.concat:
+            out = out.reshape(num_dst, H * C)
+        else:
+            out = out.mean(axis=1)
+        if self.use_bias:
+            bias = self.param('bias', fnn.initializers.zeros,
+                              (H * C if self.concat else C,))
+            out = out + bias
+        if return_attention_weights:
+            return out, (coo, alpha)
+        return out

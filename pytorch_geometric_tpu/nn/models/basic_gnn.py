@@ -1,0 +1,130 @@
+"""BasicGNN model family (reference ``nn/models/basic_gnn.py:32``).
+
+Stacks ``num_layers`` convolutions with activation, optional norm,
+dropout, jumping-knowledge aggregation and a final projection — the
+abstraction behind the reference's GCN / GraphSAGE / GIN / GAT / PNA /
+EdgeCNN model classes (``basic_gnn.py:389-643``).
+"""
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from ..conv import GCNConv, SAGEConv, GINConv, GATConv, GATv2Conv
+from .mlp import MLP
+
+
+class BasicGNN(fnn.Module):
+    hidden_channels: int
+    num_layers: int
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    act: Callable = fnn.relu
+    norm: Optional[str] = None           # None | 'layer_norm' | 'batch_norm'
+    jk: Optional[str] = None             # None | 'last' | 'cat' | 'max'
+    conv_kwargs: Optional[Dict[str, Any]] = None
+
+    def init_conv(self, out_channels: int, idx: int) -> fnn.Module:
+        raise NotImplementedError
+
+    @property
+    def _final_in_loop(self) -> bool:
+        """Whether the final conv already outputs ``out_channels``
+        (no jk, no post-projection) — mirrors reference logic
+        ``basic_gnn.py:122-140``."""
+        return self.out_channels is not None and self.jk is None
+
+    @fnn.compact
+    def __call__(self, x: jnp.ndarray, edge_index,
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 edge_attr: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        xs = []
+        supports_weight = getattr(self, 'supports_edge_weight', False)
+        supports_attr = getattr(self, 'supports_edge_attr', False)
+        for i in range(self.num_layers):
+            is_last = i == self.num_layers - 1
+            ch = (self.out_channels
+                  if is_last and self._final_in_loop
+                  else self.hidden_channels)
+            conv = self.init_conv(ch, i)
+            kwargs = {}
+            if supports_weight and edge_weight is not None:
+                kwargs['edge_weight'] = edge_weight
+            if supports_attr and edge_attr is not None:
+                kwargs['edge_attr'] = edge_attr
+            x = conv(x, edge_index, edge_mask=edge_mask, **kwargs)
+            if is_last and self._final_in_loop:
+                xs.append(x)
+                break
+            if self.norm == 'layer_norm':
+                x = fnn.LayerNorm(name=f'norm_{i}')(x)
+            elif self.norm == 'batch_norm':
+                x = fnn.BatchNorm(use_running_average=deterministic,
+                                  name=f'norm_{i}')(x)
+            x = self.act(x)
+            if self.dropout > 0 and not deterministic:
+                x = fnn.Dropout(self.dropout, deterministic=False)(x)
+            xs.append(x)
+
+        if self.jk == 'cat':
+            x = jnp.concatenate(xs, axis=-1)
+        elif self.jk == 'max':
+            x = jnp.stack(xs, axis=0).max(axis=0)
+        # 'last' / None: keep final x
+
+        if self.out_channels is not None and not self._final_in_loop:
+            x = fnn.Dense(self.out_channels, name='lin_out')(x)
+        return x
+
+
+class GCN(BasicGNN):
+    """Stack of GCNConv (reference ``basic_gnn.py:389``)."""
+    supports_edge_weight: bool = True
+    supports_edge_attr: bool = False
+
+    def init_conv(self, out_channels: int, idx: int):
+        return GCNConv(out_channels=out_channels,
+                       **(self.conv_kwargs or {}), name=f'conv_{idx}')
+
+
+class GraphSAGE(BasicGNN):
+    """Stack of SAGEConv (reference ``basic_gnn.py:434``)."""
+    supports_edge_weight: bool = False
+    supports_edge_attr: bool = False
+
+    def init_conv(self, out_channels: int, idx: int):
+        return SAGEConv(out_channels=out_channels,
+                        **(self.conv_kwargs or {}), name=f'conv_{idx}')
+
+
+class GIN(BasicGNN):
+    """Stack of GINConv with 2-layer MLPs (reference ``basic_gnn.py:479``)."""
+    supports_edge_weight: bool = False
+    supports_edge_attr: bool = False
+
+    def init_conv(self, out_channels: int, idx: int):
+        mlp = MLP(channel_list=[out_channels, out_channels],
+                  plain_last=False, name=f'mlp_{idx}')
+        return GINConv(mlp=mlp, **(self.conv_kwargs or {}),
+                       name=f'conv_{idx}')
+
+
+class GAT(BasicGNN):
+    """Stack of GAT(v2)Conv (reference ``basic_gnn.py:528``): hidden layers
+    concat heads (hidden must divide heads), final layer averages."""
+    heads: int = 1
+    v2: bool = False
+    supports_edge_weight: bool = False
+    supports_edge_attr: bool = True
+
+    def init_conv(self, out_channels: int, idx: int):
+        is_final = (idx == self.num_layers - 1 and self._final_in_loop)
+        concat = not is_final
+        ch = out_channels // self.heads if concat else out_channels
+        cls = GATv2Conv if self.v2 else GATConv
+        return cls(out_channels=ch, heads=self.heads, concat=concat,
+                   dropout=self.dropout, **(self.conv_kwargs or {}),
+                   name=f'conv_{idx}')

@@ -1,0 +1,42 @@
+"""Edge (grouped) softmax.
+
+TPU-native equivalent of reference ``softmax()``
+(``torch_geometric/utils/_softmax.py:12-92``): max-subtracted grouped
+softmax by destination index, with a small epsilon in the denominator.
+The 3 passes (segment-max, exp-segment-sum, normalise) fuse under XLA;
+a Pallas fused variant lives in ``ops/pallas/``.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .scatter import _broadcast
+
+
+@partial(jax.jit, static_argnames=('num_segments',))
+def softmax(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
+            mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Softmax of ``src`` grouped by ``index`` (e.g. GAT attention over
+    incoming edges). ``src`` may be ``[E]`` or ``[E, H]`` (per-head).
+
+    Padded edges (``mask == False``) receive weight 0 and do not
+    contribute to their segment's normalisation.
+    """
+    if mask is not None:
+        index = jnp.where(mask, index, num_segments)
+        num_segments_eff = num_segments + 1
+    else:
+        num_segments_eff = num_segments
+
+    maxes = jax.ops.segment_max(src, index, num_segments_eff)
+    maxes = jnp.where(jnp.isfinite(maxes), maxes, 0)
+    gathered_max = maxes[jnp.minimum(index, num_segments_eff - 1)]
+    out = jnp.exp(src - gathered_max)
+    if mask is not None:
+        out = jnp.where(_broadcast(mask, out, 0), out, 0)
+    sums = jax.ops.segment_sum(out, index, num_segments_eff)
+    denom = sums[jnp.minimum(index, num_segments_eff - 1)] + 1e-16
+    return out / denom

@@ -1,0 +1,72 @@
+"""Sparse (adjacency) x dense (features) matmul.
+
+TPU-native equivalent of the reference SpMM dispatch ladder
+(``torch_geometric/edge_index.py:1775-1970`` and
+``torch_geometric/utils/_spmm.py:12``). Paths, best first:
+
+  1. Pallas one-hot MXU kernel over row-sorted edges (``ops/pallas/spmm.py``)
+     for reduce='sum' with dense-enough graphs.
+  2. XLA gather -> multiply -> segment reduce (sorted when a cached
+     orientation exists). XLA fuses this into a single pass; its autodiff
+     (segment_sum bwd = gather, gather bwd = scatter-add) reproduces the
+     reference's cached-transpose backward (``edge_index.py:1849``)
+     without hand-written VJP.
+
+``out[dst] = reduce over incoming edges of edge_weight * x[src]``
+(aggregation runs over the *destination*, matching ``propagate`` flow
+``MessagePassing`` semantics with flow='source_to_target').
+"""
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+
+from ..edge_index import EdgeIndex
+from .scatter import scatter
+
+_PALLAS_MIN_EDGES = 1 << 14
+
+
+def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
+         edge_weight: Optional[jnp.ndarray] = None, reduce: str = 'sum',
+         transpose: bool = False, use_pallas: Optional[bool] = None
+         ) -> jnp.ndarray:
+    """Aggregate ``x`` over graph edges: ``out[c] = reduce_e w_e * x[r_e]``.
+
+    Args:
+        adj: ``EdgeIndex`` or raw ``[2, E]`` int array.
+        x: ``[N_src, F]`` node features.
+        edge_weight: optional ``[E]`` weights (sum/mean only).
+        reduce: sum | mean | min | max.
+        transpose: aggregate onto sources instead of destinations
+            (A^T x — used by backward passes and flow='target_to_source').
+    """
+    if not isinstance(adj, EdgeIndex):
+        adj = EdgeIndex(adj)
+    if transpose:
+        adj = adj.flip()
+
+    num_out = adj.num_dst_nodes
+    src, dst = adj.row, adj.col
+
+    if use_pallas is None:
+        use_pallas = False  # flipped on once the Pallas path lands/benches
+    if use_pallas and reduce == 'sum':
+        from .pallas.spmm import spmm_pallas
+        return spmm_pallas(adj, x, edge_weight)
+
+    csc = adj.csc  # cached dst-sorted orientation, if present
+    if csc is not None:
+        x_j = x[csc.indices]
+        if edge_weight is not None:
+            w = edge_weight[csc.perm]
+            x_j = x_j * w[:, None] if x_j.ndim > 1 else x_j * w
+        from .segment import ptr2index
+        index = ptr2index(csc.indptr, x_j.shape[0])
+        return scatter(x_j, index, num_out, reduce=reduce,
+                       indices_are_sorted=True)
+
+    x_j = x[src]
+    if edge_weight is not None:
+        x_j = x_j * edge_weight[:, None] if x_j.ndim > 1 else x_j * edge_weight
+    return scatter(x_j, dst, num_out, reduce=reduce)

@@ -1,0 +1,31 @@
+from .core import (degree, cumsum, one_hot, index_sort, lexsort,
+                   scatter_normalize, maybe_num_nodes)
+from .loop import (add_self_loops, add_remaining_self_loops,
+                   remove_self_loops, mask_self_loops, contains_self_loops)
+from .coalesce import (sort_edge_index, coalesce, to_undirected,
+                       is_undirected, contains_isolated_nodes,
+                       remove_isolated_nodes)
+from .dense import to_dense_batch, to_dense_adj, dense_to_sparse
+from .subgraph import subgraph, k_hop_subgraph, bipartite_subgraph
+from .random import (dropout_edge, dropout_node, negative_sampling,
+                     batched_negative_sampling)
+
+# Re-export the reduction substrate at utils level like the reference
+# (torch_geometric/utils/__init__.py exports scatter/segment/softmax/spmm).
+from ..ops import (scatter, scatter_argmax, group_argsort, segment,
+                   segment_logsumexp, ptr2index, index2ptr, softmax, spmm)
+
+__all__ = [
+    'degree', 'cumsum', 'one_hot', 'index_sort', 'lexsort',
+    'scatter_normalize', 'maybe_num_nodes',
+    'add_self_loops', 'add_remaining_self_loops', 'remove_self_loops',
+    'mask_self_loops', 'contains_self_loops',
+    'sort_edge_index', 'coalesce', 'to_undirected', 'is_undirected',
+    'contains_isolated_nodes', 'remove_isolated_nodes',
+    'to_dense_batch', 'to_dense_adj', 'dense_to_sparse',
+    'subgraph', 'k_hop_subgraph', 'bipartite_subgraph',
+    'dropout_edge', 'dropout_node', 'negative_sampling',
+    'batched_negative_sampling',
+    'scatter', 'scatter_argmax', 'group_argsort', 'segment',
+    'segment_logsumexp', 'ptr2index', 'index2ptr', 'softmax', 'spmm',
+]
