@@ -1,0 +1,71 @@
+"""Headline benchmark — GCN training throughput.
+
+Mirrors the reference's torch.compile benchmark protocol
+(``docs/source/advanced/compile.rst:95-117``): a GCN on a synthetic graph
+with 10k nodes / 200k edges, hidden=64, timed over 500 optimisation steps.
+Reference baseline: 4.8093 s eager / 1.6978 s compiled (unspecified GPU).
+
+Prints ONE JSON line:
+    {"metric": "gcn_train_500steps", "value": <seconds>, "unit": "s",
+     "vs_baseline": <ref_eager_seconds / ours>}
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pytorch_geometric_tpu import EdgeIndex
+from pytorch_geometric_tpu.nn.models import GCN
+
+N, E, F, H, C = 10_000, 200_000, 64, 64, 10
+STEPS = 500
+BASELINE_EAGER_S = 4.8093  # compile.rst:95-117
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
+    coo = jnp.asarray(rng.integers(0, N, (2, E)).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
+    edge_index = EdgeIndex(coo, (N, N)).fill_cache()
+
+    model = GCN(hidden_channels=H, num_layers=3, out_channels=C)
+    params = model.init(jax.random.PRNGKey(0), x, edge_index)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x, edge_index, y):
+        logits = model.apply(params, x, edge_index)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    @jax.jit
+    def train_step(params, opt_state, x, edge_index, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, edge_index, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # Warmup / compile.
+    params, opt_state, loss = train_step(params, opt_state, x, edge_index, y)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        params, opt_state, loss = train_step(params, opt_state, x,
+                                             edge_index, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        'metric': 'gcn_train_500steps',
+        'value': round(dt, 4),
+        'unit': 's',
+        'vs_baseline': round(BASELINE_EAGER_S / dt, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
