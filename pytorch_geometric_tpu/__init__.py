@@ -11,13 +11,16 @@ multi-chip scaling via jax.sharding meshes with halo exchange.
 __version__ = '0.1.0'
 
 from .edge_index import EdgeIndex, CSR
-from .data import Data, Batch
+from .data import Data, Batch, HeteroData, Dataset, InMemoryDataset
 from .seed import seed_everything
 from . import ops
 from . import utils
 from . import nn
+from . import transforms
+from . import datasets
 
 __all__ = [
-    'EdgeIndex', 'CSR', 'Data', 'Batch', 'seed_everything',
-    'ops', 'utils', 'nn', '__version__',
+    'EdgeIndex', 'CSR', 'Data', 'Batch', 'HeteroData', 'Dataset',
+    'InMemoryDataset', 'seed_everything',
+    'ops', 'utils', 'nn', 'transforms', 'datasets', '__version__',
 ]

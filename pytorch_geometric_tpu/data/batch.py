@@ -14,6 +14,7 @@ padded edges point both endpoints at ``num_nodes`` (segment ops drop them).
 
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +26,7 @@ def _np(v):
     return np.asarray(v)
 
 
+@jax.tree_util.register_pytree_node_class
 class Batch(Data):
     """A Data holding a disjoint union, plus ``batch`` / ``ptr`` vectors."""
 

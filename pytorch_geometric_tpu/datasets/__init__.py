@@ -1,3 +1,11 @@
 from .fake import FakeDataset, planetoid_like
+from .generators import (KarateClub, StochasticBlockModelDataset,
+                         ExplainerDataset, FakeHeteroDataset, ba_graph)
+from .planetoid import Planetoid
+from .tu_dataset import TUDataset
 
-__all__ = ['FakeDataset', 'planetoid_like']
+__all__ = [
+    'FakeDataset', 'planetoid_like', 'KarateClub',
+    'StochasticBlockModelDataset', 'ExplainerDataset', 'FakeHeteroDataset',
+    'ba_graph', 'Planetoid', 'TUDataset',
+]

@@ -1,9 +1,41 @@
 from .message_passing import MessagePassing
 from . import conv
+from . import aggr
+from . import norm
+from . import pool
+from . import dense
+from . import models
+from . import kge
 from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
-                   GATv2Conv)
+                   GATv2Conv, GraphConv, ResGatedGraphConv, GatedGraphConv,
+                   LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,
+                   WLConvContinuous, LGConv, ChebConv, ARMAConv, SGConv,
+                   SSGConv, TAGConv, APPNP, MixHopConv, TransformerConv,
+                   RGCNConv, FastRGCNConv, GENConv, FiLMConv, PDNConv,
+                   GeneralConv, PNAConv, EGConv, SignedConv, DirGNNConv,
+                   AntiSymmetricConv, HypergraphConv, WLConv, PointNetConv,
+                   EdgeConv, DynamicEdgeConv, PPFConv,
+                   PointTransformerConv, GravNetConv, HeteroConv, HGTConv,
+                   HANConv)
+from .pool import (global_add_pool, global_mean_pool, global_max_pool,
+                   TopKPooling, SAGPooling, knn, knn_graph, radius,
+                   radius_graph, fps, nearest, voxel_grid)
 
 __all__ = [
-    'MessagePassing', 'conv', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
-    'GINEConv', 'GATConv', 'GATv2Conv',
+    'MessagePassing', 'conv', 'aggr', 'norm', 'pool', 'dense',
+    'models', 'kge',
+    'HeteroConv', 'HGTConv', 'HANConv',
+    'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv', 'GINEConv', 'GATConv',
+    'GATv2Conv', 'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv',
+    'LEConv', 'MFConv', 'FAConv', 'AGNNConv', 'ClusterGCNConv',
+    'WLConvContinuous', 'LGConv', 'ChebConv', 'ARMAConv', 'SGConv',
+    'SSGConv', 'TAGConv', 'APPNP', 'MixHopConv', 'TransformerConv',
+    'RGCNConv', 'FastRGCNConv', 'GENConv', 'FiLMConv', 'PDNConv',
+    'GeneralConv', 'PNAConv', 'EGConv', 'SignedConv', 'DirGNNConv',
+    'AntiSymmetricConv', 'HypergraphConv', 'WLConv', 'PointNetConv',
+    'EdgeConv', 'DynamicEdgeConv', 'PPFConv', 'PointTransformerConv',
+    'GravNetConv',
+    'global_add_pool', 'global_mean_pool', 'global_max_pool',
+    'TopKPooling', 'SAGPooling', 'knn', 'knn_graph', 'radius',
+    'radius_graph', 'fps', 'nearest', 'voxel_grid',
 ]

@@ -3,8 +3,30 @@ from .gcn_conv import GCNConv, gcn_norm
 from .sage_conv import SAGEConv
 from .gin_conv import GINConv, GINEConv
 from .gat_conv import GATConv, GATv2Conv
+from .graph_conv import (GraphConv, ResGatedGraphConv, GatedGraphConv,
+                         LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,
+                         WLConvContinuous, LGConv)
+from .spectral_conv import (ChebConv, ARMAConv, SGConv, SSGConv, TAGConv,
+                            APPNP, MixHopConv)
+from .transformer_conv import TransformerConv
+from .rgcn_conv import RGCNConv, FastRGCNConv
+from .gen_conv import (GENConv, FiLMConv, PDNConv, GeneralConv, PNAConv,
+                       EGConv)
+from .misc_conv import (SignedConv, DirGNNConv, AntiSymmetricConv,
+                        HypergraphConv, WLConv)
+from .point_conv import (PointNetConv, EdgeConv, DynamicEdgeConv, PPFConv,
+                         PointTransformerConv, GravNetConv)
+from .hetero_conv import HeteroConv, HGTConv, HANConv
 
 __all__ = [
     'MessagePassing', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
     'GINEConv', 'GATConv', 'GATv2Conv',
+    'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv', 'LEConv', 'MFConv',
+    'FAConv', 'AGNNConv', 'ClusterGCNConv', 'WLConvContinuous', 'LGConv',
+    'ChebConv', 'ARMAConv', 'SGConv', 'SSGConv', 'TAGConv', 'APPNP',
+    'MixHopConv', 'TransformerConv', 'RGCNConv', 'FastRGCNConv',
+    'GENConv', 'FiLMConv', 'PDNConv', 'GeneralConv', 'PNAConv', 'EGConv',
+    'SignedConv', 'DirGNNConv', 'AntiSymmetricConv', 'HypergraphConv',
+    'WLConv', 'PointNetConv', 'EdgeConv', 'DynamicEdgeConv', 'PPFConv',
+    'PointTransformerConv', 'GravNetConv', 'HeteroConv', 'HGTConv', 'HANConv',
 ]

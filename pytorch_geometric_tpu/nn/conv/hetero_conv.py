@@ -1,0 +1,213 @@
+"""HeteroConv, HGTConv, HANConv — heterogeneous convolutions.
+
+Reference: ``torch_geometric/nn/conv/hetero_conv.py:29``,
+``hgt_conv.py:17``, ``han_conv.py``.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from ..message_passing import MessagePassing
+from ...ops import scatter, softmax as segment_softmax
+
+EdgeType = Tuple[str, str, str]
+
+
+def _ekey(et: EdgeType) -> str:
+    return '__'.join(et)
+
+
+class HeteroConv(fnn.Module):
+    """Dict of per-edge-type convs; dst results grouped by ``aggr``
+    (reference ``hetero_conv.py:29``).
+
+    ``convs``: dict mapping edge type -> conv module. Each conv is called
+    with ``((x_src, x_dst), edge_index)``.
+    """
+    convs: Any   # Dict[EdgeType, MessagePassing] (frozen at init)
+    aggr: str = 'sum'
+
+    @fnn.compact
+    def __call__(self, x_dict: Dict[str, jnp.ndarray],
+                 edge_index_dict: Dict[EdgeType, Any],
+                 **kwargs_dict) -> Dict[str, jnp.ndarray]:
+        import dataclasses
+        grouped: Dict[str, list] = {}
+        for et, conv in dict(self.convs).items():
+            if et not in edge_index_dict:
+                continue
+            src, _, dst = et
+            if src not in x_dict or dst not in x_dict:
+                continue
+            fields = {f.name: getattr(conv, f.name)
+                      for f in dataclasses.fields(type(conv))
+                      if f.name not in ('parent', 'name')}
+            conv = type(conv)(**fields, name=f'conv_{_ekey(et)}')
+            kw = {k: v[et] for k, v in kwargs_dict.items() if et in v}
+            out = conv((x_dict[src], x_dict[dst]), edge_index_dict[et],
+                       **kw)
+            grouped.setdefault(dst, []).append(out)
+        result = {}
+        for dst, outs in grouped.items():
+            if len(outs) == 1:
+                result[dst] = outs[0]
+            elif self.aggr in ('sum', 'add'):
+                result[dst] = sum(outs)
+            elif self.aggr == 'mean':
+                result[dst] = sum(outs) / len(outs)
+            elif self.aggr == 'max':
+                result[dst] = jnp.stack(outs).max(0)
+            elif self.aggr == 'min':
+                result[dst] = jnp.stack(outs).min(0)
+            elif self.aggr == 'cat':
+                result[dst] = jnp.concatenate(outs, -1)
+            else:
+                raise ValueError(f"Unknown aggr '{self.aggr}'")
+        return result
+
+
+class HGTConv(fnn.Module):
+    """Heterogeneous Graph Transformer (reference ``hgt_conv.py:17``).
+
+    Typed QKV projections (the reference batches them with
+    ``HeteroDictLinear`` + ``segment_matmul``; here each type is its own
+    MXU GEMM), per-edge-type attention with relation-specific
+    transform + prior, edge softmax over all incoming relations, typed
+    output projection with skip.
+    """
+    out_channels: int
+    metadata: Tuple[Tuple[str, ...], Tuple[EdgeType, ...]]
+    heads: int = 1
+
+    @fnn.compact
+    def __call__(self, x_dict: Dict[str, jnp.ndarray],
+                 edge_index_dict: Dict[EdgeType, Any]
+                 ) -> Dict[str, jnp.ndarray]:
+        node_types, edge_types = self.metadata
+        H = self.heads
+        D = self.out_channels // H
+        k_dict, q_dict, v_dict = {}, {}, {}
+        for t in node_types:
+            if t not in x_dict:
+                continue
+            x = x_dict[t]
+            k_dict[t] = fnn.Dense(H * D, name=f'k_{t}')(x).reshape(-1, H, D)
+            q_dict[t] = fnn.Dense(H * D, name=f'q_{t}')(x).reshape(-1, H, D)
+            v_dict[t] = fnn.Dense(H * D, name=f'v_{t}')(x).reshape(-1, H, D)
+
+        # accumulate messages + attention logits per dst type over all
+        # relations, then softmax across the union of incoming edges.
+        per_dst: Dict[str, list] = {}
+        for et in edge_types:
+            src, rel, dst = et
+            if et not in edge_index_dict or src not in k_dict:
+                continue
+            name = _ekey(et)
+            a_rel = self.param(f'a_rel_{name}',
+                               fnn.initializers.glorot_uniform(), (H, D, D))
+            m_rel = self.param(f'm_rel_{name}',
+                               fnn.initializers.glorot_uniform(), (H, D, D))
+            p_rel = self.param(f'p_rel_{name}', fnn.initializers.ones, (H,))
+            ei = edge_index_dict[et]
+            coo = ei.coo if hasattr(ei, 'coo') else ei
+            n_src = k_dict[src].shape[0]
+            n_dst = q_dict[dst].shape[0]
+            s = jnp.minimum(coo[0], n_src - 1)
+            d = jnp.minimum(coo[1], n_dst - 1)
+            k = jnp.einsum('ehd,hdf->ehf', k_dict[src][s], a_rel)
+            v = jnp.einsum('ehd,hdf->ehf', v_dict[src][s], m_rel)
+            q = q_dict[dst][d]
+            logit = (q * k).sum(-1) * p_rel / jnp.sqrt(D)   # [E, H]
+            valid = (coo[0] < n_src) & (coo[1] < n_dst)
+            per_dst.setdefault(dst, []).append((d, logit, v, valid))
+
+        out_dict = {}
+        for t in node_types:
+            if t not in x_dict:
+                continue
+            n = x_dict[t].shape[0]
+            if t not in per_dst:
+                out_dict[t] = x_dict[t]
+                continue
+            ds = jnp.concatenate([p[0] for p in per_dst[t]])
+            logits = jnp.concatenate([p[1] for p in per_dst[t]])
+            vs = jnp.concatenate([p[2] for p in per_dst[t]])
+            valid = jnp.concatenate([p[3] for p in per_dst[t]])
+            alpha = segment_softmax(logits, ds, n, mask=valid)
+            msg = vs * alpha[..., None]
+            agg = scatter(msg.reshape(msg.shape[0], -1), ds, n, 'sum',
+                          mask=valid)
+            out = fnn.gelu(agg)
+            out = fnn.Dense(self.out_channels, name=f'out_{t}')(out)
+            # gated skip (reference hgt_conv.py skip param)
+            skip = self.param(f'skip_{t}', fnn.initializers.ones, ())
+            beta = jax.nn.sigmoid(skip)
+            if x_dict[t].shape[-1] == self.out_channels:
+                out = beta * out + (1 - beta) * x_dict[t]
+            out_dict[t] = out
+        return out_dict
+
+
+class HANConv(fnn.Module):
+    """Heterogeneous attention network (reference ``han_conv.py``):
+    per-metapath GAT-style node attention + semantic attention across
+    metapaths."""
+    out_channels: int
+    metadata: Tuple[Tuple[str, ...], Tuple[EdgeType, ...]]
+    heads: int = 1
+    negative_slope: float = 0.2
+
+    @fnn.compact
+    def __call__(self, x_dict: Dict[str, jnp.ndarray],
+                 edge_index_dict: Dict[EdgeType, Any]
+                 ) -> Dict[str, Optional[jnp.ndarray]]:
+        node_types, edge_types = self.metadata
+        H = self.heads
+        D = self.out_channels // H
+        h_dict = {
+            t: fnn.Dense(H * D, name=f'proj_{t}')(x).reshape(-1, H, D)
+            for t, x in x_dict.items()
+        }
+        per_dst: Dict[str, list] = {}
+        for et in edge_types:
+            src, rel, dst = et
+            if et not in edge_index_dict or src not in h_dict:
+                continue
+            name = _ekey(et)
+            a_src = self.param(f'att_src_{name}',
+                               fnn.initializers.glorot_uniform(), (1, H, D))
+            a_dst = self.param(f'att_dst_{name}',
+                               fnn.initializers.glorot_uniform(), (1, H, D))
+            ei = edge_index_dict[et]
+            coo = ei.coo if hasattr(ei, 'coo') else ei
+            n_src = h_dict[src].shape[0]
+            n_dst = h_dict[dst].shape[0]
+            s = jnp.minimum(coo[0], n_src - 1)
+            d = jnp.minimum(coo[1], n_dst - 1)
+            e_src = (h_dict[src] * a_src).sum(-1)
+            e_dst = (h_dict[dst] * a_dst).sum(-1)
+            logit = fnn.leaky_relu(e_src[s] + e_dst[d],
+                                   self.negative_slope)
+            valid = (coo[0] < n_src) & (coo[1] < n_dst)
+            alpha = segment_softmax(logit, d, n_dst, mask=valid)
+            msg = h_dict[src][s] * alpha[..., None]
+            agg = scatter(msg.reshape(msg.shape[0], -1), d, n_dst, 'sum',
+                          mask=valid)
+            per_dst.setdefault(dst, []).append(fnn.relu(agg))
+
+        out_dict: Dict[str, Optional[jnp.ndarray]] = {}
+        for t in node_types:
+            if t not in per_dst:
+                out_dict[t] = None
+                continue
+            outs = jnp.stack(per_dst[t], 0)        # [P, N, F]
+            # semantic attention (reference han_conv.py group())
+            w = fnn.tanh(fnn.Dense(128, name=f'sem_lin_{t}')(outs))
+            score = fnn.Dense(1, use_bias=False,
+                              name=f'sem_att_{t}')(w).mean(1)   # [P, 1]
+            beta = jax.nn.softmax(score[:, 0])
+            out_dict[t] = jnp.einsum('p,pnf->nf', beta, outs)
+        return out_dict

@@ -1,0 +1,117 @@
+"""Dense differentiable pooling: DiffPool, MinCut, DMoN.
+
+Reference: ``torch_geometric/nn/dense/{diff_pool,mincut_pool,dmon_pool}.py``.
+These already operate on padded ``[B, N, F]`` / ``[B, N, N]`` tensors —
+the natural TPU layout; each is a handful of batched matmuls.
+"""
+
+from typing import Optional, Tuple
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-15
+
+
+def dense_diff_pool(x: jnp.ndarray, adj: jnp.ndarray, s: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None,
+                    normalize: bool = True):
+    """(x', adj', link_loss, ent_loss) (reference ``diff_pool.py:dense_diff_pool``)."""
+    s = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        s = s * mask[..., None]
+    out = jnp.swapaxes(s, 1, 2) @ x
+    out_adj = jnp.swapaxes(s, 1, 2) @ adj @ s
+
+    link_loss = adj - s @ jnp.swapaxes(s, 1, 2)
+    link_loss = jnp.sqrt(jnp.maximum((link_loss ** 2).sum((-2, -1)), 0))
+    if normalize:
+        link_loss = link_loss / jnp.maximum(
+            jnp.asarray(adj.shape[-1] * adj.shape[-2], x.dtype), 1.0)
+    link_loss = link_loss.mean()
+
+    ent = (-s * jnp.log(s + EPS)).sum(-1)
+    if mask is not None:
+        ent = ent * mask
+    ent_loss = ent.mean()
+    return out, out_adj, link_loss, ent_loss
+
+
+def dense_mincut_pool(x: jnp.ndarray, adj: jnp.ndarray, s: jnp.ndarray,
+                      mask: Optional[jnp.ndarray] = None):
+    """(x', adj', mincut_loss, ortho_loss) (reference ``mincut_pool.py``)."""
+    s = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        s = s * mask[..., None]
+    k = s.shape[-1]
+    st = jnp.swapaxes(s, 1, 2)
+    out = st @ x
+    out_adj = st @ adj @ s
+
+    # MinCut numerator/denominator
+    num = jnp.trace(out_adj, axis1=-2, axis2=-1)
+    d = adj.sum(-1)
+    d_mat = d[..., None] * s                     # D s
+    den = jnp.trace(st @ d_mat, axis1=-2, axis2=-1)
+    mincut_loss = (-(num / jnp.maximum(den, EPS))).mean()
+
+    # Orthogonality
+    ss = st @ s
+    ss_n = ss / jnp.maximum(
+        jnp.linalg.norm(ss, axis=(-2, -1), keepdims=True), EPS)
+    i_n = jnp.eye(k, dtype=x.dtype) / jnp.sqrt(jnp.asarray(k, x.dtype))
+    ortho_loss = jnp.linalg.norm(ss_n - i_n[None], axis=(-2, -1)).mean()
+
+    # normalise pooled adjacency (zero diagonal, degree-normalised)
+    eye = jnp.eye(k, dtype=x.dtype)
+    out_adj = out_adj * (1 - eye)
+    dd = out_adj.sum(-1)
+    dis = jax.lax.rsqrt(jnp.maximum(dd, EPS))
+    out_adj = dis[..., None] * out_adj * dis[..., None, :]
+    return out, out_adj, mincut_loss, ortho_loss
+
+
+def dense_dmon_pool(x: jnp.ndarray, adj: jnp.ndarray, s: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None):
+    """(x', adj', spectral_loss, ortho_loss, cluster_loss)
+    (reference ``dmon_pool.py``, Tsitsulin et al.)."""
+    s = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        s = s * mask[..., None]
+    B, N, k = s.shape
+    st = jnp.swapaxes(s, 1, 2)
+    out = st @ x
+    out_adj = st @ adj @ s
+
+    deg = adj.sum(-1)                                   # [B, N]
+    m2 = jnp.maximum(deg.sum(-1, keepdims=True), EPS)   # 2m
+    # modularity: Tr(S^T A S - S^T d d^T S / 2m) / 2m
+    ds = jnp.einsum('bn,bnk->bk', deg, s)
+    spectral = -(jnp.trace(out_adj, axis1=-2, axis2=-1)
+                 - jnp.einsum('bk,bk->b', ds, ds) / m2[:, 0]) / m2[:, 0]
+    spectral_loss = spectral.mean()
+
+    ss = st @ s
+    ss_n = ss / jnp.maximum(
+        jnp.linalg.norm(ss, axis=(-2, -1), keepdims=True), EPS)
+    i_n = jnp.eye(k, dtype=x.dtype) / jnp.sqrt(jnp.asarray(k, x.dtype))
+    ortho_loss = jnp.linalg.norm(ss_n - i_n[None], axis=(-2, -1)).mean()
+
+    cluster_size = s.sum(1)                             # [B, k]
+    cluster_loss = (jnp.linalg.norm(cluster_size, axis=-1)
+                    / jnp.maximum(jnp.asarray(N, x.dtype), 1.0)
+                    * jnp.sqrt(jnp.asarray(k, x.dtype)) - 1).mean()
+    return out, out_adj, spectral_loss, ortho_loss, cluster_loss
+
+
+class DMoNPooling(fnn.Module):
+    """Learnable DMoN pooling module (reference ``dmon_pool.py:DMoNPooling``)."""
+    k: int
+    dropout: float = 0.0
+
+    @fnn.compact
+    def __call__(self, x, adj, mask: Optional[jnp.ndarray] = None):
+        s = fnn.Dense(self.k, name='mlp')(x)
+        out, out_adj, sp, on, cl = dense_dmon_pool(x, adj, s, mask)
+        return jax.nn.softmax(s, -1), out, out_adj, sp, on, cl

@@ -57,9 +57,11 @@ class MessagePassing(fnn.Module):
     ``update`` / ``edge_update``.
     """
 
-    def _aggr(self) -> str:
+    def _aggr(self):
         a = getattr(self, 'aggr', 'sum')
-        return {'add': 'sum'}.get(a, a)
+        if isinstance(a, str):
+            return {'add': 'sum'}.get(a, a)
+        return a
 
     def _flow(self) -> str:
         return getattr(self, 'flow', 'source_to_target')
@@ -71,6 +73,10 @@ class MessagePassing(fnn.Module):
     def aggregate(self, inputs: jnp.ndarray, index: jnp.ndarray,
                   dim_size: int, edge_mask=None) -> jnp.ndarray:
         aggr = self._aggr()
+        # Aggregation-module path (reference resolves str/list/module via
+        # aggr_resolver at message_passing.py:134).
+        if not isinstance(aggr, (str, list, tuple)):
+            return aggr(inputs, index, dim_size, mask=edge_mask)
         if isinstance(aggr, (list, tuple)):
             outs = [scatter(inputs, index, dim_size, reduce=a,
                             mask=edge_mask) for a in aggr]

@@ -1,0 +1,436 @@
+"""Model zoo: JumpingKnowledge, DeepGraphInfomax, LightGCN, Label
+Propagation, CorrectAndSmooth, LINKX, PMLP, MaskLabel, MetaLayer,
+NeuralFingerprint, GraphUNet, DeepGCNLayer.
+
+Reference files under ``torch_geometric/nn/models/``:
+``jumping_knowledge.py``, ``deep_graph_infomax.py``, ``lightgcn.py``,
+``label_prop.py``, ``correct_and_smooth.py``, ``linkx.py``, ``pmlp.py``,
+``mask_label.py``, ``meta.py``, ``neural_fingerprint.py``,
+``graph_unet.py``, ``deep_gcn_layer.py``.
+"""
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from ..conv import GCNConv, LGConv, MFConv, GraphConv
+from ..conv.gcn_conv import gcn_norm
+from ..message_passing import MessagePassing
+from ..pool import TopKPooling
+from .mlp import MLP
+from ...ops import scatter
+
+
+class JumpingKnowledge(fnn.Module):
+    """Combine per-layer representations: cat | max | lstm-attention
+    (reference ``jumping_knowledge.py``)."""
+    mode: str = 'cat'
+    channels: Optional[int] = None
+
+    @fnn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        if self.mode == 'cat':
+            return jnp.concatenate(list(xs), -1)
+        if self.mode == 'max':
+            return jnp.stack(list(xs), 0).max(0)
+        if self.mode == 'lstm':
+            # bidirectional LSTM attention over the layer axis
+            x = jnp.stack(list(xs), 1)            # [N, L, F]
+            f = self.channels or x.shape[-1]
+            fwd = fnn.OptimizedLSTMCell(features=f, name='lstm_f')
+            bwd = fnn.OptimizedLSTMCell(features=f, name='lstm_b')
+            cf = fwd.initialize_carry(jnp.zeros((2,), jnp.uint32),
+                                      x[:, 0].shape)
+            cb = bwd.initialize_carry(jnp.zeros((2,), jnp.uint32),
+                                      x[:, 0].shape)
+            L = x.shape[1]
+            outs_f, outs_b = [], []
+            for t in range(L):
+                cf, of = fwd(cf, x[:, t])
+                cb, ob = bwd(cb, x[:, L - 1 - t])
+                outs_f.append(of)
+                outs_b.append(ob)
+            h = jnp.concatenate([jnp.stack(outs_f, 1),
+                                 jnp.stack(outs_b[::-1], 1)], -1)
+            alpha = fnn.Dense(1, name='att')(h)[..., 0]   # [N, L]
+            alpha = jax.nn.softmax(alpha, -1)
+            return (x * alpha[..., None]).sum(1)
+        raise ValueError(f"Unknown JK mode '{self.mode}'")
+
+
+class DeepGraphInfomax(fnn.Module):
+    """DGI (reference ``deep_graph_infomax.py``): encoder + corruption +
+    bilinear discriminator."""
+    hidden_channels: int
+    encoder: fnn.Module
+    summary: Callable = None      # (z, *args) -> summary vector
+    corruption: Callable = None   # (*args) -> corrupted args
+
+    def _summary(self, z, *args, **kwargs):
+        if self.summary is not None:
+            return self.summary(z, *args, **kwargs)
+        return jax.nn.sigmoid(z.mean(0))
+
+    @fnn.compact
+    def __call__(self, *args, **kwargs):
+        pos_z = self.encoder(*args, **kwargs)
+        if self.corruption is not None:
+            cor = self.corruption(*args, **kwargs)
+            cor = cor if isinstance(cor, tuple) else (cor,)
+            neg_z = self.encoder(*cor, **kwargs)
+        else:
+            neg_z = pos_z
+        s = self._summary(pos_z, *args, **kwargs)
+        w = self.param('weight', fnn.initializers.glorot_uniform(),
+                       (self.hidden_channels, self.hidden_channels))
+        return pos_z, neg_z, s, w
+
+    @staticmethod
+    def discriminate(z, summary, weight, sigmoid: bool = True):
+        value = z @ weight @ summary
+        return jax.nn.sigmoid(value) if sigmoid else value
+
+    @staticmethod
+    def loss(pos_z, neg_z, summary, weight) -> jnp.ndarray:
+        eps = 1e-15
+        pos = DeepGraphInfomax.discriminate(pos_z, summary, weight)
+        neg = DeepGraphInfomax.discriminate(neg_z, summary, weight)
+        return (-jnp.log(pos + eps).mean()
+                - jnp.log(1 - neg + eps).mean())
+
+
+class LightGCN(fnn.Module):
+    """LightGCN (reference ``lightgcn.py``): embedding propagation with
+    layer-averaged output + BPR ranking."""
+    num_nodes: int
+    embedding_dim: int
+    num_layers: int = 2
+    alpha: Optional[Sequence[float]] = None
+
+    @fnn.compact
+    def get_embedding(self, edge_index,
+                      edge_mask: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
+        emb = self.param('embedding', fnn.initializers.normal(0.1),
+                         (self.num_nodes, self.embedding_dim))
+        alpha = (jnp.asarray(self.alpha) if self.alpha is not None
+                 else jnp.full((self.num_layers + 1,),
+                               1.0 / (self.num_layers + 1)))
+        x = emb
+        out = alpha[0] * x
+        for i in range(self.num_layers):
+            x = LGConv(name=f'conv_{i}')(x, edge_index,
+                                         edge_mask=edge_mask)
+            out = out + alpha[i + 1] * x
+        return out
+
+    def __call__(self, edge_index, label_index,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Rank scores for (src, dst) pairs in ``label_index`` [2, K]."""
+        z = self.get_embedding(edge_index, edge_mask)
+        src = z[label_index[0]]
+        dst = z[label_index[1]]
+        return (src * dst).sum(-1)
+
+    @staticmethod
+    def recommendation_loss(pos_scores, neg_scores,
+                            lambda_reg: float = 1e-4,
+                            params=None) -> jnp.ndarray:
+        """BPR loss (reference ``lightgcn.py:BPRLoss``)."""
+        loss = -jax.nn.log_sigmoid(pos_scores - neg_scores).mean()
+        if params is not None and lambda_reg > 0:
+            reg = sum(jnp.sum(p ** 2) for p in
+                      jax.tree_util.tree_leaves(params))
+            loss = loss + lambda_reg * reg
+        return loss
+
+
+class LabelPropagation(MessagePassing):
+    """y' = alpha * A_hat y + (1-alpha) y, K iterations
+    (reference ``label_prop.py``)."""
+    num_layers: int = 3
+    alpha: float = 0.9
+
+    def __call__(self, y: jnp.ndarray, edge_index,
+                 label_mask: Optional[jnp.ndarray] = None,
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 post_step: Optional[Callable] = None) -> jnp.ndarray:
+        """``y``: [N, C] one-hot (or soft) labels; ``label_mask`` zeroes
+        unlabeled rows before propagation."""
+        n = y.shape[0]
+        if label_mask is not None:
+            y = jnp.where(label_mask[:, None], y, 0)
+        coo, ew = gcn_norm(edge_index, edge_weight, n,
+                           add_self_loops=False)
+        res = (1 - self.alpha) * y
+        out = y
+        for _ in range(self.num_layers):
+            out = self.propagate(coo, x=out, edge_weight=ew, size=(n, n))
+            out = self.alpha * out + res
+            out = (post_step(out) if post_step is not None
+                   else jnp.clip(out, 0.0, 1.0))
+        return out
+
+    def message(self, x_j, edge_weight=None):
+        return x_j if edge_weight is None else edge_weight[:, None] * x_j
+
+
+class CorrectAndSmooth:
+    """C&S post-processing (reference ``correct_and_smooth.py``).
+
+    Parameter-free: a plain callable (not a flax module), so it can be
+    applied directly to model outputs inside or outside jit.
+    """
+
+    def __init__(self, num_correction_layers: int = 10,
+                 correction_alpha: float = 0.8,
+                 num_smoothing_layers: int = 10,
+                 smoothing_alpha: float = 0.8,
+                 scale: float = 1.0, autoscale: bool = True):
+        self.num_correction_layers = num_correction_layers
+        self.correction_alpha = correction_alpha
+        self.num_smoothing_layers = num_smoothing_layers
+        self.smoothing_alpha = smoothing_alpha
+        self.scale = scale
+        self.autoscale = autoscale
+
+    def correct(self, y_soft, y_true, train_mask, edge_index):
+        n = y_soft.shape[0]
+        err = jnp.where(train_mask[:, None], y_true - y_soft, 0)
+        lp = LabelPropagation(num_layers=self.num_correction_layers,
+                              alpha=self.correction_alpha)
+        err = lp(err, edge_index, post_step=lambda x: x)
+        if self.autoscale:
+            sigma = jnp.abs(
+                jnp.where(train_mask[:, None], y_true - y_soft, 0)
+            ).sum() / jnp.maximum(train_mask.sum(), 1)
+            scale = sigma / jnp.maximum(
+                jnp.abs(err).sum(-1, keepdims=True), 1e-9)
+            out = y_soft + scale * err
+            return jnp.where(train_mask[:, None], y_soft, out)
+        return y_soft + self.scale * err
+
+    def smooth(self, y_soft, y_true, train_mask, edge_index):
+        y = jnp.where(train_mask[:, None], y_true, y_soft)
+        lp = LabelPropagation(num_layers=self.num_smoothing_layers,
+                              alpha=self.smoothing_alpha)
+        return lp(y, edge_index)
+
+    def __call__(self, y_soft, y_true, train_mask, edge_index):
+        out = self.correct(y_soft, y_true, train_mask, edge_index)
+        return self.smooth(out, y_true, train_mask, edge_index)
+
+
+class LINKX(fnn.Module):
+    """LINKX (reference ``linkx.py``): MLP_A(A) + MLP_X(x) -> MLP_f."""
+    num_nodes: int
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 1
+    num_edge_layers: int = 1
+    num_node_layers: int = 1
+
+    @fnn.compact
+    def __call__(self, x: Optional[jnp.ndarray], edge_index,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        n = self.num_nodes
+        # Row embedding of A via sparse aggregation of a learned basis:
+        # equivalent to A @ W_emb with W_emb [N, H] factored as embedding.
+        emb = self.param('edge_embed', fnn.initializers.normal(0.02),
+                         (n, self.hidden_channels))
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        xa = scatter(emb[src], dst, n, 'sum', mask=edge_mask)
+        xa = MLP(channel_list=[self.hidden_channels]
+                 * max(1, self.num_edge_layers - 1) + [self.hidden_channels],
+                 plain_last=False, name='mlp_a')(xa)
+        h = xa
+        if x is not None:
+            xx = MLP(channel_list=[self.hidden_channels]
+                     * self.num_node_layers, plain_last=False,
+                     name='mlp_x')(x)
+            h = fnn.Dense(self.hidden_channels, name='w')(
+                jnp.concatenate([xa, xx], -1)) + xa + xx
+        h = fnn.relu(h)
+        return MLP(channel_list=[self.hidden_channels]
+                   * max(0, self.num_layers - 1) + [self.out_channels],
+                   name='mlp_f')(h)
+
+
+class PMLP(fnn.Module):
+    """PMLP (reference ``pmlp.py``): MLP at train time; message passing
+    inserted at inference."""
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    dropout: float = 0.0
+
+    @fnn.compact
+    def __call__(self, x, edge_index=None,
+                 use_conv: bool = False) -> jnp.ndarray:
+        conv = GCNConv
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            ch = self.out_channels if last else self.hidden_channels
+            x = fnn.Dense(ch, use_bias=False, name=f'lin_{i}')(x)
+            if use_conv and edge_index is not None:
+                # parameter-free mean propagation (gcn_norm SpMM)
+                n = x.shape[0]
+                coo, ew = gcn_norm(edge_index, None, n)
+                x = scatter(x[jnp.minimum(coo[0], n - 1)] * ew[:, None],
+                            jnp.minimum(coo[1], n - 1), n, 'sum')
+            if not last:
+                b = self.param(f'bias_{i}', fnn.initializers.zeros,
+                               (ch,))
+                x = fnn.relu(x + b)
+        return x
+
+
+class MaskLabel(fnn.Module):
+    """UniMP label embedding (reference ``mask_label.py``)."""
+    num_classes: int
+    out_channels: int
+    method: str = 'add'
+
+    @fnn.compact
+    def __call__(self, x, y, mask) -> jnp.ndarray:
+        emb = fnn.Embed(self.num_classes, self.out_channels,
+                        name='emb')(jnp.maximum(y, 0))
+        emb = jnp.where(mask[:, None], emb, 0)
+        if self.method == 'add':
+            return x + emb
+        return jnp.concatenate([x, emb], -1)
+
+    @staticmethod
+    def ratio_mask(rng, mask, ratio: float):
+        """Randomly keep (1-ratio) of the labeled entries."""
+        keep = jax.random.uniform(rng, mask.shape) > ratio
+        return mask & keep
+
+
+class MetaLayer(fnn.Module):
+    """Generic (edge, node, global) update block (reference ``meta.py``)."""
+    edge_model: Optional[fnn.Module] = None
+    node_model: Optional[fnn.Module] = None
+    global_model: Optional[fnn.Module] = None
+
+    @fnn.compact
+    def __call__(self, x, edge_index, edge_attr=None, u=None, batch=None,
+                 batch_size: int = 1,
+                 edge_mask: Optional[jnp.ndarray] = None):
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        n = x.shape[0]
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        if self.edge_model is not None:
+            eb = None if batch is None else batch[src]
+            edge_attr = self.edge_model(x[src], x[dst], edge_attr, u, eb)
+        if self.node_model is not None:
+            x = self.node_model(x, coo, edge_attr, u, batch)
+        if self.global_model is not None:
+            u = self.global_model(x, coo, edge_attr, u, batch)
+        return x, edge_attr, u
+
+
+class NeuralFingerprint(fnn.Module):
+    """Duvenaud fingerprints (reference ``neural_fingerprint.py``)."""
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 3
+
+    @fnn.compact
+    def __call__(self, x, edge_index, batch=None, batch_size: int = 1,
+                 node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..pool import global_add_pool
+        out = jnp.zeros((batch_size, self.out_channels), x.dtype)
+        for i in range(self.num_layers):
+            x = MFConv(out_channels=self.hidden_channels,
+                       name=f'conv_{i}')(x, edge_index)
+            y = jax.nn.softmax(
+                fnn.Dense(self.out_channels, name=f'fp_{i}')(x), -1)
+            out = out + global_add_pool(y, batch, batch_size,
+                                        mask=node_mask)
+        return out
+
+
+class DeepGCNLayer(fnn.Module):
+    """Pre/post-activation residual block (reference
+    ``deep_gcn_layer.py``): res+ / res / dense / plain."""
+    conv: fnn.Module
+    norm: Optional[fnn.Module] = None
+    act: Callable = fnn.relu
+    block: str = 'res+'
+    dropout: float = 0.0
+
+    @fnn.compact
+    def __call__(self, x, *args, **kwargs) -> jnp.ndarray:
+        if self.block == 'res+':
+            h = x
+            if self.norm is not None:
+                h = self.norm(h)
+            h = self.act(h)
+            h = self.conv(h, *args, **kwargs)
+            return x + h
+        h = self.conv(x, *args, **kwargs)
+        if self.norm is not None:
+            h = self.norm(h)
+        h = self.act(h)
+        if self.block == 'res':
+            return x + h
+        if self.block == 'dense':
+            return jnp.concatenate([x, h], -1)
+        return h
+
+
+class GraphUNet(fnn.Module):
+    """Graph U-Net (reference ``graph_unet.py``): GCN + TopK down path,
+    unpool + skip up path. Static-shape: each level keeps ``ceil(ratio^l
+    * N)`` slots with masks."""
+    hidden_channels: int
+    out_channels: int
+    depth: int = 3
+    pool_ratio: float = 0.5
+
+    @fnn.compact
+    def __call__(self, x, edge_index,
+                 batch: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        n = x.shape[0]
+        if batch is None:
+            batch = jnp.zeros((n,), jnp.int32)
+        x = fnn.relu(GCNConv(out_channels=self.hidden_channels,
+                             name='down_conv_0')(x, edge_index))
+        xs, perms, masks, edges = [x], [], [], []
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        cur_x, cur_coo = x, coo
+        cur_n = n
+        for d in range(1, self.depth + 1):
+            pool = TopKPooling(in_channels=self.hidden_channels,
+                               ratio=self.pool_ratio, name=f'pool_{d}')
+            out = pool(cur_x, cur_coo, jnp.zeros((cur_n,), jnp.int32), 1,
+                       max_nodes_per_graph=cur_n)
+            perms.append(out.perm)
+            masks.append(out.node_mask)
+            edges.append((cur_coo, cur_n))
+            cur_x, cur_coo = out.x, out.edge_index
+            cur_n = cur_x.shape[0]
+            cur_x = fnn.relu(GCNConv(out_channels=self.hidden_channels,
+                                     name=f'down_conv_{d}')(
+                cur_x, cur_coo, edge_mask=out.edge_mask))
+            xs.append(cur_x)
+
+        for d in range(self.depth, 0, -1):
+            prev_coo, prev_n = edges[d - 1]
+            up = jnp.zeros((prev_n, self.hidden_channels), cur_x.dtype)
+            rows = jnp.minimum(perms[d - 1], prev_n - 1)
+            up = up.at[rows].add(
+                jnp.where(masks[d - 1][:, None], cur_x, 0))
+            cur_x = up + xs[d - 1]
+            cur_x = GCNConv(out_channels=(self.hidden_channels
+                                          if d > 1 else self.out_channels),
+                            name=f'up_conv_{d}')(cur_x, prev_coo)
+            if d > 1:
+                cur_x = fnn.relu(cur_x)
+        return cur_x

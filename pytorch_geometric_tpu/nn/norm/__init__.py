@@ -1,0 +1,9 @@
+from .norms import (BatchNorm, InstanceNorm, LayerNorm, GraphNorm,
+                    GraphSizeNorm, PairNorm, MeanSubtractionNorm, MsgNorm,
+                    DiffGroupNorm, HeteroBatchNorm, HeteroLayerNorm)
+
+__all__ = [
+    'BatchNorm', 'InstanceNorm', 'LayerNorm', 'GraphNorm', 'GraphSizeNorm',
+    'PairNorm', 'MeanSubtractionNorm', 'MsgNorm', 'DiffGroupNorm',
+    'HeteroBatchNorm', 'HeteroLayerNorm',
+]

@@ -1,0 +1,13 @@
+from .glob import global_add_pool, global_mean_pool, global_max_pool
+from .select import SelectOutput, SelectTopK, select_topk, filter_edges
+from .topk_pool import TopKPooling, SAGPooling, PoolOutput
+from .point import (knn, knn_graph, radius, radius_graph, fps, nearest,
+                    voxel_grid)
+
+__all__ = [
+    'global_add_pool', 'global_mean_pool', 'global_max_pool',
+    'SelectOutput', 'SelectTopK', 'select_topk', 'filter_edges',
+    'TopKPooling', 'SAGPooling', 'PoolOutput',
+    'knn', 'knn_graph', 'radius', 'radius_graph', 'fps', 'nearest',
+    'voxel_grid',
+]

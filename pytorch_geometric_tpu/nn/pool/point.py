@@ -1,0 +1,163 @@
+"""Point-cloud ops: knn / knn_graph / radius / radius_graph / fps.
+
+TPU-native equivalents of the ``torch_cluster`` kernels the reference
+wraps at ``nn/pool/__init__.py:63-297``. Fixed-``k`` neighbor search maps
+onto dense tiled distance matmuls (MXU-friendly: ||x-y||^2 expands to a
+matmul); FPS is a ``lax.fori_loop`` of argmax-over-min-distances with a
+static sample count. Cross-batch pairs are excluded by masking with the
+``batch`` vectors.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """[N, M] squared distances via the matmul expansion."""
+    x2 = (x * x).sum(-1)[:, None]
+    y2 = (y * y).sum(-1)[None, :]
+    xy = x @ y.T
+    return jnp.maximum(x2 + y2 - 2 * xy, 0)
+
+
+def _masked_dist(x, y, batch_x, batch_y, mask_x, mask_y):
+    d = _pairwise_sqdist(x, y)
+    big = jnp.inf
+    if batch_x is not None and batch_y is not None:
+        d = jnp.where(batch_x[:, None] == batch_y[None, :], d, big)
+    if mask_x is not None:
+        d = jnp.where(mask_x[:, None], d, big)
+    if mask_y is not None:
+        d = jnp.where(mask_y[None, :], d, big)
+    return d
+
+
+def knn(x: jnp.ndarray, y: jnp.ndarray, k: int,
+        batch_x: Optional[jnp.ndarray] = None,
+        batch_y: Optional[jnp.ndarray] = None,
+        mask_x: Optional[jnp.ndarray] = None,
+        mask_y: Optional[jnp.ndarray] = None
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each row of ``y``, its ``k`` nearest rows of ``x``
+    (reference ``nn/pool/__init__.py:knn``). Returns
+    ``edge_index [2, M*k]`` with row 0 = y-index (query), row 1 = x-index,
+    plus a validity mask (False where fewer than k in-batch points exist).
+    """
+    d = _masked_dist(y, x, batch_y, batch_x, mask_y, mask_x)  # [M, N]
+    neg, idx = jax.lax.top_k(-d, k)                           # [M, k]
+    valid = jnp.isfinite(-neg)
+    m = y.shape[0]
+    row = jnp.repeat(jnp.arange(m, dtype=jnp.int32), k)
+    col = idx.reshape(-1).astype(jnp.int32)
+    return jnp.stack([row, col]), valid.reshape(-1)
+
+
+def knn_graph(x: jnp.ndarray, k: int,
+              batch: Optional[jnp.ndarray] = None,
+              loop: bool = False,
+              mask: Optional[jnp.ndarray] = None,
+              flow: str = 'source_to_target'
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-NN graph over a point set (reference ``knn_graph``).
+    Returns (edge_index [2, N*k], edge_mask)."""
+    d = _masked_dist(x, x, batch, batch, mask, mask)
+    if not loop:
+        n = x.shape[0]
+        d = d + jnp.where(jnp.eye(n, dtype=bool), jnp.inf, 0)
+    neg, idx = jax.lax.top_k(-d, k)
+    valid = jnp.isfinite(-neg)
+    n = x.shape[0]
+    center = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    neighbor = idx.reshape(-1).astype(jnp.int32)
+    if flow == 'source_to_target':
+        coo = jnp.stack([neighbor, center])
+    else:
+        coo = jnp.stack([center, neighbor])
+    return coo, valid.reshape(-1)
+
+
+def radius(x: jnp.ndarray, y: jnp.ndarray, r: float,
+           batch_x: Optional[jnp.ndarray] = None,
+           batch_y: Optional[jnp.ndarray] = None,
+           max_num_neighbors: int = 32,
+           mask_x: Optional[jnp.ndarray] = None,
+           mask_y: Optional[jnp.ndarray] = None
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All x within r of each y, capped at ``max_num_neighbors``
+    (reference ``radius``). Static output ``[2, M*max_num_neighbors]``."""
+    ei, valid = knn(x, y, max_num_neighbors, batch_x, batch_y, mask_x,
+                    mask_y)
+    xs = x[jnp.minimum(ei[1], x.shape[0] - 1)]
+    ys = y[jnp.minimum(ei[0], y.shape[0] - 1)]
+    within = ((xs - ys) ** 2).sum(-1) <= r * r
+    return ei, valid & within
+
+
+def radius_graph(x: jnp.ndarray, r: float,
+                 batch: Optional[jnp.ndarray] = None,
+                 loop: bool = False, max_num_neighbors: int = 32,
+                 mask: Optional[jnp.ndarray] = None,
+                 flow: str = 'source_to_target'
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Radius graph (reference ``radius_graph``)."""
+    coo, valid = knn_graph(x, max_num_neighbors, batch, loop, mask, flow)
+    src, dst = coo[0], coo[1]
+    d2 = ((x[jnp.minimum(src, x.shape[0] - 1)]
+           - x[jnp.minimum(dst, x.shape[0] - 1)]) ** 2).sum(-1)
+    return coo, valid & (d2 <= r * r)
+
+
+def fps(pos: jnp.ndarray, ratio: float = 0.5,
+        batch: Optional[jnp.ndarray] = None,
+        random_start: bool = False,
+        num_samples: Optional[int] = None) -> jnp.ndarray:
+    """Farthest point sampling (reference ``nn/pool/__init__.py:fps``).
+
+    Single-cloud variant (vmap over clouds for batches): returns the int32
+    index array of ``num_samples`` (default ceil(ratio*N)) sampled rows.
+    """
+    n = pos.shape[0]
+    s = num_samples or max(1, math.ceil(ratio * n))
+    start = 0
+
+    def body(i, state):
+        sel, mind = state
+        # distance to the most recent selected point
+        last = pos[sel[i - 1]]
+        d = ((pos - last[None, :]) ** 2).sum(-1)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind).astype(jnp.int32)
+        sel = sel.at[i].set(nxt)
+        return sel, mind
+
+    sel0 = jnp.zeros((s,), jnp.int32).at[0].set(start)
+    mind0 = jnp.full((n,), jnp.inf)
+    sel, _ = jax.lax.fori_loop(1, s, body, (sel0, mind0))
+    return sel
+
+
+def nearest(x: jnp.ndarray, y: jnp.ndarray,
+            batch_x: Optional[jnp.ndarray] = None,
+            batch_y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Index of the nearest y-row for every x-row (reference ``nearest``)."""
+    d = _masked_dist(x, y, batch_x, batch_y, None, None)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def voxel_grid(pos: jnp.ndarray, size, batch: Optional[jnp.ndarray] = None,
+               start=None, end=None) -> jnp.ndarray:
+    """Voxel cluster ids (reference ``nn/pool/voxel_grid.py``). Host-free:
+    returns a raveled voxel id per point (ids are not compacted)."""
+    size = jnp.broadcast_to(jnp.asarray(size, pos.dtype), (pos.shape[-1],))
+    lo = pos.min(0) if start is None else jnp.asarray(start, pos.dtype)
+    cell = jnp.floor((pos - lo) / size).astype(jnp.int64)
+    hi = cell.max(0) + 1
+    mult = jnp.concatenate([jnp.cumprod(hi[::-1])[::-1][1:],
+                            jnp.ones((1,), jnp.int64)])
+    vid = (cell * mult).sum(-1)
+    if batch is not None:
+        vid = vid + batch.astype(jnp.int64) * jnp.prod(hi)
+    return vid

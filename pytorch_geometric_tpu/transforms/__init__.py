@@ -1,0 +1,30 @@
+from .base import BaseTransform, Compose
+from .structure import (ToUndirected, AddSelfLoops, RemoveSelfLoops,
+                        RemoveDuplicatedEdges, RemoveIsolatedNodes, TwoHop,
+                        VirtualNode, LineGraph, GCNNorm, SIGN, FaceToEdge,
+                        ToSparseTensor, Pad)
+from .features import (NormalizeFeatures, SVDFeatureReduction, Constant,
+                       OneHotDegree, TargetIndegree, LocalDegreeProfile,
+                       AddLaplacianEigenvectorPE, AddRandomWalkPE,
+                       FeaturePropagation)
+from .geometric import (Center, NormalizeScale, KNNGraph, RadiusGraph,
+                        Distance, Cartesian, Polar, Spherical, RandomJitter,
+                        RandomFlip, RandomRotate, RandomScale, RandomShear,
+                        SamplePoints, GridSampling)
+from .splits import (RandomNodeSplit, RandomLinkSplit, IndexToMask,
+                     MaskToIndex)
+
+__all__ = [
+    'BaseTransform', 'Compose',
+    'ToUndirected', 'AddSelfLoops', 'RemoveSelfLoops',
+    'RemoveDuplicatedEdges', 'RemoveIsolatedNodes', 'TwoHop', 'VirtualNode',
+    'LineGraph', 'GCNNorm', 'SIGN', 'FaceToEdge', 'ToSparseTensor', 'Pad',
+    'NormalizeFeatures', 'SVDFeatureReduction', 'Constant', 'OneHotDegree',
+    'TargetIndegree', 'LocalDegreeProfile', 'AddLaplacianEigenvectorPE',
+    'AddRandomWalkPE', 'FeaturePropagation',
+    'Center', 'NormalizeScale', 'KNNGraph', 'RadiusGraph', 'Distance',
+    'Cartesian', 'Polar', 'Spherical', 'RandomJitter', 'RandomFlip',
+    'RandomRotate', 'RandomScale', 'RandomShear', 'SamplePoints',
+    'GridSampling',
+    'RandomNodeSplit', 'RandomLinkSplit', 'IndexToMask', 'MaskToIndex',
+]

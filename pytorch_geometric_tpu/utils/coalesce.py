@@ -45,6 +45,11 @@ def coalesce(edge_index, edge_attr: Optional[np.ndarray] = None,
     out = e[:, order][:, uniq_mask]
     if edge_attr is None:
         return out
+    if isinstance(edge_attr, (list, tuple)):
+        seg = np.cumsum(uniq_mask) - 1
+        outs = [_reduce_attr(np.asarray(a)[order], seg, uniq_mask, reduce)
+                for a in edge_attr]
+        return out, outs
     attr = np.asarray(edge_attr)[order]
     seg = np.cumsum(uniq_mask) - 1
     if reduce in ('sum', 'add'):
@@ -71,13 +76,44 @@ def coalesce(edge_index, edge_attr: Optional[np.ndarray] = None,
     return out, red
 
 
-def to_undirected(edge_index, edge_attr: Optional[np.ndarray] = None,
+def _reduce_attr(attr, seg, uniq_mask, reduce):
+    n_out = int(uniq_mask.sum())
+    if reduce in ('sum', 'add'):
+        red = np.zeros((n_out,) + attr.shape[1:], attr.dtype)
+        np.add.at(red, seg, attr)
+    elif reduce == 'mean':
+        red = np.zeros((n_out,) + attr.shape[1:], np.float64)
+        np.add.at(red, seg, attr)
+        cnt = np.bincount(seg, minlength=n_out)
+        red = (red / cnt.reshape((-1,) + (1,) * (attr.ndim - 1))
+               ).astype(attr.dtype)
+    elif reduce == 'min':
+        red = np.full((n_out,) + attr.shape[1:],
+                      np.finfo(attr.dtype).max if attr.dtype.kind == 'f'
+                      else np.iinfo(attr.dtype).max, attr.dtype)
+        np.minimum.at(red, seg, attr)
+    elif reduce == 'max':
+        red = np.full((n_out,) + attr.shape[1:],
+                      np.finfo(attr.dtype).min if attr.dtype.kind == 'f'
+                      else np.iinfo(attr.dtype).min, attr.dtype)
+        np.maximum.at(red, seg, attr)
+    else:
+        raise ValueError(f"Unknown reduce '{reduce}'")
+    return red
+
+
+def to_undirected(edge_index, edge_attr=None,
                   num_nodes: Optional[int] = None, reduce: str = 'sum'):
-    """Symmetrise the graph (reference ``utils/undirected.py``)."""
+    """Symmetrise the graph (reference ``utils/undirected.py``).
+    ``edge_attr`` may be a single array or a list of arrays."""
     e = _to_np(edge_index)
     both = np.concatenate([e, e[::-1]], axis=1)
     if edge_attr is not None:
-        edge_attr = np.concatenate([np.asarray(edge_attr)] * 2, axis=0)
+        if isinstance(edge_attr, (list, tuple)):
+            edge_attr = [np.concatenate([np.asarray(a)] * 2, axis=0)
+                         for a in edge_attr]
+        else:
+            edge_attr = np.concatenate([np.asarray(edge_attr)] * 2, axis=0)
         return coalesce(both, edge_attr, num_nodes, reduce)
     return coalesce(both, None, num_nodes, reduce)
 

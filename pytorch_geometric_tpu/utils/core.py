@@ -12,11 +12,14 @@ import jax
 import jax.numpy as jnp
 
 
-def degree(index: jnp.ndarray, num_nodes: int,
-           dtype=jnp.float32) -> jnp.ndarray:
-    """Node degrees from an endpoint vector (reference ``utils/degree.py``)."""
-    return jax.ops.segment_sum(jnp.ones_like(index, dtype=dtype), index,
-                               num_nodes)
+def degree(index: jnp.ndarray, num_nodes: int, dtype=jnp.float32,
+           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Node degrees from an endpoint vector (reference ``utils/degree.py``).
+    ``mask`` drops padded edges."""
+    ones = jnp.ones_like(index, dtype=dtype)
+    if mask is not None:
+        index = jnp.where(mask, index, num_nodes)
+    return jax.ops.segment_sum(ones, index, num_nodes)
 
 
 def cumsum(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:

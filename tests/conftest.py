@@ -9,6 +9,10 @@ if 'xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax
+# The axon TPU plugin's sitecustomize forces jax_platforms='axon,cpu' at
+# interpreter start, overriding the env var — override it back so tests
+# really run on the virtual 8-device CPU mesh.
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 

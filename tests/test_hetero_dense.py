@@ -1,0 +1,139 @@
+"""HeteroData, hetero convs, dense subpackage tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_geometric_tpu.data.hetero_data import HeteroData
+from pytorch_geometric_tpu.nn import (HeteroConv, HGTConv, HANConv,
+                                      SAGEConv, GraphConv)
+from pytorch_geometric_tpu.nn.dense import (Linear, HeteroLinear,
+                                            HeteroDictLinear, DenseGCNConv,
+                                            DenseSAGEConv, DenseGINConv,
+                                            DenseGraphConv, DenseGATConv,
+                                            dense_diff_pool,
+                                            dense_mincut_pool, DMoNPooling)
+from pytorch_geometric_tpu.nn.models.mlp import MLP
+
+rng = np.random.default_rng(0)
+
+
+def make_hetero():
+    data = HeteroData()
+    data['paper'].x = rng.standard_normal((8, 16)).astype(np.float32)
+    data['author'].x = rng.standard_normal((5, 8)).astype(np.float32)
+    data['paper', 'cites', 'paper'].edge_index = np.stack(
+        [rng.integers(0, 8, 20), rng.integers(0, 8, 20)]).astype(np.int32)
+    data['author', 'writes', 'paper'].edge_index = np.stack(
+        [rng.integers(0, 5, 15), rng.integers(0, 8, 15)]).astype(np.int32)
+    return data
+
+
+def test_hetero_data_container():
+    data = make_hetero()
+    assert data.node_types == ['paper', 'author']
+    assert ('author', 'writes', 'paper') in data.edge_types
+    assert data['paper'].num_nodes == 8
+    assert data['author', 'writes', 'paper'].num_edges == 15
+    nt, et = data.metadata()
+    assert len(nt) == 2 and len(et) == 2
+    # pytree round-trip
+    leaves, treedef = jax.tree_util.tree_flatten(data)
+    data2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_array_equal(np.asarray(data2['paper'].x),
+                                  np.asarray(data['paper'].x))
+    homo = data.to_homogeneous(add_node_type=True)
+    assert homo.num_nodes == 13
+    assert homo.edge_index.shape[1] == 35
+
+
+def test_hetero_conv():
+    data = make_hetero()
+    convs = {
+        ('paper', 'cites', 'paper'): SAGEConv(out_channels=32),
+        ('author', 'writes', 'paper'): SAGEConv(out_channels=32),
+    }
+    mod = HeteroConv(convs=convs, aggr='sum')
+    x_dict = data.x_dict
+    ei_dict = data.edge_index_dict
+    params = mod.init(jax.random.PRNGKey(0), x_dict, ei_dict)
+    out = mod.apply(params, x_dict, ei_dict)
+    assert out['paper'].shape == (8, 32)
+    assert 'author' not in out  # no edges point at author
+
+
+def test_hgt_conv():
+    data = make_hetero()
+    mod = HGTConv(out_channels=32,
+                  metadata=(tuple(data.metadata()[0]),
+                            tuple(data.metadata()[1])), heads=4)
+    params = mod.init(jax.random.PRNGKey(0), data.x_dict,
+                      data.edge_index_dict)
+    out = mod.apply(params, data.x_dict, data.edge_index_dict)
+    assert out['paper'].shape == (8, 32)
+    assert np.isfinite(np.asarray(out['paper'])).all()
+
+
+def test_han_conv():
+    data = make_hetero()
+    mod = HANConv(out_channels=32, metadata=(tuple(data.metadata()[0]),
+                                             tuple(data.metadata()[1])),
+                  heads=4)
+    params = mod.init(jax.random.PRNGKey(0), data.x_dict,
+                      data.edge_index_dict)
+    out = mod.apply(params, data.x_dict, data.edge_index_dict)
+    assert out['paper'].shape == (8, 32)
+    assert out['author'] is None
+
+
+def test_hetero_linear():
+    x = jnp.asarray(rng.standard_normal((10, 6)).astype(np.float32))
+    tv = jnp.asarray(rng.integers(0, 3, 10).astype(np.int32))
+    mod = HeteroLinear(out_channels=4, num_types=3)
+    params = mod.init(jax.random.PRNGKey(0), x, tv)
+    out = mod.apply(params, x, tv)
+    assert out.shape == (10, 4)
+    # type-wise equals plain matmul with that type's weight
+    w = params['params']['weight']
+    b = params['params']['bias']
+    ref = np.stack([np.asarray(x[i] @ w[int(tv[i])] + b[int(tv[i])])
+                    for i in range(10)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    mod = HeteroDictLinear(out_channels=4)
+    xd = {'a': x, 'b': x[:3]}
+    params = mod.init(jax.random.PRNGKey(0), xd)
+    out = mod.apply(params, xd)
+    assert out['a'].shape == (10, 4) and out['b'].shape == (3, 4)
+
+
+def test_dense_convs():
+    B, N, F = 2, 6, 8
+    x = jnp.asarray(rng.standard_normal((B, N, F)).astype(np.float32))
+    adj = jnp.asarray((rng.random((B, N, N)) < 0.4).astype(np.float32))
+    mask = jnp.asarray(np.array([[1] * 6, [1] * 4 + [0] * 2], bool))
+    for mod in (DenseGCNConv(out_channels=12),
+                DenseSAGEConv(out_channels=12),
+                DenseGraphConv(out_channels=12),
+                DenseGATConv(out_channels=4, heads=3),
+                DenseGINConv(nn=MLP(channel_list=[12]))):
+        params = mod.init(jax.random.PRNGKey(0), x, adj, mask=mask)
+        out = mod.apply(params, x, adj, mask=mask)
+        assert out.shape == (B, N, 12)
+        assert np.abs(np.asarray(out[1, 4:])).sum() == 0  # masked rows zero
+
+
+def test_dense_pooling():
+    B, N, F, K = 2, 6, 8, 3
+    x = jnp.asarray(rng.standard_normal((B, N, F)).astype(np.float32))
+    adj = jnp.asarray((rng.random((B, N, N)) < 0.4).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((B, N, K)).astype(np.float32))
+    out, oadj, l1, l2 = dense_diff_pool(x, adj, s)
+    assert out.shape == (B, K, F) and oadj.shape == (B, K, K)
+    assert np.isfinite([l1, l2]).all()
+    out, oadj, l1, l2 = dense_mincut_pool(x, adj, s)
+    assert out.shape == (B, K, F)
+    mod = DMoNPooling(k=K)
+    params = mod.init(jax.random.PRNGKey(0), x, adj)
+    s2, out, oadj, sp, on, cl = mod.apply(params, x, adj)
+    assert out.shape == (B, K, F)
+    assert np.isfinite([sp, on, cl]).all()
