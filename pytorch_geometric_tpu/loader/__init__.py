@@ -1,0 +1,16 @@
+from .dataloader import DataLoader, Collater
+from .neighbor_loader import NeighborLoader, LinkNeighborLoader
+from .cluster import ClusterData, ClusterLoader, partition_graph, Partition
+from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
+                          GraphSAINTEdgeSampler,
+                          GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
+                          RandomNodeLoader, ImbalancedSampler,
+                          DynamicBatchSampler)
+
+__all__ = [
+    'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
+    'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
+    'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
+    'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',
+    'ImbalancedSampler', 'DynamicBatchSampler',
+]

@@ -1,0 +1,146 @@
+"""NeighborLoader / LinkNeighborLoader.
+
+Reference: ``torch_geometric/loader/node_loader.py:30`` +
+``neighbor_loader.py:10`` + ``link_neighbor_loader.py:10``. The loader
+iterates seed batches, invokes the (host) sampler and joins features
+(``filter_fn``, reference ``node_loader.py:154``) into a **fixed-shape
+padded** ``Data`` ready for one pre-compiled device step:
+``n_id``/``e_id`` bookkeeping, seeds-first ordering, validity masks.
+"""
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.data import Data
+from ..sampler import (NeighborSampler, NodeSamplerInput, EdgeSamplerInput,
+                       NegativeSampling, SamplerOutput)
+
+
+def _filter(data: Data, out: SamplerOutput) -> Data:
+    """Feature join (reference ``loader/utils.py:filter_data``)."""
+    n_cap = out.num_nodes_cap
+    safe_nodes = np.where(out.node_mask, out.node, 0)
+    kwargs = {}
+    if data.x is not None:
+        x = np.asarray(data.x)[safe_nodes]
+        x[~out.node_mask] = 0
+        kwargs['x'] = x
+    if data.y is not None:
+        y = np.asarray(data.y)
+        if y.shape[0] == data.num_nodes:
+            yy = y[safe_nodes]
+            kwargs['y'] = yy
+    if data.edge_attr is not None:
+        ea = np.asarray(data.edge_attr)[
+            np.where(out.edge_mask, out.edge, 0)]
+        ea[~out.edge_mask] = 0
+        kwargs['edge_attr'] = ea
+    coo = np.stack([out.row, out.col]).astype(np.int32)
+    new = Data(edge_index=coo, num_nodes=n_cap, **kwargs)
+    return new.replace(
+        n_id=out.node, e_id=out.edge,
+        node_mask=out.node_mask, edge_mask=out.edge_mask,
+        batch_size=np.asarray(out.batch_size),
+        num_sampled_nodes=np.asarray(out.num_sampled_nodes),
+        num_sampled_edges=np.asarray(out.num_sampled_edges),
+    )
+
+
+class NeighborLoader:
+    """(reference ``loader/neighbor_loader.py:10``)."""
+
+    def __init__(self, data: Data, num_neighbors: Sequence[int],
+                 input_nodes: Optional[np.ndarray] = None,
+                 batch_size: int = 1, shuffle: bool = False,
+                 replace: bool = False, drop_last: bool = False,
+                 seed: int = 0):
+        self.data = data
+        self.sampler = NeighborSampler(data, num_neighbors,
+                                       replace=replace, seed=seed)
+        if input_nodes is None:
+            input_nodes = np.arange(data.num_nodes)
+        elif input_nodes.dtype == bool:
+            input_nodes = np.nonzero(input_nodes)[0]
+        self.input_nodes = np.asarray(input_nodes, np.int64)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        # fixed seed count per batch -> static budgets across batches
+        self.sampler.batch_size = batch_size
+
+    def __len__(self):
+        n = len(self.input_nodes)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = (self.rng.permutation(len(self.input_nodes))
+                 if self.shuffle else np.arange(len(self.input_nodes)))
+        for i in range(0, len(order), self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    break
+                # repeat-pad the seed set; batch_size records real count
+                idx = np.concatenate([
+                    idx, np.zeros(self.batch_size - len(idx), np.int64)])
+            seeds = self.input_nodes[idx]
+            out = self.sampler.sample_from_nodes(
+                NodeSamplerInput(node=seeds, input_id=idx))
+            out = SamplerOutput(**{**out.__dict__,
+                                   'batch_size': min(self.batch_size,
+                                                     len(order) - i)})
+            yield _filter(self.data, out)
+
+
+class LinkNeighborLoader:
+    """(reference ``loader/link_neighbor_loader.py:10``)."""
+
+    def __init__(self, data: Data, num_neighbors: Sequence[int],
+                 edge_label_index: Optional[np.ndarray] = None,
+                 edge_label: Optional[np.ndarray] = None,
+                 neg_sampling_ratio: float = 0.0,
+                 batch_size: int = 1, shuffle: bool = False,
+                 seed: int = 0):
+        self.data = data
+        self.sampler = NeighborSampler(data, num_neighbors, seed=seed)
+        if edge_label_index is None:
+            edge_label_index = np.asarray(
+                data.edge_index.coo if hasattr(data.edge_index, 'coo')
+                else data.edge_index)
+        self.eli = np.asarray(edge_label_index, np.int64)
+        self.edge_label = edge_label
+        self.neg = (NegativeSampling('binary', neg_sampling_ratio)
+                    if neg_sampling_ratio > 0 else None)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return (self.eli.shape[1] + self.batch_size - 1) \
+            // self.batch_size
+
+    def __iter__(self):
+        m = self.eli.shape[1]
+        order = (self.rng.permutation(m) if self.shuffle
+                 else np.arange(m))
+        for i in range(0, m, self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if len(idx) < self.batch_size:
+                idx = np.concatenate([
+                    idx, order[:self.batch_size - len(idx)]])
+            label = (np.asarray(self.edge_label)[idx]
+                     if self.edge_label is not None else None)
+            out = self.sampler.sample_from_edges(
+                EdgeSamplerInput(row=self.eli[0, idx],
+                                 col=self.eli[1, idx], label=label,
+                                 input_id=idx),
+                neg_sampling=self.neg)
+            d = _filter(self.data, out)
+            yield d.replace(
+                edge_label=out.metadata['edge_label'],
+                edge_label_index=out.metadata['edge_label_index'])

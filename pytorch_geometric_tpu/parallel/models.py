@@ -1,0 +1,127 @@
+"""Partition-parallel GCN training — the full-graph multi-chip path.
+
+The graph analog of the reference's distributed training stack
+(``torch_geometric/distributed/`` + DDP examples): METIS-style partition
+per device, halo feature exchange over ICI, gradient all-reduce induced
+by the mesh. Full-batch semantics are exactly preserved (validated
+against the single-device model in tests).
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .partition import GraphPartitions, Partitioner
+from .spmm import partition_spmm, make_partition_gcn_step
+
+
+def gcn_norm_weights(coo: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Host-side D^-1/2 (A+I) D^-1/2 weights; self-loops must already be
+    present in ``coo`` (reference ``gcn_conv.py:45``)."""
+    deg = np.bincount(coo[1], minlength=num_nodes).astype(np.float32)
+    dis = 1.0 / np.sqrt(np.maximum(deg, 1))
+    return dis[coo[0]] * dis[coo[1]]
+
+
+def init_gcn_params(rng, num_features: int, hidden: int,
+                    num_classes: int) -> Dict:
+    k1, k2 = jax.random.split(rng)
+    glorot = jax.nn.initializers.glorot_uniform()
+    return {
+        'w1': glorot(k1, (num_features, hidden)),
+        'b1': jnp.zeros((hidden,)),
+        'w2': glorot(k2, (hidden, num_classes)),
+        'b2': jnp.zeros((num_classes,)),
+    }
+
+
+def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
+    """2-layer GCN on one partition shard (inside shard_map).
+
+    shard_leaves: (x, y, own_mask, train_mask, edge_src, edge_dst,
+                   edge_mask, edge_weight) — each with the leading
+    per-device block (shard_map strips the P axis).
+    """
+    (x, y, own_mask, train_mask, edge_src, edge_dst, edge_mask,
+     edge_weight) = shard_leaves
+    x, y = x[0], y[0]
+    own_mask, train_mask = own_mask[0], train_mask[0]
+    edge_src, edge_dst = edge_src[0], edge_dst[0]
+    edge_mask, edge_weight = edge_mask[0], edge_weight[0]
+
+    h = x @ params['w1']
+    h = partition_spmm(h, edge_src, edge_dst, edge_mask, edge_weight,
+                       axis_name) + params['b1']
+    h = jax.nn.relu(h)
+    h = h @ params['w2']
+    logits = partition_spmm(h, edge_src, edge_dst, edge_mask,
+                            edge_weight, axis_name) + params['b2']
+
+    mask = own_mask & train_mask
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    loss_sum = jnp.where(mask, losses, 0).sum()
+    return loss_sum, mask.sum().astype(jnp.float32)
+
+
+def shard_partitions(mesh: Mesh, parts: GraphPartitions,
+                     train_mask: np.ndarray,
+                     axis_name: str = 'graph') -> Tuple:
+    """Device-put the stacked partition arrays sharded over the mesh."""
+    P_ = parts.num_parts
+    n_max = parts.n_max
+    tm = np.zeros((P_, n_max), bool)
+    own_flat = parts.own.reshape(-1)
+    tm_flat = train_mask[own_flat].reshape(P_, n_max)
+    tm = tm_flat & parts.own_mask
+    ew = (parts.edge_weight if parts.edge_weight is not None
+          else np.ones_like(parts.edge_src, np.float32))
+    leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
+              parts.own_mask, tm, parts.edge_src, parts.edge_dst,
+              parts.edge_mask, ew.astype(np.float32))
+    spec = NamedSharding(mesh, P(axis_name))
+    return tuple(jax.device_put(jnp.asarray(a), spec) for a in leaves)
+
+
+def train_partition_parallel(data, num_parts: int, hidden: int = 16,
+                             num_steps: int = 5, lr: float = 1e-2,
+                             mesh: Mesh = None, seed: int = 0):
+    """End-to-end: partition -> shard -> jitted multi-chip train steps.
+
+    Returns (params, losses). Used by tests and __graft_entry__.
+    """
+    import numpy as np
+    from ..edge_index import EdgeIndex
+
+    coo = np.asarray(data.edge_index.coo
+                     if isinstance(data.edge_index, EdgeIndex)
+                     else data.edge_index)
+    n = data.num_nodes
+    coo = np.concatenate([coo, np.stack([np.arange(n), np.arange(n)])],
+                         axis=1).astype(np.int64)
+    w = gcn_norm_weights(coo, n)
+    d2 = data.replace(edge_index=coo.astype(np.int32), edge_weight=w)
+
+    parts = Partitioner(d2, num_parts, seed=seed).generate_partition()
+    tm = (np.asarray(data.train_mask) if data.train_mask is not None
+          else np.ones(n, bool))
+    if mesh is None:
+        devs = jax.devices()[:num_parts]
+        mesh = Mesh(np.array(devs), ('graph',))
+    shard = shard_partitions(mesh, parts, tm)
+
+    num_classes = int(np.asarray(data.y).max()) + 1
+    params = init_gcn_params(jax.random.PRNGKey(seed),
+                             data.num_node_features, hidden, num_classes)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    step = make_partition_gcn_step(mesh, partition_gcn_apply, tx)
+    losses = []
+    with mesh:
+        for _ in range(num_steps):
+            params, opt_state, loss = step(params, opt_state, shard)
+            losses.append(float(loss))
+    return params, losses
