@@ -18,9 +18,16 @@ from . import utils
 from . import nn
 from . import transforms
 from . import datasets
+from . import sampler
+from . import loader
+from . import parallel
+from . import explain
+from . import metrics
+from . import profile
 
 __all__ = [
     'EdgeIndex', 'CSR', 'Data', 'Batch', 'HeteroData', 'Dataset',
     'InMemoryDataset', 'seed_everything',
-    'ops', 'utils', 'nn', 'transforms', 'datasets', '__version__',
+    'ops', 'utils', 'nn', 'transforms', 'datasets', 'sampler', 'loader',
+    'parallel', 'explain', 'metrics', 'profile', '__version__',
 ]

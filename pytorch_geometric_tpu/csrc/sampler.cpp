@@ -1,0 +1,164 @@
+// Native host sampling kernels.
+//
+// TPU-native equivalent of pyg-lib's C++ samplers (reference
+// torch_geometric/sampler/neighbor_sampler.py:576 ->
+// torch.ops.pyg.neighbor_sample, and nn/models/node2vec.py ->
+// torch.ops.pyg.random_walk). Exposed through a C ABI and loaded via
+// ctypes — no pybind dependency. Outputs are written into
+// caller-allocated fixed-capacity (padded) buffers so the device step
+// compiles once per budget, matching the Python sampler's layout.
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// Multi-hop uniform neighbor sampling over CSC (in-edges, dst-sorted).
+//
+// colptr [n+1], row [E] (source of each in-edge), eid [E] (original edge
+// position). seeds [num_seeds]. fanouts [num_hops].
+// Outputs (capacities computed by the caller from the fanout budget):
+//   node_out [n_cap], node_mask [n_cap]
+//   row_out/col_out [e_cap] (LOCAL ids; dump = n_cap), eid_out [e_cap],
+//   edge_mask [e_cap]
+//   num_sampled_nodes [num_hops+1], num_sampled_edges [num_hops]
+// Returns the number of sampled nodes.
+int64_t neighbor_sample(
+    const int64_t* colptr, const int64_t* row, const int64_t* eid,
+    int64_t num_nodes,
+    const int64_t* seeds, int64_t num_seeds,
+    const int64_t* fanouts, int64_t num_hops,
+    const int64_t* edge_caps,   // per-hop edge capacity
+    int64_t n_cap, int64_t e_cap,
+    int replace, uint64_t seed,
+    int64_t* node_out, uint8_t* node_mask,
+    int64_t* row_out, int64_t* col_out, int64_t* eid_out,
+    uint8_t* edge_mask,
+    int64_t* num_sampled_nodes, int64_t* num_sampled_edges) {
+  std::mt19937_64 rng(seed);
+  std::unordered_map<int64_t, int64_t> local;
+  local.reserve((size_t)n_cap * 2);
+  std::vector<int64_t> nodes;
+  nodes.reserve(n_cap);
+
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    if (local.find(seeds[i]) == local.end()) {
+      local[seeds[i]] = (int64_t)nodes.size();
+      nodes.push_back(seeds[i]);
+    }
+  }
+  num_sampled_nodes[0] = (int64_t)nodes.size();
+
+  for (int64_t k = 0; k < e_cap; ++k) {
+    row_out[k] = n_cap;
+    col_out[k] = n_cap;
+    eid_out[k] = 0;
+    edge_mask[k] = 0;
+  }
+
+  std::vector<int64_t> frontier(nodes);
+  std::vector<int64_t> scratch;
+  int64_t e_cursor = 0;
+  for (int64_t hop = 0; hop < num_hops; ++hop) {
+    const int64_t fanout = fanouts[hop];
+    std::vector<int64_t> next_frontier;
+    int64_t new_nodes = 0, hop_edges = 0;
+    const int64_t base = e_cursor;
+    for (int64_t fi = 0; fi < (int64_t)frontier.size(); ++fi) {
+      const int64_t v = frontier[fi];
+      const int64_t dst_local = local[v];
+      const int64_t lo = colptr[v], hi = colptr[v + 1];
+      const int64_t deg = hi - lo;
+      if (deg == 0) continue;
+      auto emit = [&](int64_t pos) {
+        const int64_t g = row[pos];
+        auto it = local.find(g);
+        int64_t gl;
+        if (it == local.end()) {
+          gl = (int64_t)nodes.size();
+          if (gl >= n_cap) return;  // node budget exhausted
+          local[g] = gl;
+          nodes.push_back(g);
+          next_frontier.push_back(g);
+          ++new_nodes;
+        } else {
+          gl = it->second;
+        }
+        const int64_t slot = base + hop_edges;
+        if (slot >= e_cap) return;
+        row_out[slot] = gl;
+        col_out[slot] = dst_local;
+        eid_out[slot] = eid[pos];
+        edge_mask[slot] = 1;
+        ++hop_edges;
+      };
+      if (deg <= fanout && !replace) {
+        for (int64_t p = lo; p < hi; ++p) emit(p);
+      } else if (replace) {
+        std::uniform_int_distribution<int64_t> d(0, deg - 1);
+        for (int64_t s = 0; s < fanout; ++s) emit(lo + d(rng));
+      } else {
+        // exact without replacement: partial Fisher-Yates on offsets
+        scratch.resize(deg);
+        for (int64_t j = 0; j < deg; ++j) scratch[j] = j;
+        for (int64_t s = 0; s < fanout; ++s) {
+          std::uniform_int_distribution<int64_t> d(s, deg - 1);
+          std::swap(scratch[s], scratch[d(rng)]);
+          emit(lo + scratch[s]);
+        }
+      }
+    }
+    num_sampled_nodes[hop + 1] = new_nodes;
+    num_sampled_edges[hop] = hop_edges;
+    e_cursor += edge_caps[hop];
+    frontier.swap(next_frontier);
+  }
+
+  for (int64_t i = 0; i < n_cap; ++i) {
+    if (i < (int64_t)nodes.size()) {
+      node_out[i] = nodes[i];
+      node_mask[i] = 1;
+    } else {
+      node_out[i] = 0;
+      node_mask[i] = 0;
+    }
+  }
+  return (int64_t)nodes.size();
+}
+
+// node2vec-style random walks over CSR (out-edges).
+// rowptr [n+1], col [E]. start [s]. out [s * (walk_length+1)].
+void random_walk(const int64_t* rowptr, const int64_t* col,
+                 int64_t num_nodes, const int64_t* start, int64_t s,
+                 int64_t walk_length, double p, double q, uint64_t seed,
+                 int64_t* out) {
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  for (int64_t i = 0; i < s; ++i) {
+    int64_t cur = start[i], prev = start[i];
+    out[i * (walk_length + 1)] = cur;
+    for (int64_t t = 1; t <= walk_length; ++t) {
+      const int64_t lo = rowptr[cur], deg = rowptr[cur + 1] - lo;
+      int64_t nxt = cur;
+      if (deg > 0) {
+        std::uniform_int_distribution<int64_t> d(0, deg - 1);
+        nxt = col[lo + d(rng)];
+        if (p != 1.0 || q != 1.0) {
+          for (int attempt = 0; attempt < 3; ++attempt) {
+            const double accept = (nxt == prev) ? 1.0 / p : 1.0 / q;
+            if (unif(rng) <= accept) break;
+            nxt = col[lo + d(rng)];
+          }
+        }
+      }
+      prev = cur;
+      cur = nxt;
+      out[i * (walk_length + 1) + t] = cur;
+    }
+  }
+}
+
+}  // extern "C"

@@ -2,5 +2,9 @@ from .data import Data
 from .batch import Batch
 from .hetero_data import HeteroData
 from .dataset import Dataset, InMemoryDataset
+from .stores import (FeatureStore, GraphStore, InMemoryFeatureStore,
+                     InMemoryGraphStore, TensorAttr, EdgeAttr, EdgeLayout)
 
-__all__ = ['Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset']
+__all__ = ['Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
+           'FeatureStore', 'GraphStore', 'InMemoryFeatureStore',
+           'InMemoryGraphStore', 'TensorAttr', 'EdgeAttr', 'EdgeLayout']

@@ -1,0 +1,14 @@
+from .explanation import Explanation
+from .config import ExplainerConfig, ModelConfig, Threshold
+from .explainer import Explainer
+from .algorithm import (ExplainerAlgorithm, GNNExplainer, DummyExplainer,
+                        AttentionExplainer)
+from .metric import (groundtruth_metrics, fidelity,
+                     characterization_score, unfaithfulness)
+
+__all__ = [
+    'Explanation', 'ExplainerConfig', 'ModelConfig', 'Threshold',
+    'Explainer', 'ExplainerAlgorithm', 'GNNExplainer', 'DummyExplainer',
+    'AttentionExplainer', 'groundtruth_metrics', 'fidelity',
+    'characterization_score', 'unfaithfulness',
+]

@@ -38,7 +38,29 @@ def random_walk(rng: np.random.Generator, edge_index, num_nodes: int,
                 start: np.ndarray, walk_length: int,
                 p: float = 1.0, q: float = 1.0) -> np.ndarray:
     """[S, walk_length+1] node2vec walks (reference
-    ``torch.ops.pyg.random_walk``; p/q biases via rejection sampling)."""
+    ``torch.ops.pyg.random_walk``; p/q biases via rejection sampling).
+    Uses the C++ kernel (csrc/sampler.cpp) when available."""
+    from ...csrc import load
+    lib = load()
+    if lib is not None:
+        import ctypes
+        csr = _CSR(edge_index, num_nodes)
+        rowptr = np.ascontiguousarray(csr.ptr, np.int64)
+        col = np.ascontiguousarray(csr.col, np.int64)
+        start_c = np.ascontiguousarray(start, np.int64)
+        out = np.zeros((len(start), walk_length + 1), np.int64)
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        lib.random_walk(p64(rowptr), p64(col),
+                        ctypes.c_int64(num_nodes), p64(start_c),
+                        ctypes.c_int64(len(start_c)),
+                        ctypes.c_int64(walk_length),
+                        ctypes.c_double(p), ctypes.c_double(q),
+                        ctypes.c_uint64(int(rng.integers(0, 2 ** 62))),
+                        p64(out))
+        return out
     csr = _CSR(edge_index, num_nodes)
     walks = np.empty((len(start), walk_length + 1), np.int64)
     walks[:, 0] = start

@@ -50,9 +50,12 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
     src, dst = adj.row, adj.col
 
     if use_pallas is None:
-        use_pallas = False  # flipped on once the Pallas path lands/benches
+        from .pallas_spmm import _use_pallas
+        use_pallas = (_use_pallas() and reduce == 'sum'
+                      and adj.num_edges >= _PALLAS_MIN_EDGES
+                      and x.ndim == 2)
     if use_pallas and reduce == 'sum':
-        from .pallas.spmm import spmm_pallas
+        from .pallas_spmm import spmm_pallas
         return spmm_pallas(adj, x, edge_weight)
 
     csc = adj.csc  # cached dst-sorted orientation, if present

@@ -1,0 +1,113 @@
+"""Profiling utilities (reference ``torch_geometric/profile/``).
+
+``timeit`` (reference ``profile/profile.py:144``), ``profileit``
+decorator (``:48``), ``benchmark()`` loop (``profile/benchmark.py:23``),
+chrome-trace capture via ``jax.profiler`` (the TPU replacement for
+``torch_profile``'s chrome traces, ``profile.py:274``), plus GNN
+roofline counters (edges/s).
+"""
+
+import contextlib
+import functools
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def timeit(log: bool = True, avg_over: int = 1):
+    """Wall-clock context; blocks on device completion
+    (reference ``profile.py:144``). Yields an object with ``.duration``."""
+
+    class _T:
+        duration: Optional[float] = None
+
+    t = _T()
+    start = time.perf_counter()
+    try:
+        yield t
+    finally:
+        # block on any pending device work
+        jax.effects_barrier()
+        t.duration = (time.perf_counter() - start) / max(avg_over, 1)
+        if log:
+            print(f'Time: {t.duration:.8f}s')
+
+
+@dataclass
+class ProfileStats:
+    """(reference ``profile.py:GPUStats``)."""
+    time: float
+    max_allocated_bytes: int
+    device: str
+
+
+def profileit(device: str = 'tpu'):
+    """Decorator returning ``(result, ProfileStats)``
+    (reference ``profile.py:48``)."""
+
+    def deco(fn: Callable):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            start = time.perf_counter()
+            out = fn(*args, **kwargs)
+            out = jax.block_until_ready(out)
+            dt = time.perf_counter() - start
+            mem = 0
+            try:
+                for d in jax.local_devices():
+                    stats = d.memory_stats()
+                    if stats:
+                        mem = max(mem, stats.get('peak_bytes_in_use', 0))
+            except Exception:
+                pass
+            return out, ProfileStats(time=dt, max_allocated_bytes=mem,
+                                     device=jax.default_backend())
+        return wrapped
+    return deco
+
+
+def benchmark(funcs: Sequence[Callable], args=(), num_steps: int = 10,
+              num_warmups: int = 3, func_names: Optional[Sequence[str]]
+              = None, per_step: bool = True) -> List[dict]:
+    """Compare callables (reference ``profile/benchmark.py:23``)."""
+    names = func_names or [getattr(f, '__name__', f'fn{i}')
+                           for i, f in enumerate(funcs)]
+    rows = []
+    for name, fn in zip(names, funcs):
+        for _ in range(num_warmups):
+            jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(num_steps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rows.append({'name': name,
+                     'time': dt / num_steps if per_step else dt})
+    return rows
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = '/tmp/jax_trace'):
+    """Chrome-trace capture (the reference ``torch_profile`` context,
+    ``profile.py:274`` -> ``jax.profiler``)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def count_model_params(params) -> int:
+    """(reference ``profile/utils.py:count_parameters``)."""
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params))
+
+
+def edges_per_second(num_edges: int, seconds: float,
+                     num_passes: int = 1) -> float:
+    """GNN roofline counter: processed edges per second."""
+    return num_edges * num_passes / max(seconds, 1e-12)

@@ -89,9 +89,62 @@ class NeighborSampler(BaseSampler):
         self.rng = np.random.default_rng(seed)
         self.batch_size: Optional[int] = None
 
+    def _sample_native(self, seeds: np.ndarray, bs: int):
+        """C++ fast path (csrc/sampler.cpp — the pyg-lib equivalent)."""
+        import ctypes
+        from ..csrc import load
+        lib = load()
+        node_caps = self.num_neighbors.node_budget(bs)
+        edge_caps = self.num_neighbors.edge_budget(bs)
+        n_cap, e_cap = sum(node_caps), sum(edge_caps)
+        H = self.num_neighbors.num_hops
+
+        colptr = np.ascontiguousarray(self.csc.colptr, np.int64)
+        row = np.ascontiguousarray(self.csc.row, np.int64)
+        eid = np.ascontiguousarray(self.csc.eid, np.int64)
+        seeds_c = np.ascontiguousarray(seeds, np.int64)
+        fanouts = np.ascontiguousarray(self.num_neighbors.values,
+                                       np.int64)
+        ecaps = np.ascontiguousarray(edge_caps, np.int64)
+        node = np.zeros(n_cap, np.int64)
+        node_mask = np.zeros(n_cap, np.uint8)
+        rows = np.zeros(e_cap, np.int64)
+        cols = np.zeros(e_cap, np.int64)
+        eids = np.zeros(e_cap, np.int64)
+        emask = np.zeros(e_cap, np.uint8)
+        nsn = np.zeros(H + 1, np.int64)
+        nse = np.zeros(H, np.int64)
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        def pu8(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+        lib.neighbor_sample(
+            p64(colptr), p64(row), p64(eid),
+            ctypes.c_int64(self.num_nodes),
+            p64(seeds_c), ctypes.c_int64(len(seeds_c)),
+            p64(fanouts), ctypes.c_int64(H),
+            p64(ecaps), ctypes.c_int64(n_cap), ctypes.c_int64(e_cap),
+            ctypes.c_int(int(self.replace)),
+            ctypes.c_uint64(int(self.rng.integers(0, 2 ** 62))),
+            p64(node), pu8(node_mask), p64(rows), p64(cols), p64(eids),
+            pu8(emask), p64(nsn), p64(nse))
+        return SamplerOutput(
+            node=node, row=rows, col=cols, edge=eids,
+            node_mask=node_mask.astype(bool),
+            edge_mask=emask.astype(bool),
+            num_sampled_nodes=[int(v) for v in nsn],
+            num_sampled_edges=[int(v) for v in nse],
+            batch_size=len(seeds))
+
     def sample_from_nodes(self, inputs: NodeSamplerInput) -> SamplerOutput:
         seeds = np.asarray(inputs.node, np.int64)
         bs = self.batch_size or len(seeds)
+        from ..csrc import WITH_NATIVE_SAMPLER
+        if WITH_NATIVE_SAMPLER:
+            return self._sample_native(seeds, bs)
         node_caps = self.num_neighbors.node_budget(bs)
         edge_caps = self.num_neighbors.edge_budget(bs)
         n_cap = sum(node_caps)
