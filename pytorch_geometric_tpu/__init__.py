@@ -24,10 +24,14 @@ from . import parallel
 from . import explain
 from . import metrics
 from . import profile
+from . import graphgym
+from . import io
+from . import visualization
 
 __all__ = [
     'EdgeIndex', 'CSR', 'Data', 'Batch', 'HeteroData', 'Dataset',
     'InMemoryDataset', 'seed_everything',
     'ops', 'utils', 'nn', 'transforms', 'datasets', 'sampler', 'loader',
-    'parallel', 'explain', 'metrics', 'profile', '__version__',
+    'parallel', 'explain', 'metrics', 'profile', 'graphgym', 'io',
+    'visualization', '__version__',
 ]

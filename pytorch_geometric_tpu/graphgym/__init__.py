@@ -1,0 +1,10 @@
+from .config import cfg, set_cfg, load_cfg, CfgNode
+from .register import register, registry
+from .model_builder import create_model
+from .train import train
+from .logger import Logger
+from .checkpoint import save_ckpt, load_ckpt, clean_ckpt
+
+__all__ = ['cfg', 'set_cfg', 'load_cfg', 'CfgNode', 'register',
+           'registry', 'create_model', 'train', 'Logger', 'save_ckpt',
+           'load_ckpt', 'clean_ckpt']

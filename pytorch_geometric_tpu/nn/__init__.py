@@ -6,6 +6,7 @@ from . import pool
 from . import dense
 from . import models
 from . import kge
+from . import attention
 from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    GATv2Conv, GraphConv, ResGatedGraphConv, GatedGraphConv,
                    LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,
@@ -16,14 +17,21 @@ from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    AntiSymmetricConv, HypergraphConv, WLConv, PointNetConv,
                    EdgeConv, DynamicEdgeConv, PPFConv,
                    PointTransformerConv, GravNetConv, HeteroConv, HGTConv,
-                   HANConv)
+                   HANConv, GPSConv, RGATConv, SuperGATConv, HEATConv,
+                   GMMConv, SplineConv, NNConv, CGConv, FeaStConv)
+from .unpool import knn_interpolate
+from .encoding import PositionalEncoding, TemporalEncoding
+from .sequential import Sequential
 from .pool import (global_add_pool, global_mean_pool, global_max_pool,
                    TopKPooling, SAGPooling, knn, knn_graph, radius,
                    radius_graph, fps, nearest, voxel_grid)
 
 __all__ = [
     'MessagePassing', 'conv', 'aggr', 'norm', 'pool', 'dense',
-    'models', 'kge',
+    'models', 'kge', 'attention',
+    'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv', 'GMMConv',
+    'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'knn_interpolate',
+    'PositionalEncoding', 'TemporalEncoding', 'Sequential',
     'HeteroConv', 'HGTConv', 'HANConv',
     'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv', 'GINEConv', 'GATConv',
     'GATv2Conv', 'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv',

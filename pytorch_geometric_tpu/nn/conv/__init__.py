@@ -17,6 +17,8 @@ from .misc_conv import (SignedConv, DirGNNConv, AntiSymmetricConv,
 from .point_conv import (PointNetConv, EdgeConv, DynamicEdgeConv, PPFConv,
                          PointTransformerConv, GravNetConv)
 from .hetero_conv import HeteroConv, HGTConv, HANConv
+from .gps_conv import GPSConv, RGATConv, SuperGATConv, HEATConv
+from .kernel_conv import GMMConv, SplineConv, NNConv, CGConv, FeaStConv
 
 __all__ = [
     'MessagePassing', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
@@ -29,4 +31,6 @@ __all__ = [
     'SignedConv', 'DirGNNConv', 'AntiSymmetricConv', 'HypergraphConv',
     'WLConv', 'PointNetConv', 'EdgeConv', 'DynamicEdgeConv', 'PPFConv',
     'PointTransformerConv', 'GravNetConv', 'HeteroConv', 'HGTConv', 'HANConv',
+    'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv',
+    'GMMConv', 'SplineConv', 'NNConv', 'CGConv', 'FeaStConv',
 ]

@@ -6,6 +6,11 @@ from .misc_models import (JumpingKnowledge, DeepGraphInfomax, LightGCN,
                           MaskLabel, MetaLayer, NeuralFingerprint,
                           DeepGCNLayer, GraphUNet)
 from .node2vec import Node2Vec, MetaPath2Vec, random_walk
+from .schnet import SchNet, GaussianSmearing
+from .molecular import (AttentiveFP, DimeNetPlusPlus, SignedGCN, RECT_L,
+                        GroupAddRev)
+from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
+    LastNeighborLoader
 
 __all__ = [
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT',
@@ -14,4 +19,7 @@ __all__ = [
     'CorrectAndSmooth', 'LINKX', 'PMLP', 'MaskLabel', 'MetaLayer',
     'NeuralFingerprint', 'DeepGCNLayer', 'GraphUNet',
     'Node2Vec', 'MetaPath2Vec', 'random_walk',
+    'SchNet', 'GaussianSmearing', 'AttentiveFP', 'DimeNetPlusPlus',
+    'SignedGCN', 'RECT_L', 'GroupAddRev',
+    'TGNMemory', 'TGNMemoryState', 'TemporalData', 'LastNeighborLoader',
 ]

@@ -9,6 +9,12 @@ from .dense import to_dense_batch, to_dense_adj, dense_to_sparse
 from .subgraph import subgraph, k_hop_subgraph, bipartite_subgraph
 from .random import (dropout_edge, dropout_node, negative_sampling,
                      batched_negative_sampling)
+from .extra import (get_laplacian, homophily, assortativity, map_index,
+                    ppr, trim_to_layer, train_test_split_edges,
+                    normalized_cut, unbatch, unbatch_edge_index,
+                    shuffle_node, mask_feature)
+from .convert import (to_scipy_sparse_matrix, from_scipy_sparse_matrix,
+                      to_networkx, from_networkx)
 
 # Re-export the reduction substrate at utils level like the reference
 # (torch_geometric/utils/__init__.py exports scatter/segment/softmax/spmm).
@@ -26,6 +32,11 @@ __all__ = [
     'subgraph', 'k_hop_subgraph', 'bipartite_subgraph',
     'dropout_edge', 'dropout_node', 'negative_sampling',
     'batched_negative_sampling',
+    'get_laplacian', 'homophily', 'assortativity', 'map_index', 'ppr',
+    'trim_to_layer', 'train_test_split_edges', 'normalized_cut',
+    'unbatch', 'unbatch_edge_index', 'shuffle_node', 'mask_feature',
+    'to_scipy_sparse_matrix', 'from_scipy_sparse_matrix', 'to_networkx',
+    'from_networkx',
     'scatter', 'scatter_argmax', 'group_argsort', 'segment',
     'segment_logsumexp', 'ptr2index', 'index2ptr', 'softmax', 'spmm',
 ]
