@@ -11,6 +11,7 @@ multi-chip scaling via jax.sharding meshes with halo exchange.
 __version__ = '0.1.0'
 
 from .edge_index import EdgeIndex, CSR
+from .index import Index, HashTensor
 from .data import Data, Batch, HeteroData, Dataset, InMemoryDataset
 from .seed import seed_everything
 from . import ops
@@ -27,11 +28,13 @@ from . import profile
 from . import graphgym
 from . import io
 from . import visualization
+from . import testing
+from . import contrib
 
 __all__ = [
-    'EdgeIndex', 'CSR', 'Data', 'Batch', 'HeteroData', 'Dataset',
+    'EdgeIndex', 'CSR', 'Index', 'HashTensor', 'Data', 'Batch', 'HeteroData', 'Dataset',
     'InMemoryDataset', 'seed_everything',
     'ops', 'utils', 'nn', 'transforms', 'datasets', 'sampler', 'loader',
     'parallel', 'explain', 'metrics', 'profile', 'graphgym', 'io',
-    'visualization', '__version__',
+    'visualization', 'testing', 'contrib', '__version__',
 ]

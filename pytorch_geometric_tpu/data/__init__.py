@@ -2,9 +2,11 @@ from .data import Data
 from .batch import Batch
 from .hetero_data import HeteroData
 from .dataset import Dataset, InMemoryDataset
+from .database import Database, SQLiteDatabase, OnDiskDataset, TensorInfo
 from .stores import (FeatureStore, GraphStore, InMemoryFeatureStore,
                      InMemoryGraphStore, TensorAttr, EdgeAttr, EdgeLayout)
 
 __all__ = ['Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
            'FeatureStore', 'GraphStore', 'InMemoryFeatureStore',
-           'InMemoryGraphStore', 'TensorAttr', 'EdgeAttr', 'EdgeLayout']
+           'InMemoryGraphStore', 'TensorAttr', 'EdgeAttr', 'EdgeLayout',
+           'Database', 'SQLiteDatabase', 'OnDiskDataset', 'TensorInfo']

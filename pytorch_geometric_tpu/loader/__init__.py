@@ -1,6 +1,7 @@
 from .dataloader import DataLoader, Collater
 from .neighbor_loader import NeighborLoader, LinkNeighborLoader
 from .cluster import ClusterData, ClusterLoader, partition_graph, Partition
+from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
                           GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
@@ -9,6 +10,7 @@ from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
 
 __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
+    'HeteroNeighborLoader', 'HGTLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
     'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',

@@ -22,6 +22,11 @@ from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
 from .unpool import knn_interpolate
 from .encoding import PositionalEncoding, TemporalEncoding
 from .sequential import Sequential
+from .to_hetero import to_hetero, ToHetero
+from .resolver import (activation_resolver, aggregation_resolver,
+                       normalization_resolver, optimizer_resolver,
+                       lr_scheduler_resolver)
+from .summary import summary
 from .pool import (global_add_pool, global_mean_pool, global_max_pool,
                    TopKPooling, SAGPooling, knn, knn_graph, radius,
                    radius_graph, fps, nearest, voxel_grid)
@@ -31,7 +36,10 @@ __all__ = [
     'models', 'kge', 'attention',
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv', 'GMMConv',
     'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'knn_interpolate',
-    'PositionalEncoding', 'TemporalEncoding', 'Sequential',
+    'PositionalEncoding', 'TemporalEncoding', 'Sequential', 'to_hetero',
+    'ToHetero', 'activation_resolver', 'aggregation_resolver',
+    'normalization_resolver', 'optimizer_resolver',
+    'lr_scheduler_resolver', 'summary',
     'HeteroConv', 'HGTConv', 'HANConv',
     'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv', 'GINEConv', 'GATConv',
     'GATv2Conv', 'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv',

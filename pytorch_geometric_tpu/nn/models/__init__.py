@@ -1,5 +1,5 @@
 from .mlp import MLP
-from .basic_gnn import BasicGNN, GCN, GraphSAGE, GIN, GAT
+from .basic_gnn import BasicGNN, GCN, GraphSAGE, GIN, GAT, PNA, EdgeCNN
 from .autoencoder import (InnerProductDecoder, GAE, VGAE, ARGA, ARGVA)
 from .misc_models import (JumpingKnowledge, DeepGraphInfomax, LightGCN,
                           LabelPropagation, CorrectAndSmooth, LINKX, PMLP,
@@ -13,7 +13,7 @@ from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
 
 __all__ = [
-    'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT',
+    'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
     'InnerProductDecoder', 'GAE', 'VGAE', 'ARGA', 'ARGVA',
     'JumpingKnowledge', 'DeepGraphInfomax', 'LightGCN', 'LabelPropagation',
     'CorrectAndSmooth', 'LINKX', 'PMLP', 'MaskLabel', 'MetaLayer',

@@ -128,3 +128,29 @@ class GAT(BasicGNN):
         return cls(out_channels=ch, heads=self.heads, concat=concat,
                    dropout=self.dropout, **(self.conv_kwargs or {}),
                    name=f'conv_{idx}')
+
+
+class PNA(BasicGNN):
+    """Stack of PNAConv (reference ``basic_gnn.py:600``)."""
+    supports_edge_weight: bool = False
+    supports_edge_attr: bool = True
+
+    def init_conv(self, out_channels: int, idx: int):
+        from ..conv import PNAConv
+        return PNAConv(out_channels=out_channels,
+                       **(self.conv_kwargs or {}), name=f'conv_{idx}')
+
+
+class EdgeCNN(BasicGNN):
+    """Stack of EdgeConv with 2-layer MLPs (reference
+    ``basic_gnn.py:643``)."""
+    supports_edge_weight: bool = False
+    supports_edge_attr: bool = False
+
+    def init_conv(self, out_channels: int, idx: int):
+        from ..conv import EdgeConv
+        from .mlp import MLP
+        mlp = MLP(channel_list=[out_channels, out_channels],
+                  plain_last=False, name=f'mlp_{idx}')
+        return EdgeConv(nn=mlp, **(self.conv_kwargs or {}),
+                        name=f'conv_{idx}')

