@@ -3,9 +3,12 @@ from .generators import (KarateClub, StochasticBlockModelDataset,
                          ExplainerDataset, FakeHeteroDataset, ba_graph)
 from .planetoid import Planetoid
 from .tu_dataset import TUDataset
+from .npz_datasets import (Amazon, Coauthor, WebKB, WikipediaNetwork,
+                           Actor, read_npz)
 
 __all__ = [
     'FakeDataset', 'planetoid_like', 'KarateClub',
     'StochasticBlockModelDataset', 'ExplainerDataset', 'FakeHeteroDataset',
-    'ba_graph', 'Planetoid', 'TUDataset',
+    'ba_graph', 'Planetoid', 'TUDataset', 'Amazon', 'Coauthor', 'WebKB',
+    'WikipediaNetwork', 'Actor', 'read_npz',
 ]

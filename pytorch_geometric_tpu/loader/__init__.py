@@ -2,6 +2,7 @@ from .dataloader import DataLoader, Collater
 from .neighbor_loader import NeighborLoader, LinkNeighborLoader
 from .cluster import ClusterData, ClusterLoader, partition_graph, Partition
 from .hetero_loader import HeteroNeighborLoader, HGTLoader
+from .temporal import TemporalDataLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
                           GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
@@ -10,7 +11,7 @@ from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
 
 __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
-    'HeteroNeighborLoader', 'HGTLoader',
+    'HeteroNeighborLoader', 'HGTLoader', 'TemporalDataLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
     'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',

@@ -18,7 +18,8 @@ from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    EdgeConv, DynamicEdgeConv, PPFConv,
                    PointTransformerConv, GravNetConv, HeteroConv, HGTConv,
                    HANConv, GPSConv, RGATConv, SuperGATConv, HEATConv,
-                   GMMConv, SplineConv, NNConv, CGConv, FeaStConv)
+                   GMMConv, SplineConv, NNConv, CGConv, FeaStConv,
+                   DNAConv, PANConv)
 from .unpool import knn_interpolate
 from .encoding import PositionalEncoding, TemporalEncoding
 from .sequential import Sequential
@@ -35,7 +36,8 @@ __all__ = [
     'MessagePassing', 'conv', 'aggr', 'norm', 'pool', 'dense',
     'models', 'kge', 'attention',
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv', 'GMMConv',
-    'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'knn_interpolate',
+    'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'DNAConv', 'PANConv',
+    'knn_interpolate',
     'PositionalEncoding', 'TemporalEncoding', 'Sequential', 'to_hetero',
     'ToHetero', 'activation_resolver', 'aggregation_resolver',
     'normalization_resolver', 'optimizer_resolver',

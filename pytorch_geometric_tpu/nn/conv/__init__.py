@@ -19,6 +19,7 @@ from .point_conv import (PointNetConv, EdgeConv, DynamicEdgeConv, PPFConv,
 from .hetero_conv import HeteroConv, HGTConv, HANConv
 from .gps_conv import GPSConv, RGATConv, SuperGATConv, HEATConv
 from .kernel_conv import GMMConv, SplineConv, NNConv, CGConv, FeaStConv
+from .dna_conv import DNAConv, PANConv
 
 __all__ = [
     'MessagePassing', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
@@ -33,4 +34,5 @@ __all__ = [
     'PointTransformerConv', 'GravNetConv', 'HeteroConv', 'HGTConv', 'HANConv',
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv',
     'GMMConv', 'SplineConv', 'NNConv', 'CGConv', 'FeaStConv',
+    'DNAConv', 'PANConv',
 ]

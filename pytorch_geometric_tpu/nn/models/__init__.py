@@ -1,5 +1,6 @@
 from .mlp import MLP
-from .basic_gnn import BasicGNN, GCN, GraphSAGE, GIN, GAT, PNA, EdgeCNN
+from .basic_gnn import (BasicGNN, GCN, GraphSAGE, GIN, GAT, PNA,
+                        EdgeCNN, basic_gnn_inference)
 from .autoencoder import (InnerProductDecoder, GAE, VGAE, ARGA, ARGVA)
 from .misc_models import (JumpingKnowledge, DeepGraphInfomax, LightGCN,
                           LabelPropagation, CorrectAndSmooth, LINKX, PMLP,
@@ -14,6 +15,7 @@ from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
 
 __all__ = [
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
+    'basic_gnn_inference',
     'InnerProductDecoder', 'GAE', 'VGAE', 'ARGA', 'ARGVA',
     'JumpingKnowledge', 'DeepGraphInfomax', 'LightGCN', 'LabelPropagation',
     'CorrectAndSmooth', 'LINKX', 'PMLP', 'MaskLabel', 'MetaLayer',

@@ -154,3 +154,66 @@ class EdgeCNN(BasicGNN):
                   plain_last=False, name=f'mlp_{idx}')
         return EdgeConv(nn=mlp, **(self.conv_kwargs or {}),
                         name=f'conv_{idx}')
+
+
+def basic_gnn_inference(model: BasicGNN, params, data,
+                        batch_size: int = 256,
+                        num_neighbors_per_layer: int = 64,
+                        edge_weight=None):
+    """Layer-wise full-graph inference (reference
+    ``basic_gnn.py:302-383``): computes each layer's representation for
+    ALL nodes before the next layer, sampling only 1-hop neighborhoods
+    per batch — avoids the exponential fanout of full L-hop sampling.
+    Requires ``jk=None`` and ``norm in (None, 'layer_norm')``.
+
+    A free function (not a method) so sub-conv construction happens
+    outside any bound-module context."""
+    import numpy as np
+    import flax.linen as fnn2
+    from ...loader import NeighborLoader
+
+    p = params['params']
+    x_all = np.asarray(data.x)
+    n = data.num_nodes
+    for layer in range(model.num_layers):
+        is_last = layer == model.num_layers - 1
+        ch = (model.out_channels if is_last and model._final_in_loop
+              else model.hidden_channels)
+        # bypass flax's method wrapping (would try to register the conv
+        # as a child of the unbound model)
+        raw_init = type(model).init_conv
+        raw_init = getattr(raw_init, '__wrapped__',
+                           getattr(raw_init, 'inner_fn', raw_init))
+        conv = raw_init(model, ch, layer).clone(name=None)
+        conv_params = {'params': p[f'conv_{layer}']}
+        cur = data.replace(x=x_all.astype(np.float32))
+        loader = NeighborLoader(
+            cur, num_neighbors=[num_neighbors_per_layer],
+            batch_size=batch_size, shuffle=False)
+        outs = []
+        for b in loader:
+            kwargs = {}
+            if edge_weight is not None:
+                # gather precomputed full-graph normalisation weights by
+                # global edge id (exactness for GCN-style norms — the
+                # batch subgraph would otherwise see wrong degrees)
+                w = np.asarray(edge_weight)[
+                    np.where(np.asarray(b.edge_mask),
+                             np.asarray(b.e_id), 0)]
+                w[~np.asarray(b.edge_mask)] = 0
+                kwargs['edge_weight'] = jnp.asarray(w)
+            h = conv.apply(conv_params, jnp.asarray(b.x),
+                           jnp.asarray(np.asarray(b.edge_index)),
+                           edge_mask=jnp.asarray(b.edge_mask), **kwargs)
+            if not (is_last and model._final_in_loop):
+                if model.norm == 'layer_norm':
+                    h = fnn2.LayerNorm().apply(
+                        {'params': p[f'norm_{layer}']}, h)
+                h = model.act(h)
+                if is_last and model.out_channels is not None:
+                    h = fnn2.Dense(model.out_channels).apply(
+                        {'params': p['lin_out']}, h)
+            bs = int(b.batch_size)
+            outs.append(np.asarray(h[:bs]))
+        x_all = np.concatenate(outs, 0)[:n]
+    return jnp.asarray(x_all)
