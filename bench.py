@@ -26,36 +26,46 @@ BASELINE_EAGER_S = 4.8093  # compile.rst:95-117
 
 
 def main():
+    from pytorch_geometric_tpu.nn import gcn_norm
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
     coo = jnp.asarray(rng.integers(0, N, (2, E)).astype(np.int32))
     y = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
-    edge_index = EdgeIndex(coo, (N, N)).fill_cache()
+    # cached normalisation (reference GCNConv(cached=True) protocol):
+    # precompute D^-1/2(A+I)D^-1/2 once; the conv then runs the fused
+    # SpMM path (Pallas MXU kernel on TPU).
+    coo_n, w = gcn_norm(coo, None, N)
+    edge_index = EdgeIndex(coo_n, (N, N)).fill_cache()
 
-    model = GCN(hidden_channels=H, num_layers=3, out_channels=C)
-    params = model.init(jax.random.PRNGKey(0), x, edge_index)
+    model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
+                conv_kwargs={'normalize': False,
+                             'add_self_loops': False})
+    params = model.init(jax.random.PRNGKey(0), x, edge_index,
+                        edge_weight=w)
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 
-    def loss_fn(params, x, edge_index, y):
-        logits = model.apply(params, x, edge_index)
+    def loss_fn(params, x, edge_index, w, y):
+        logits = model.apply(params, x, edge_index, edge_weight=w)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()
 
     @jax.jit
-    def train_step(params, opt_state, x, edge_index, y):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, edge_index, y)
+    def train_step(params, opt_state, x, edge_index, w, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, edge_index,
+                                                  w, y)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     # Warmup / compile.
-    params, opt_state, loss = train_step(params, opt_state, x, edge_index, y)
+    params, opt_state, loss = train_step(params, opt_state, x, edge_index,
+                                         w, y)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         params, opt_state, loss = train_step(params, opt_state, x,
-                                             edge_index, y)
+                                             edge_index, w, y)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
