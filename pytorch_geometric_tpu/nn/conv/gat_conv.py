@@ -37,12 +37,13 @@ class GATConv(MessagePassing):
                  return_attention_weights: bool = False):
         H, C = self.heads, self.out_channels
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
+        shared = x_dst is x_src   # non-bipartite: one shared projection
         num_src, num_dst = x_src.shape[0], x_dst.shape[0]
 
         x_src = fnn.Dense(H * C, use_bias=False,
                           kernel_init=fnn.initializers.glorot_uniform(),
                           name='lin_src')(x_src).reshape(num_src, H, C)
-        if x_dst is x_src:
+        if shared:
             x_dst = x_src
         else:
             x_dst = fnn.Dense(H * C, use_bias=False,
@@ -58,10 +59,14 @@ class GATConv(MessagePassing):
 
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         if self.add_self_loops and num_src == num_dst:
+            # reference gat_conv removes existing self loops, then adds
+            # fresh ones — static-shape: mask out existing, append all
+            is_loop = coo[0] == coo[1]
+            keep = ~is_loop
+            edge_mask = keep if edge_mask is None else (edge_mask & keep)
             coo, _ = _add_self_loops(coo, num_nodes=num_dst)
-            if edge_mask is not None:
-                edge_mask = jnp.concatenate(
-                    [edge_mask, jnp.ones((num_dst,), bool)])
+            edge_mask = jnp.concatenate(
+                [edge_mask, jnp.ones((num_dst,), bool)])
             if edge_attr is not None:
                 edge_attr = jnp.concatenate(
                     [edge_attr, jnp.zeros((num_dst,) + edge_attr.shape[1:],
@@ -141,10 +146,12 @@ class GATv2Conv(MessagePassing):
 
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         if self.add_self_loops and num_src == num_dst:
+            # remove existing + add fresh self loops (reference behavior)
+            keep = coo[0] != coo[1]
+            edge_mask = keep if edge_mask is None else (edge_mask & keep)
             coo, _ = _add_self_loops(coo, num_nodes=num_dst)
-            if edge_mask is not None:
-                edge_mask = jnp.concatenate(
-                    [edge_mask, jnp.ones((num_dst,), bool)])
+            edge_mask = jnp.concatenate(
+                [edge_mask, jnp.ones((num_dst,), bool)])
             if edge_attr is not None:
                 edge_attr = jnp.concatenate(
                     [edge_attr, jnp.zeros((num_dst,) + edge_attr.shape[1:],

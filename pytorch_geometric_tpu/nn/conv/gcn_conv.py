@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..message_passing import MessagePassing
 from ...edge_index import EdgeIndex
 from ...ops import spmm
-from ...utils.loop import add_self_loops as _add_self_loops
+from ...utils.loop import add_remaining_self_loops as _add_self_loops
 
 
 def gcn_norm(edge_index, edge_weight: Optional[jnp.ndarray] = None,
