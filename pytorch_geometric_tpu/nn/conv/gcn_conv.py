@@ -44,8 +44,10 @@ def gcn_norm(edge_index, edge_weight: Optional[jnp.ndarray] = None,
     w = jnp.where(idx < num_nodes, edge_weight, 0)
     deg = jax.ops.segment_sum(w.astype(dtype),
                               jnp.minimum(idx, num_nodes - 1), num_nodes)
-    deg = jnp.where(deg > 0, deg, 1.0)
-    deg_inv_sqrt = jnp.power(deg, -0.5)
+    # zero-degree rows get 0 (reference masks inf -> 0, gcn_conv.py:100)
+    deg_inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg,
+                                                                1e-12)),
+                             0.0)
     src = jnp.minimum(coo[0], num_nodes - 1)
     dst = jnp.minimum(coo[1], num_nodes - 1)
     norm = deg_inv_sqrt[src] * w * deg_inv_sqrt[dst]

@@ -43,14 +43,19 @@ class ChebConv(_PropMixin, MessagePassing):
              if edge_weight is None else edge_weight)
         if edge_mask is not None:
             w = jnp.where(edge_mask, w, 0)
+        # reference get_laplacian removes self loops up front
+        w = jnp.where(coo[0] == coo[1], 0.0, w)
         src = jnp.minimum(coo[0], num_nodes - 1)
         dst = jnp.minimum(coo[1], num_nodes - 1)
-        deg = scatter(w, dst, num_nodes, 'sum')
+        # reference get_laplacian computes degrees over the SOURCE
+        # endpoint (utils/laplacian.py: scatter over row)
+        deg = scatter(w, src, num_nodes, 'sum')
         if self.normalization == 'sym':
-            dis = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+            dis = jnp.where(deg > 0,
+                            jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
             lw = -dis[src] * w * dis[dst]
         else:  # 'rw'
-            dinv = 1.0 / jnp.maximum(deg, 1e-12)
+            dinv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
             lw = -dinv[dst] * w
         # L_hat edge weights: (2/lambda_max) * L, diag shift -1 applied as
         # an extra self-term handled in the recurrence.
@@ -65,6 +70,8 @@ class ChebConv(_PropMixin, MessagePassing):
         coo = _coo(edge_index)
         lw = self._norm(coo, n, edge_weight, lambda_max, edge_mask)
         diag = (2.0 / lambda_max) - 1.0  # D-normalised diag minus identity
+        # (self-loop edges were zeroed inside _norm — the reference's
+        # get_laplacian removes them before normalising)
 
         def lhat(v):
             return (self.propagate(coo, x=v, edge_weight=lw, size=(n, n),

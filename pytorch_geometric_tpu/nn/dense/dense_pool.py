@@ -24,12 +24,12 @@ def dense_diff_pool(x: jnp.ndarray, adj: jnp.ndarray, s: jnp.ndarray,
     out = jnp.swapaxes(s, 1, 2) @ x
     out_adj = jnp.swapaxes(s, 1, 2) @ adj @ s
 
+    # global Frobenius norm over ALL entries (reference diff_pool.py
+    # computes one norm over the whole [B, N, N] residual, / numel)
     link_loss = adj - s @ jnp.swapaxes(s, 1, 2)
-    link_loss = jnp.sqrt(jnp.maximum((link_loss ** 2).sum((-2, -1)), 0))
+    link_loss = jnp.sqrt(jnp.maximum((link_loss ** 2).sum(), 0))
     if normalize:
-        link_loss = link_loss / jnp.maximum(
-            jnp.asarray(adj.shape[-1] * adj.shape[-2], x.dtype), 1.0)
-    link_loss = link_loss.mean()
+        link_loss = link_loss / jnp.asarray(adj.size, x.dtype)
 
     ent = (-s * jnp.log(s + EPS)).sum(-1)
     if mask is not None:

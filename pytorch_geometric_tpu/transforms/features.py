@@ -183,10 +183,12 @@ class AddRandomWalkPE(BaseTransform):
     def __call__(self, data: Data) -> Data:
         n = data.num_nodes
         coo = _coo(data)
-        a = np.zeros((n, n), np.float64)
-        a[coo[0], coo[1]] = 1
-        deg = np.maximum(a.sum(1, keepdims=True), 1)
-        p = a / deg
+        # reference semantics (add_positional_encoding.py:149-154):
+        # degree counts duplicate edges, but the dense adjacency entry is
+        # ASSIGNED 1/deg (duplicates overwrite, not accumulate)
+        deg = np.bincount(coo[0], minlength=n).astype(np.float64)
+        p = np.zeros((n, n), np.float64)
+        p[coo[0], coo[1]] = 1.0 / np.maximum(deg, 1)[coo[0]]
         pk = p.copy()
         pes = [np.diag(pk)]
         for _ in range(self.walk_length - 1):

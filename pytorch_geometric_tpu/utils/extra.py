@@ -28,9 +28,11 @@ def get_laplacian(edge_index, edge_weight: Optional[jnp.ndarray] = None,
     n = num_nodes if num_nodes is not None else int(coo.max()) + 1
     w = (jnp.ones((coo.shape[1],), jnp.float32) if edge_weight is None
          else edge_weight)
+    # reference get_laplacian removes self loops first
+    w = jnp.where(coo[0] == coo[1], 0.0, w)
     dst = jnp.minimum(coo[1], n - 1)
     src = jnp.minimum(coo[0], n - 1)
-    deg = scatter(w, dst, n, 'sum')
+    deg = scatter(w, src, n, 'sum')
     loop = jnp.stack([jnp.arange(n), jnp.arange(n)])
     if normalization is None:
         off_w = -w

@@ -14,10 +14,11 @@ COO = np.stack([rng.integers(0, 10, 40),
 
 def test_get_laplacian():
     coo, w = U.get_laplacian(jnp.asarray(COO), num_nodes=10)
-    # row sums of L are ~0 aggregated over dst
+    # L row sums vanish over the SOURCE endpoint (reference
+    # get_laplacian computes degrees over row)
     n = 10
     sums = np.zeros(n)
-    np.add.at(sums, np.asarray(coo)[1], np.asarray(w))
+    np.add.at(sums, np.asarray(coo)[0], np.asarray(w))
     np.testing.assert_allclose(sums, 0, atol=1e-5)
     coo, w = U.get_laplacian(jnp.asarray(COO), normalization='sym',
                              num_nodes=10)
