@@ -4,7 +4,8 @@ from .model_builder import create_model
 from .train import train
 from .logger import Logger
 from .checkpoint import save_ckpt, load_ckpt, clean_ckpt
+from .utils import configs_gen, agg_runs, agg_batch
 
 __all__ = ['cfg', 'set_cfg', 'load_cfg', 'CfgNode', 'register',
            'registry', 'create_model', 'train', 'Logger', 'save_ckpt',
-           'load_ckpt', 'clean_ckpt']
+           'load_ckpt', 'clean_ckpt', 'configs_gen', 'agg_runs', 'agg_batch']

@@ -3,6 +3,7 @@ from .neighbor_loader import NeighborLoader, LinkNeighborLoader
 from .cluster import ClusterData, ClusterLoader, partition_graph, Partition
 from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .temporal import TemporalDataLoader
+from .ibmb import IBMBNodeLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
                           GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
@@ -12,6 +13,7 @@ from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
 __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
     'HeteroNeighborLoader', 'HGTLoader', 'TemporalDataLoader',
+    'IBMBNodeLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
     'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',

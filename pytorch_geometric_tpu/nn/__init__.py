@@ -28,6 +28,7 @@ from .resolver import (activation_resolver, aggregation_resolver,
                        normalization_resolver, optimizer_resolver,
                        lr_scheduler_resolver)
 from .summary import summary
+from .model_hub import PyGModelHubMixin
 from .pool import (global_add_pool, global_mean_pool, global_max_pool,
                    TopKPooling, SAGPooling, knn, knn_graph, radius,
                    radius_graph, fps, nearest, voxel_grid)
@@ -41,7 +42,7 @@ __all__ = [
     'PositionalEncoding', 'TemporalEncoding', 'Sequential', 'to_hetero',
     'ToHetero', 'activation_resolver', 'aggregation_resolver',
     'normalization_resolver', 'optimizer_resolver',
-    'lr_scheduler_resolver', 'summary',
+    'lr_scheduler_resolver', 'summary', 'PyGModelHubMixin',
     'HeteroConv', 'HGTConv', 'HANConv',
     'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv', 'GINEConv', 'GATConv',
     'GATv2Conv', 'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv',
