@@ -4,6 +4,7 @@ from .cluster import ClusterData, ClusterLoader, partition_graph, Partition
 from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .temporal import TemporalDataLoader
 from .ibmb import IBMBNodeLoader
+from .prefetch import PrefetchLoader, CachedLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
                           GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
@@ -13,7 +14,7 @@ from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
 __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
     'HeteroNeighborLoader', 'HGTLoader', 'TemporalDataLoader',
-    'IBMBNodeLoader',
+    'IBMBNodeLoader', 'PrefetchLoader', 'CachedLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
     'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',

@@ -1,0 +1,72 @@
+"""PrefetchLoader + CachedLoader.
+
+Reference: ``torch_geometric/loader/prefetch.py:52`` (async H2D copy on
+CUDA streams) and ``loader/cache.py:21`` (GPU-side cache of filtered
+batches). TPU equivalents: ``jax.device_put`` is already async — the
+prefetcher walks one batch ahead so host sampling overlaps device
+compute; the cache keeps device-resident pytrees keyed by batch index.
+"""
+
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+
+
+class PrefetchLoader:
+    """Wraps any batch iterable; device-puts batch i+1 while batch i is
+    being consumed (reference ``prefetch.py:52``)."""
+
+    def __init__(self, loader, device: Optional[Any] = None):
+        self.loader = loader
+        self.device = device
+
+    def __len__(self):
+        return len(self.loader)
+
+    def _put(self, batch):
+        if self.device is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, self.device)
+
+    def __iter__(self) -> Iterator:
+        it = iter(self.loader)
+        try:
+            ahead = self._put(next(it))
+        except StopIteration:
+            return
+        for nxt in it:
+            nxt_dev = self._put(nxt)   # async dispatch
+            yield ahead
+            ahead = nxt_dev
+        yield ahead
+
+
+class CachedLoader:
+    """Caches transformed device batches by position
+    (reference ``cache.py:21``)."""
+
+    def __init__(self, loader, transform: Optional[Callable] = None,
+                 device: Optional[Any] = None):
+        self.loader = loader
+        self.transform = transform
+        self.device = device
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.loader)
+
+    def clear(self):
+        self._cache.clear()
+
+    def __iter__(self):
+        for i, batch in enumerate(self.loader):
+            if i in self._cache:
+                yield self._cache[i]
+                continue
+            if self.transform is not None:
+                batch = self.transform(batch)
+            batch = (jax.device_put(batch, self.device)
+                     if self.device is not None
+                     else jax.device_put(batch))
+            self._cache[i] = batch
+            yield batch

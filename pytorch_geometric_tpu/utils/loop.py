@@ -42,22 +42,34 @@ def add_remaining_self_loops(
     edge_index, edge_weight: Optional[jnp.ndarray] = None,
     fill_value: float = 1.0, num_nodes: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Reference ``loop.py:295``: add loops only for nodes lacking one.
-    Static-shape variant: appends loops for *all* nodes but masks existing
-    self-loop duplicates by zeroing the appended weight (sum-aggregations
-    are unaffected; exact-match with the reference for weighted graphs)."""
+    """Reference ``loop.py:585``: REMOVES existing self loops and appends
+    exactly one per node — the appended loop keeps the last existing
+    loop's weight (reference ``loop_attr[...] = edge_attr[inv_mask]``
+    assignment) or ``fill_value`` when the node had none. Static-shape
+    variant: existing loop weights are zeroed instead of removed."""
+    import jax
     coo, size = _unwrap(edge_index)
     n = maybe_num_nodes(coo if size is None else None,
                         num_nodes if num_nodes is not None
                         else (size[0] if size else None))
+    e = coo.shape[1]
+    if edge_weight is None:
+        edge_weight = jnp.ones((e,), jnp.float32)
     loop_mask = coo[0] == coo[1]
-    idx = jnp.where(loop_mask, coo[0], 0)
-    has_loop = jnp.zeros((n,), bool).at[idx].max(loop_mask)
+    pos = jnp.arange(e)
+    idx = jnp.where(loop_mask, coo[0], n)
+    last_pos = jax.ops.segment_max(jnp.where(loop_mask, pos, -1), idx,
+                                   n + 1)[:n]
+    has_loop = last_pos >= 0
+    w_exist = edge_weight[jnp.clip(last_pos, 0, e - 1)]
+    loop_w = jnp.where(has_loop, w_exist,
+                       jnp.asarray(fill_value,
+                                   edge_weight.dtype)).astype(
+                                       edge_weight.dtype)
+    # zero out (mask) original loop entries; keep shapes static
+    edge_weight = jnp.where(loop_mask, 0, edge_weight)
     loops = jnp.arange(n, dtype=coo.dtype)
     out = jnp.concatenate([coo, jnp.stack([loops, loops])], axis=1)
-    if edge_weight is None:
-        edge_weight = jnp.ones((coo.shape[1],), jnp.float32)
-    loop_w = jnp.where(has_loop, 0.0, fill_value).astype(edge_weight.dtype)
     edge_weight = jnp.concatenate([edge_weight, loop_w])
     return out, edge_weight
 
