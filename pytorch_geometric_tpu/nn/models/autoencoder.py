@@ -48,11 +48,14 @@ class GAE(fnn.Module):
                    neg_edge_index) -> jnp.ndarray:
         """BCE over positive and (given) negative edges
         (reference ``autoencoder.py:recon_loss``; negatives must be
-        pre-sampled on the host for static shapes)."""
-        pos = InnerProductDecoder.decode(z, pos_edge_index)
-        neg = InnerProductDecoder.decode(z, neg_edge_index)
-        pos_loss = -jnp.log(pos + EPS).mean()
-        neg_loss = -jnp.log(1 - neg + EPS).mean()
+        pre-sampled on the host for static shapes). Computed with
+        ``log_sigmoid`` on raw logits for numerical stability."""
+        pos = InnerProductDecoder.decode(z, pos_edge_index,
+                                         sigmoid=False)
+        neg = InnerProductDecoder.decode(z, neg_edge_index,
+                                         sigmoid=False)
+        pos_loss = -jax.nn.log_sigmoid(pos).mean()
+        neg_loss = -jax.nn.log_sigmoid(-neg).mean()
         return pos_loss + neg_loss
 
 
