@@ -1,0 +1,83 @@
+"""SpMM roofline benchmark (BASELINE.md north-star: >= 80% of the HBM
+bandwidth roofline for CSR SpMM fwd+bwd on a products-scale graph).
+
+Usage: python benchmarks/spmm_bench.py [--nodes N] [--edges E]
+       [--features F] [--xla]
+Prints one JSON line per configuration with edges/s, effective GB/s and
+% of the roofline (v5e: ~819 GB/s HBM).
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HBM_GBPS = {'v5e': 819.0, 'v4': 1228.0, 'v5p': 2765.0}
+
+
+def roofline_bytes(e, n, f, fwd_and_bwd=True):
+    """Minimum HBM traffic: gather x (E*F), write out (N*F), read weights
+    (E), backward re-gather + scatter (2*E*F + N*F)."""
+    fwd = e * f * 4 + n * f * 4 + e * 4
+    bwd = 2 * e * f * 4 + n * f * 4
+    return fwd + (bwd if fwd_and_bwd else 0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--nodes', type=int, default=250_000)
+    ap.add_argument('--edges', type=int, default=5_000_000)
+    ap.add_argument('--features', type=int, default=128)
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--xla', action='store_true',
+                    help='force the XLA path (no Pallas)')
+    ap.add_argument('--gen', default='v5e')
+    args = ap.parse_args()
+    if args.xla:
+        import os
+        os.environ['PGT_DISABLE_PALLAS'] = '1'
+
+    from pytorch_geometric_tpu import EdgeIndex
+    from pytorch_geometric_tpu.ops import spmm
+
+    n, e, f = args.nodes, args.edges, args.features
+    rng = np.random.default_rng(0)
+    coo = jnp.asarray(rng.integers(0, n, (2, e)).astype(np.int32))
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    ei = EdgeIndex(coo, (n, n)).fill_cache()
+
+    @jax.jit
+    def fwd_bwd(x, w):
+        def loss(x, w):
+            return (spmm(ei, x, w) ** 2).sum()
+        l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+        return l, gx, gw
+
+    out = fwd_bwd(x, w)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = fwd_bwd(x, w)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.steps
+
+    gb = roofline_bytes(e, n, f) / 1e9
+    gbps = gb / dt
+    peak = HBM_GBPS.get(args.gen, 819.0)
+    print(json.dumps({
+        'metric': 'spmm_fwd_bwd',
+        'nodes': n, 'edges': e, 'features': f,
+        'seconds_per_step': round(dt, 6),
+        'edges_per_s': round(e / dt),
+        'effective_gbps': round(gbps, 1),
+        'roofline_frac': round(gbps / peak, 3),
+        'backend': jax.default_backend(),
+        'path': 'xla' if args.xla else 'auto',
+    }))
+
+
+if __name__ == '__main__':
+    main()
