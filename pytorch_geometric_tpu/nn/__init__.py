@@ -19,7 +19,7 @@ from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    PointTransformerConv, GravNetConv, HeteroConv, HGTConv,
                    HANConv, GPSConv, RGATConv, SuperGATConv, HEATConv,
                    GMMConv, SplineConv, NNConv, CGConv, FeaStConv,
-                   DNAConv, PANConv)
+                   DNAConv, PANConv, XConv)
 from .unpool import knn_interpolate
 from .encoding import PositionalEncoding, TemporalEncoding
 from .sequential import Sequential
@@ -37,7 +37,7 @@ __all__ = [
     'MessagePassing', 'conv', 'aggr', 'norm', 'pool', 'dense',
     'models', 'kge', 'attention',
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv', 'GMMConv',
-    'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'DNAConv', 'PANConv',
+    'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'DNAConv', 'PANConv', 'XConv',
     'knn_interpolate',
     'PositionalEncoding', 'TemporalEncoding', 'Sequential', 'to_hetero',
     'ToHetero', 'activation_resolver', 'aggregation_resolver',

@@ -20,6 +20,7 @@ from .hetero_conv import HeteroConv, HGTConv, HANConv
 from .gps_conv import GPSConv, RGATConv, SuperGATConv, HEATConv
 from .kernel_conv import GMMConv, SplineConv, NNConv, CGConv, FeaStConv
 from .dna_conv import DNAConv, PANConv
+from .x_conv import XConv
 
 __all__ = [
     'MessagePassing', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
@@ -34,5 +35,5 @@ __all__ = [
     'PointTransformerConv', 'GravNetConv', 'HeteroConv', 'HGTConv', 'HANConv',
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv',
     'GMMConv', 'SplineConv', 'NNConv', 'CGConv', 'FeaStConv',
-    'DNAConv', 'PANConv',
+    'DNAConv', 'PANConv', 'XConv',
 ]

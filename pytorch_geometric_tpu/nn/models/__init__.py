@@ -12,6 +12,7 @@ from .molecular import (AttentiveFP, DimeNetPlusPlus, SignedGCN, RECT_L,
                         GroupAddRev)
 from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
+from .transformers import SGFormer, Polynormer, GraphMixer
 
 __all__ = [
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
@@ -24,4 +25,5 @@ __all__ = [
     'SchNet', 'GaussianSmearing', 'AttentiveFP', 'DimeNetPlusPlus',
     'SignedGCN', 'RECT_L', 'GroupAddRev',
     'TGNMemory', 'TGNMemoryState', 'TemporalData', 'LastNeighborLoader',
+    'SGFormer', 'Polynormer', 'GraphMixer',
 ]
