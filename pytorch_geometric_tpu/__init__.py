@@ -17,6 +17,9 @@ from .seed import seed_everything
 from . import ops
 from . import utils
 from . import nn
+from . import backend
+from . import experimental
+from . import typing_flags
 from . import transforms
 from . import datasets
 from . import sampler
@@ -34,7 +37,7 @@ from . import contrib
 __all__ = [
     'EdgeIndex', 'CSR', 'Index', 'HashTensor', 'Data', 'Batch', 'HeteroData', 'Dataset',
     'InMemoryDataset', 'seed_everything',
-    'ops', 'utils', 'nn', 'transforms', 'datasets', 'sampler', 'loader',
+    'ops', 'utils', 'nn', 'backend', 'experimental', 'typing_flags', 'transforms', 'datasets', 'sampler', 'loader',
     'parallel', 'explain', 'metrics', 'profile', 'graphgym', 'io',
     'visualization', 'testing', 'contrib', '__version__',
 ]

@@ -1,0 +1,17 @@
+"""Backend knobs (reference ``torch_geometric/backend.py:16-55`` —
+``use_segment_matmul`` global + heuristic).
+
+Module-level flags consulted by the dispatch ladders; ``None`` means
+"use the built-in heuristic".
+"""
+
+from typing import Optional
+
+# Pallas SpMM dispatch (ops/spmm.py): None -> heuristic
+# (TPU backend and E >= 2^14), True/False -> force.
+use_pallas_spmm: Optional[bool] = None
+
+# Typed-GEMM strategy for HeteroLinear/RGCN: batched einsum is the only
+# implemented strategy today; the flag mirrors the reference's
+# use_segment_matmul for API parity.
+use_segment_matmul: Optional[bool] = None

@@ -8,6 +8,10 @@ from .multi import (MultiAggregation, DegreeScalerAggregation,
 from .attention import AttentionalAggregation, Set2Set, DeepSetsAggregation
 from .dense import (SortAggregation, QuantileAggregation, MedianAggregation,
                     GRUAggregation, LSTMAggregation, MLPAggregation)
+from .advanced import (SetTransformerAggregation,
+                       GraphMultisetTransformer, LCMAggregation,
+                       PatchTransformerAggregation,
+                       EquilibriumAggregation)
 
 __all__ = [
     'Aggregation', 'aggregation_resolver',
@@ -19,4 +23,7 @@ __all__ = [
     'AttentionalAggregation', 'Set2Set', 'DeepSetsAggregation',
     'SortAggregation', 'QuantileAggregation', 'MedianAggregation',
     'GRUAggregation', 'LSTMAggregation', 'MLPAggregation',
+    'SetTransformerAggregation', 'GraphMultisetTransformer',
+    'LCMAggregation', 'PatchTransformerAggregation',
+    'EquilibriumAggregation',
 ]
