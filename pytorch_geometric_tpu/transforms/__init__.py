@@ -13,6 +13,7 @@ from .geometric import (Center, NormalizeScale, KNNGraph, RadiusGraph,
                         SamplePoints, GridSampling)
 from .splits import (RandomNodeSplit, RandomLinkSplit, IndexToMask,
                      MaskToIndex)
+from .diffusion import GDC, AddMetaPaths, RootedEgoNets, HalfHop
 
 __all__ = [
     'BaseTransform', 'Compose',
@@ -27,4 +28,5 @@ __all__ = [
     'RandomRotate', 'RandomScale', 'RandomShear', 'SamplePoints',
     'GridSampling',
     'RandomNodeSplit', 'RandomLinkSplit', 'IndexToMask', 'MaskToIndex',
+    'GDC', 'AddMetaPaths', 'RootedEgoNets', 'HalfHop',
 ]

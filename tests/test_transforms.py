@@ -206,3 +206,56 @@ def test_index_mask_roundtrip():
     assert np.asarray(out.train_mask).sum() == 3
     back = T.MaskToIndex(attrs=('train_mask',))(out)
     np.testing.assert_array_equal(np.asarray(back.train_index), [1, 3, 5])
+
+
+def test_gdc():
+    data = make_data()
+    out = T.GDC(diffusion_kwargs={'method': 'ppr', 'alpha': 0.2},
+                sparsification_kwargs={'method': 'threshold',
+                                       'eps': 1e-3})(data)
+    assert out.edge_attr is not None
+    w = np.asarray(out.edge_attr)
+    assert (w > 0).all()
+    # column-normalised
+    coo = np.asarray(out.edge_index)
+    sums = np.zeros(10)
+    np.add.at(sums, coo[1], w)
+    np.testing.assert_allclose(sums[sums > 0], 1.0, atol=1e-5)
+
+    out = T.GDC(diffusion_kwargs={'method': 'heat', 't': 3.0},
+                sparsification_kwargs={'method': 'topk', 'k': 4})(data)
+    assert out.num_edges > 0
+
+
+def test_add_metapaths():
+    from pytorch_geometric_tpu.data.hetero_data import HeteroData
+    h = HeteroData()
+    h['a'].x = rng.standard_normal((4, 3)).astype(np.float32)
+    h['b'].x = rng.standard_normal((5, 3)).astype(np.float32)
+    h['a', 'ab', 'b'].edge_index = np.array([[0, 1, 2], [0, 1, 2]],
+                                            np.int32)
+    h['b', 'ba', 'a'].edge_index = np.array([[0, 1, 2], [1, 2, 3]],
+                                            np.int32)
+    out = T.AddMetaPaths([[('a', 'ab', 'b'), ('b', 'ba', 'a')]])(h)
+    mp = ('a', 'metapath_0', 'a')
+    assert mp in out.edge_types
+    coo = np.asarray(out[mp].edge_index)
+    assert set(map(tuple, coo.T)) == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_rooted_ego_nets_and_halfhop():
+    coo = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    data = Data(x=np.eye(4, dtype=np.float32), edge_index=coo,
+                num_nodes=4)
+    out = T.RootedEgoNets(num_hops=1)(data)
+    roots = np.asarray(out.sub_root)
+    members = np.asarray(out.sub_node_index)
+    # node 1's 1-hop ego net contains its in-neighbor 0 and itself
+    assert set(members[roots == 1].tolist()) == {0, 1}
+
+    out = T.HalfHop(alpha=0.5, p=1.0, seed=0)(data)
+    assert out.num_nodes == 4 + 3
+    assert int(np.asarray(out.slow_node_mask).sum()) == 3
+    # slow node features = midpoint
+    x = np.asarray(out.x)
+    np.testing.assert_allclose(x[4], 0.5 * (x[0] + x[1]), atol=1e-6)
