@@ -35,6 +35,26 @@ class CSR(NamedTuple):
     perm: jnp.ndarray
 
 
+class BlockedCSC(NamedTuple):
+    """Node-blocked dst-sorted edge layout for the Pallas MXU SpMM.
+
+    Edges are grouped by 128-node destination blocks and each block's
+    edge run is padded to a multiple of the kernel chunk size, so every
+    chunk's destinations fall inside ONE 128-id window — no overflow
+    fallback needed (see ``ops/pallas_spmm.py``).
+
+    src:        [E_pad] source node per slot (0 for pads)
+    dst:        [E_pad] destination node (num_dst for pads)
+    perm:       [E_pad] original COO edge position (E for pads — callers
+                gathering per-edge data append one zero row)
+    chunk_base: [C] first node id of each chunk's destination window
+    """
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    perm: jnp.ndarray
+    chunk_base: jnp.ndarray
+
+
 @jax.tree_util.register_pytree_node_class
 class EdgeIndex:
     """Immutable ``[2, E]`` edge index with static sparse size and optional
@@ -42,7 +62,9 @@ class EdgeIndex:
 
     def __init__(self, coo, sparse_size: Optional[Tuple[int, int]] = None,
                  csr: Optional[CSR] = None, csc: Optional[CSR] = None,
-                 num_real_edges: Optional[int] = None):
+                 num_real_edges: Optional[int] = None,
+                 blocked: Optional[BlockedCSC] = None,
+                 blocked_t: Optional[BlockedCSC] = None):
         coo = jnp.asarray(coo)
         if coo.ndim != 2 or coo.shape[0] != 2:
             raise ValueError(f"EdgeIndex expects shape [2, E], got "
@@ -56,20 +78,24 @@ class EdgeIndex:
         self.sparse_size = tuple(sparse_size)
         self.csr = csr
         self.csc = csc
+        self.blocked = blocked
+        self.blocked_t = blocked_t
         # Number of non-padding edges (static); defaults to all.
         self.num_real_edges = (int(coo.shape[1]) if num_real_edges is None
                                else int(num_real_edges))
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        children = (self.coo, self.csr, self.csc)
+        children = (self.coo, self.csr, self.csc, self.blocked,
+                    self.blocked_t)
         aux = (self.sparse_size, self.num_real_edges)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.coo, obj.csr, obj.csc = children
+        (obj.coo, obj.csr, obj.csc, obj.blocked,
+         obj.blocked_t) = children
         obj.sparse_size, obj.num_real_edges = aux
         return obj
 
@@ -114,12 +140,24 @@ class EdgeIndex:
             return self.csc
         return _build_sorted(self.col, self.row, self.num_dst_nodes)
 
-    def fill_cache(self) -> 'EdgeIndex':
+    def fill_cache(self, blocked: bool = True) -> 'EdgeIndex':
         """Return a copy with both CSR and CSC materialised
-        (reference ``fill_cache_`` at ``edge_index.py:677``)."""
+        (reference ``fill_cache_`` at ``edge_index.py:677``); also builds
+        the node-blocked layout for the Pallas SpMM kernel when the COO
+        is concrete (host-side numpy pass)."""
+        blk, blk_t = self.blocked, self.blocked_t
+        if blocked and blk is None:
+            try:
+                coo_np = np.asarray(self.coo)
+                blk = build_blocked_csc(coo_np, self.num_dst_nodes)
+                blk_t = build_blocked_csc(coo_np[::-1],
+                                          self.num_src_nodes)
+            except Exception:   # traced coo inside jit — skip
+                blk = blk_t = None
         return EdgeIndex(self.coo, self.sparse_size,
                          csr=self.get_csr(), csc=self.get_csc(),
-                         num_real_edges=self.num_real_edges)
+                         num_real_edges=self.num_real_edges,
+                         blocked=blk, blocked_t=blk_t)
 
     def sort_by(self, order: str = 'row') -> Tuple['EdgeIndex', jnp.ndarray]:
         """Sort edges by 'row' or 'col'; returns (sorted EdgeIndex, perm)
@@ -135,7 +173,9 @@ class EdgeIndex:
         return EdgeIndex(self.coo[::-1], (self.sparse_size[1],
                                           self.sparse_size[0]),
                          csr=self.csc, csc=self.csr,
-                         num_real_edges=self.num_real_edges)
+                         num_real_edges=self.num_real_edges,
+                         blocked=self.blocked_t,
+                         blocked_t=self.blocked)
 
     def to_dense_adj(self, edge_weight: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:
@@ -155,6 +195,48 @@ class EdgeIndex:
         """out[dst] = reduce_{(src,dst) in E} w * x[src] — see ops.spmm."""
         from .ops.spmm import spmm
         return spmm(self, x, edge_weight, reduce=reduce, transpose=transpose)
+
+
+def build_blocked_csc(coo: np.ndarray, num_dst: int,
+                      block_nodes: int = 128,
+                      chunk_edges: int = 1024) -> BlockedCSC:
+    """Host: dst-sort edges, group by ``block_nodes`` destination blocks,
+    pad each block's run to a multiple of ``chunk_edges``. Guarantees
+    every kernel chunk's dst ids lie in one ``block_nodes`` window."""
+    e = coo.shape[1]
+    dst = coo[1].astype(np.int64)
+    order = np.argsort(dst, kind='stable')
+    src_s = coo[0][order].astype(np.int64)
+    dst_s = dst[order]
+    block_of = dst_s // block_nodes
+    num_blocks = (num_dst + block_nodes - 1) // block_nodes
+    counts = np.bincount(block_of, minlength=num_blocks)
+    padded = ((counts + chunk_edges - 1) // chunk_edges) * chunk_edges
+    # blocks with zero edges stay zero (no chunks emitted)
+    offsets = np.concatenate([[0], np.cumsum(padded)])
+    e_pad = int(offsets[-1]) or chunk_edges
+    src_p = np.zeros(e_pad, np.int64)
+    dst_p = np.full(e_pad, num_dst, np.int64)
+    perm_p = np.full(e_pad, e, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for b in range(num_blocks):
+        lo, hi = starts[b], starts[b + 1]
+        if hi == lo:
+            continue
+        o = offsets[b]
+        src_p[o:o + hi - lo] = src_s[lo:hi]
+        dst_p[o:o + hi - lo] = dst_s[lo:hi]
+        perm_p[o:o + hi - lo] = order[lo:hi]
+    # per-chunk window base
+    chunk_block = np.repeat(np.arange(num_blocks),
+                            padded // chunk_edges)
+    if len(chunk_block) == 0:
+        chunk_block = np.zeros(1, np.int64)
+    chunk_base = (chunk_block * block_nodes).astype(np.int32)
+    return BlockedCSC(src=jnp.asarray(src_p.astype(np.int32)),
+                      dst=jnp.asarray(dst_p.astype(np.int32)),
+                      perm=jnp.asarray(perm_p.astype(np.int32)),
+                      chunk_base=jnp.asarray(chunk_base))
 
 
 def _build_sorted(key: jnp.ndarray, other: jnp.ndarray, n: int) -> CSR:

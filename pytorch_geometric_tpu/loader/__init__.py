@@ -5,6 +5,7 @@ from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .temporal import TemporalDataLoader
 from .ibmb import IBMBNodeLoader
 from .prefetch import PrefetchLoader, CachedLoader
+from .list_loader import DataListLoader, DenseDataLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
                           GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
@@ -14,7 +15,8 @@ from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
 __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
     'HeteroNeighborLoader', 'HGTLoader', 'TemporalDataLoader',
-    'IBMBNodeLoader', 'PrefetchLoader', 'CachedLoader',
+    'IBMBNodeLoader', 'PrefetchLoader', 'CachedLoader', 'DataListLoader',
+    'DenseDataLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
     'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',

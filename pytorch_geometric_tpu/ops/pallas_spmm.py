@@ -148,9 +148,141 @@ def csr_spmm(x: jnp.ndarray, src_sorted: jnp.ndarray,
     return segment_sum_sorted(msg, dst_sorted, num_dst)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_sum_blocked(msg: jnp.ndarray, blk_meta,
+                        num_segments: int) -> jnp.ndarray:
+    """Blocked-layout segment-sum: ``blk_meta = (dst, chunk_base)`` from
+    ``EdgeIndex.blocked`` — every chunk's dst ids are inside one BN
+    window by construction, so there is NO overflow fallback pass."""
+    return _seg_blocked_impl(msg, blk_meta, num_segments)
+
+
+def _seg_blocked_impl(msg, blk_meta, num_segments):
+    dst, chunk_base = blk_meta
+    if not _use_pallas():
+        return jax.ops.segment_sum(msg, dst, num_segments)
+    from jax.experimental import pallas as pl
+
+    e_pad, f = msg.shape
+    c = e_pad // BE
+    f_pad = ((max(f, 1) + BF - 1) // BF) * BF
+    msg_p = (jnp.pad(msg, ((0, 0), (0, f_pad - f)))
+             if f_pad != f else msg).astype(jnp.float32)
+    local = dst.reshape(c, BE) - chunk_base[:, None]
+    local = jnp.where((local >= 0) & (local < BN), local,
+                      BN).astype(jnp.int32)
+
+    partials = pl.pallas_call(
+        _chunk_kernel,
+        out_shape=jax.ShapeDtypeStruct((c, BN, f_pad), jnp.float32),
+        grid=(c, f_pad // BF),
+        in_specs=[
+            pl.BlockSpec((1, BE, BF), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, BE, 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BN, BF), lambda i, j: (i, 0, j)),
+        interpret=_interpret(),
+    )(msg_p.reshape(c, BE, f_pad), local.reshape(c, BE, 1))
+
+    row_ids = chunk_base[:, None] + jnp.arange(BN, dtype=jnp.int32)
+    row_ids = jnp.clip(row_ids, 0, num_segments)
+    out = jax.ops.segment_sum(
+        partials.reshape(c * BN, f_pad), row_ids.reshape(-1),
+        num_segments + 1)[:num_segments, :f]
+    return out.astype(msg.dtype)
+
+
+def _seg_blocked_fwd(msg, blk_meta, num_segments):
+    return _seg_blocked_impl(msg, blk_meta, num_segments), blk_meta
+
+
+def _seg_blocked_bwd(num_segments, blk_meta, g):
+    dst, chunk_base = blk_meta
+    safe = jnp.minimum(dst, num_segments - 1)
+    grad_msg = jnp.where((dst < num_segments)[:, None], g[safe], 0)
+    zeros = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), blk_meta)
+    return grad_msg, zeros
+
+
+segment_sum_blocked.defvjp(_seg_blocked_fwd, _seg_blocked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spmm_blocked(x, w_slot, meta, num_dst, num_src):
+    """Fused SpMM over the blocked layout with a blocked backward.
+
+    meta = (src, dst, chunk_base, t_src, t_dst, t_chunk_base, t_perm_pos)
+    where the ``t_*`` arrays describe the transpose (src-sorted blocked)
+    orientation and ``t_perm_pos`` maps each transpose slot to the
+    position of the same edge in the forward blocked layout.
+    """
+    src, dst, chunk_base = meta[0], meta[1], meta[2]
+    msg = x[src] * w_slot[:, None]
+    return segment_sum_blocked(msg, (dst, chunk_base), num_dst)
+
+
+def _spmm_blocked_fwd(x, w_slot, meta, num_dst, num_src):
+    return _spmm_blocked(x, w_slot, meta, num_dst, num_src), \
+        (x, w_slot, meta)
+
+
+def _spmm_blocked_bwd(num_dst, num_src, res, g):
+    x, w_slot, meta = res
+    (src, dst, chunk_base, t_src, t_dst, t_chunk_base,
+     t_perm_pos) = meta
+    # grad_x[s] = sum_e w_e * g[dst_e] over src-sorted (transpose)
+    # blocked edges — the reference's cached-transpose backward
+    # (edge_index.py:1849), here through the same MXU kernel.
+    w_t = w_slot[t_perm_pos]
+    gm = g[jnp.minimum(t_src, num_dst - 1)] * w_t[:, None]
+    gm = jnp.where((t_src < num_dst)[:, None], gm, 0)
+    grad_x = segment_sum_blocked(gm, (t_dst, t_chunk_base), num_src)
+    # grad_w per forward slot = x[src] . g[dst]
+    gsafe = g[jnp.minimum(dst, num_dst - 1)]
+    grad_w = jnp.where(dst < num_dst,
+                       (x[src] * gsafe).sum(-1), 0.0)
+    zeros = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), meta)
+    return grad_x, grad_w, zeros
+
+
+_spmm_blocked.defvjp(_spmm_blocked_fwd, _spmm_blocked_bwd)
+
+
 def spmm_pallas(edge_index, x: jnp.ndarray,
                 edge_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """SpMM entry over an EdgeIndex (uses the cached CSC orientation)."""
+    """SpMM entry over an EdgeIndex.
+
+    Uses the node-blocked layout (``fill_cache()``) when present — both
+    forward and backward run through the MXU kernel; otherwise falls
+    back to the windowed dst-sorted path.
+    """
+    blk = getattr(edge_index, 'blocked', None)
+    blk_t = getattr(edge_index, 'blocked_t', None)
+    if blk is not None and blk_t is not None:
+        e = edge_index.num_edges
+        if edge_weight is not None:
+            w_pad = jnp.concatenate([edge_weight,
+                                     jnp.zeros((1,),
+                                               edge_weight.dtype)])
+        else:
+            w_pad = jnp.concatenate(
+                [jnp.ones((e,), x.dtype), jnp.zeros((1,), x.dtype)])
+        w_slot = w_pad[jnp.minimum(blk.perm, e)]
+        # map transpose slots -> forward slot positions (host arrays are
+        # concrete once fill_cache ran; under jit this is a cheap gather
+        # through an inverse built from the forward perm)
+        inv = jnp.full((e + 1,), blk.perm.shape[0], jnp.int32)
+        inv = inv.at[jnp.minimum(blk.perm, e)].set(
+            jnp.arange(blk.perm.shape[0], dtype=jnp.int32))
+        t_perm_pos = jnp.minimum(inv[jnp.minimum(blk_t.perm, e)],
+                                 blk.perm.shape[0] - 1)
+        meta = (blk.src, blk.dst, blk.chunk_base, blk_t.src, blk_t.dst,
+                blk_t.chunk_base, t_perm_pos)
+        return _spmm_blocked(x, w_slot, meta,
+                             edge_index.num_dst_nodes,
+                             edge_index.num_src_nodes)
     csc = edge_index.get_csc()          # sorted by dst; indices = src
     dst_sorted = edge_index.col[csc.perm]
     src_sorted = csc.indices

@@ -1,5 +1,6 @@
 from .profile import (timeit, profileit, benchmark, trace,
                       count_model_params, edges_per_second)
+from .profiler import Profiler
 
 __all__ = ['timeit', 'profileit', 'benchmark', 'trace',
-           'count_model_params', 'edges_per_second']
+           'count_model_params', 'edges_per_second', 'Profiler']

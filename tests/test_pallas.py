@@ -98,3 +98,71 @@ def test_spmm_pallas_grad_x_and_w():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rgw),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_blocked_layout_construction():
+    from pytorch_geometric_tpu.edge_index import build_blocked_csc
+    n, e = 300, 4000
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    blk = build_blocked_csc(coo, n)
+    src, dst = np.asarray(blk.src), np.asarray(blk.dst)
+    perm = np.asarray(blk.perm)
+    base = np.asarray(blk.chunk_base)
+    assert len(src) % 1024 == 0
+    # every chunk's real dsts inside its 128-window
+    C = len(src) // 1024
+    for c in range(C):
+        d = dst[c * 1024:(c + 1) * 1024]
+        real = d < n
+        if real.any():
+            assert (d[real] >= base[c]).all()
+            assert (d[real] < base[c] + 128).all()
+    # perm round-trips the original edges exactly once
+    real_perm = perm[perm < e]
+    assert sorted(real_perm.tolist()) == list(range(e))
+    np.testing.assert_array_equal(coo[0][real_perm], src[perm < e])
+    np.testing.assert_array_equal(coo[1][real_perm], dst[perm < e])
+
+
+def test_blocked_spmm_matches_dense():
+    n, e, f = 260, 3500, 20
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    ei = EdgeIndex(jnp.asarray(coo), (n, n)).fill_cache()
+    assert ei.blocked is not None and ei.blocked_t is not None
+    out = spmm_pallas(ei, jnp.asarray(x), jnp.asarray(w))
+    a = np.zeros((n, n), np.float32)
+    np.add.at(a, (coo[0], coo[1]), w)
+    np.testing.assert_allclose(np.asarray(out), a.T @ x, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_blocked_spmm_grads():
+    n, e, f = 150, 1500, 8
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    ei = EdgeIndex(jnp.asarray(coo), (n, n)).fill_cache()
+
+    def loss(x, w):
+        return (spmm_pallas(ei, x, w) ** 2).sum()
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x),
+                                            jnp.asarray(w))
+
+    def ref_loss(x, w):
+        src = jnp.asarray(coo[0])
+        dst = jnp.asarray(coo[1])
+        out = jax.ops.segment_sum(x[src] * w[:, None], dst, n)
+        return (out ** 2).sum()
+
+    rgx, rgw = jax.grad(ref_loss, argnums=(0, 1))(jnp.asarray(x),
+                                                  jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rgx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rgw),
+                               rtol=1e-3, atol=1e-3)

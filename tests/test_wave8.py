@@ -73,3 +73,60 @@ def test_flags_and_gates():
     with debug():
         assert is_debug_enabled()
     assert not is_debug_enabled()
+
+
+def test_profiler():
+    from pytorch_geometric_tpu.profile import Profiler
+    from pytorch_geometric_tpu.nn.models import GCN
+    x = X[:, :6]
+    coo = jnp.asarray(np.stack([rng.integers(0, 10, 20),
+                                rng.integers(0, 10, 20)]).astype(
+                                    np.int32))
+    model = GCN(hidden_channels=8, num_layers=2, out_channels=3)
+    params = model.init(jax.random.PRNGKey(0), x, coo)
+    rows = Profiler(model).profile(params, x, coo)
+    mods = {r['module'] for r in rows}
+    assert any('conv_0' in m for m in mods)
+    assert any('conv_1' in m for m in mods)
+    out = Profiler.format(rows)
+    assert 'Output shape' in out
+
+
+def test_list_and_dense_loaders():
+    from pytorch_geometric_tpu.loader import (DataListLoader,
+                                              DenseDataLoader)
+    from pytorch_geometric_tpu.datasets import FakeDataset
+    ds = FakeDataset(num_graphs=6, avg_num_nodes=20, avg_degree=3,
+                     num_channels=4, task='graph', seed=0)
+    b = next(iter(DataListLoader(ds, batch_size=3)))
+    assert isinstance(b, list) and len(b) == 3
+
+    # dense loader needs same-size graphs: use dense tensors directly
+    class Dense:
+        def __init__(self):
+            from pytorch_geometric_tpu.data import Data
+            self.graphs = [Data(x=np.ones((5, 3), np.float32),
+                                adj=np.eye(5, dtype=np.float32),
+                                y=np.array([i]), num_nodes=5)
+                           for i in range(4)]
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return self.graphs[i]
+
+    b = next(iter(DenseDataLoader(Dense(), batch_size=2)))
+    assert b.x.shape == (2, 5, 3)
+    assert b.adj.shape == (2, 5, 5)
+
+
+def test_data_summary():
+    from pytorch_geometric_tpu.data import summary
+    from pytorch_geometric_tpu.datasets import FakeDataset
+    ds = FakeDataset(num_graphs=5, avg_num_nodes=20, avg_degree=3,
+                     num_channels=4, task='graph', seed=0)
+    s = summary(ds)
+    assert s.num_graphs == 5
+    assert s.num_nodes.mean > 0
+    assert 'Summary' in repr(s)
