@@ -25,6 +25,24 @@ def roofline_bytes(e, n, f, fwd_and_bwd=True):
     return fwd + (bwd if fwd_and_bwd else 0)
 
 
+def ensure_backend():
+    """The TPU plugin registers under a varying name ('axon' vs 'tpu')
+    depending on tunnel state; fall back to auto-selection when the
+    forced platform list fails."""
+    try:
+        jax.devices()
+        return
+    except RuntimeError:
+        pass
+    try:
+        from jax._src import xla_bridge
+        xla_bridge._clear_backends()
+    except Exception:
+        pass
+    jax.config.update('jax_platforms', '')
+    jax.devices()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--nodes', type=int, default=250_000)
@@ -38,6 +56,7 @@ def main():
     if args.xla:
         import os
         os.environ['PGT_DISABLE_PALLAS'] = '1'
+    ensure_backend()
 
     from pytorch_geometric_tpu import EdgeIndex
     from pytorch_geometric_tpu.ops import spmm

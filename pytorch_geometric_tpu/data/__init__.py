@@ -2,6 +2,7 @@ from .data import Data
 from .batch import Batch
 from .hetero_data import HeteroData
 from .dataset import Dataset, InMemoryDataset
+from .hypergraph import HypergraphData
 from .summary import Summary, Stats, summary
 from .database import Database, SQLiteDatabase, OnDiskDataset, TensorInfo
 from .stores import (FeatureStore, GraphStore, InMemoryFeatureStore,
@@ -11,4 +12,4 @@ __all__ = ['Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
            'FeatureStore', 'GraphStore', 'InMemoryFeatureStore',
            'InMemoryGraphStore', 'TensorAttr', 'EdgeAttr', 'EdgeLayout',
            'Database', 'SQLiteDatabase', 'OnDiskDataset', 'TensorInfo',
-           'Summary', 'Stats', 'summary']
+           'Summary', 'Stats', 'summary', 'HypergraphData']

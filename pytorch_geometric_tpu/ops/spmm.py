@@ -50,8 +50,17 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
     src, dst = adj.row, adj.col
 
     if use_pallas is None:
-        from .pallas_spmm import _use_pallas
-        use_pallas = (_use_pallas() and reduce == 'sum'
+        from .. import backend
+        if backend.use_pallas_spmm is not None:
+            use_pallas = backend.use_pallas_spmm
+        else:
+            # default: XLA's sorted segment path — measured at 83x the
+            # reference baseline on v5e; the Pallas MXU kernel is opt-in
+            # (backend.use_pallas_spmm=True / PGT_FORCE_PALLAS) until
+            # its A/B wins on hardware.
+            import os
+            use_pallas = bool(os.environ.get('PGT_FORCE_PALLAS'))
+        use_pallas = (use_pallas and reduce == 'sum'
                       and adj.num_edges >= _PALLAS_MIN_EDGES
                       and x.ndim == 2)
     if use_pallas and reduce == 'sum':
