@@ -53,10 +53,13 @@ def main():
                     help='force the XLA path (no Pallas)')
     ap.add_argument('--gen', default='v5e')
     args = ap.parse_args()
+    import os
     if args.xla:
-        import os
         os.environ['PGT_DISABLE_PALLAS'] = '1'
     ensure_backend()
+    if jax.default_backend() == 'cpu':
+        # don't interpret a multi-million-edge Pallas kernel on CPU
+        os.environ.pop('PGT_FORCE_PALLAS', None)
 
     from pytorch_geometric_tpu import EdgeIndex
     from pytorch_geometric_tpu.ops import spmm
