@@ -25,7 +25,23 @@ STEPS = 500
 BASELINE_EAGER_S = 4.8093  # compile.rst:95-117
 
 
+def _ensure_backend():
+    try:
+        jax.devices()
+        return
+    except RuntimeError:
+        pass
+    try:
+        from jax._src import xla_bridge
+        xla_bridge._clear_backends()
+    except Exception:
+        pass
+    jax.config.update('jax_platforms', '')
+    jax.devices()
+
+
 def main():
+    _ensure_backend()
     from pytorch_geometric_tpu.nn import gcn_norm
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
@@ -74,6 +90,7 @@ def main():
         'value': round(dt, 4),
         'unit': 's',
         'vs_baseline': round(BASELINE_EAGER_S / dt, 3),
+        'backend': jax.default_backend(),
     }))
 
 

@@ -53,6 +53,10 @@ class BlockedCSC(NamedTuple):
     dst: jnp.ndarray
     perm: jnp.ndarray
     chunk_base: jnp.ndarray
+    # position of each slot's edge in the OTHER orientation's blocked
+    # layout (host-precomputed; used by the SpMM backward) — padded
+    # slots point at slot 0
+    t_pos: Optional[jnp.ndarray] = None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -152,6 +156,8 @@ class EdgeIndex:
                 blk = build_blocked_csc(coo_np, self.num_dst_nodes)
                 blk_t = build_blocked_csc(coo_np[::-1],
                                           self.num_src_nodes)
+                blk, blk_t = _link_blocked_pair(blk, blk_t,
+                                                coo_np.shape[1])
             except Exception:   # traced coo inside jit — skip
                 blk = blk_t = None
         return EdgeIndex(self.coo, self.sparse_size,
@@ -237,6 +243,25 @@ def build_blocked_csc(coo: np.ndarray, num_dst: int,
                       dst=jnp.asarray(dst_p.astype(np.int32)),
                       perm=jnp.asarray(perm_p.astype(np.int32)),
                       chunk_base=jnp.asarray(chunk_base))
+
+
+def _link_blocked_pair(blk: BlockedCSC, blk_t: BlockedCSC,
+                       num_edges: int):
+    """Host: fill ``t_pos`` on both orientations (slot -> slot of the
+    same edge in the other layout)."""
+    perm = np.asarray(blk.perm)
+    perm_t = np.asarray(blk_t.perm)
+    inv = np.zeros(num_edges + 1, np.int64)
+    inv[np.minimum(perm, num_edges)] = np.arange(len(perm))
+    inv_t = np.zeros(num_edges + 1, np.int64)
+    inv_t[np.minimum(perm_t, num_edges)] = np.arange(len(perm_t))
+    t_pos = inv_t[np.minimum(perm, num_edges)]
+    t_pos[perm >= num_edges] = 0
+    t_pos_t = inv[np.minimum(perm_t, num_edges)]
+    t_pos_t[perm_t >= num_edges] = 0
+    blk = blk._replace(t_pos=jnp.asarray(t_pos.astype(np.int32)))
+    blk_t = blk_t._replace(t_pos=jnp.asarray(t_pos_t.astype(np.int32)))
+    return blk, blk_t
 
 
 def _build_sorted(key: jnp.ndarray, other: jnp.ndarray, n: int) -> CSR:

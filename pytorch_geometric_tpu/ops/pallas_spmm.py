@@ -32,6 +32,7 @@ import numpy as np
 BE = 1024   # edges per chunk
 BN = 128    # node-id window per chunk (MXU lane dim)
 BF = 128    # feature tile
+BG = 8      # chunks per grid step (amortises grid/DMA overhead)
 
 
 def _use_pallas() -> bool:
@@ -54,17 +55,19 @@ def _interpret() -> bool:
 
 
 def _chunk_kernel(msg_ref, local_ref, out_ref):
-    """partials = onehot(local)^T @ msg for one (chunk, feature tile).
+    """partials = onehot(local)^T @ msg for BG chunks per grid step.
 
-    msg_ref:   [1, BE, BF]; local_ref: [1, BE, 1]; out_ref: [1, BN, BF]
+    msg_ref:   [BG, BE, BF]; local_ref: [BG, BE, 1];
+    out_ref:   [BG, BN, BF]
     """
-    local = local_ref[0, :, 0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
-    onehot = (cols == local[:, None]).astype(jnp.float32)
-    out_ref[0, :, :] = jax.lax.dot_general(
-        onehot, msg_ref[0, :, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    for g in range(BG):
+        local = local_ref[g, 0, :]
+        onehot = (cols == local[:, None]).astype(jnp.float32)
+        out_ref[g, :, :] = jax.lax.dot_general(
+            onehot, msg_ref[g, :, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -99,17 +102,23 @@ def _segment_sum_mxu(msg, dst, num_segments, interpret):
     in_window = (local >= 0) & (local < BN) & (chunk_dst < num_segments)
     local_masked = jnp.where(in_window, local, BN).astype(jnp.int32)
 
+    cg = ((c + BG - 1) // BG) * BG
+    msg_g = jnp.pad(msg_p.reshape(c, BE, f_pad),
+                    ((0, cg - c), (0, 0), (0, 0)))
+    loc_g = jnp.pad(local_masked.reshape(c, 1, BE),
+                    ((0, cg - c), (0, 0), (0, 0)),
+                    constant_values=np.int32(BN))
     partials = pl.pallas_call(
         _chunk_kernel,
-        out_shape=jax.ShapeDtypeStruct((c, BN, f_pad), jnp.float32),
-        grid=(c, f_pad // BF),
+        out_shape=jax.ShapeDtypeStruct((cg, BN, f_pad), jnp.float32),
+        grid=(cg // BG, f_pad // BF),
         in_specs=[
-            pl.BlockSpec((1, BE, BF), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, BE, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((BG, BE, BF), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((BG, 1, BE), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BN, BF), lambda i, j: (i, 0, j)),
+        out_specs=pl.BlockSpec((BG, BN, BF), lambda i, j: (i, 0, j)),
         interpret=interpret,
-    )(msg_p.reshape(c, BE, f_pad), local_masked.reshape(c, BE, 1))
+    )(msg_g, loc_g)[:c]
 
     row_ids = first + jnp.arange(BN, dtype=jnp.int32)[None, :]
     row_ids = jnp.clip(row_ids, 0, num_segments)
@@ -172,17 +181,23 @@ def _seg_blocked_impl(msg, blk_meta, num_segments):
     local = jnp.where((local >= 0) & (local < BN), local,
                       BN).astype(jnp.int32)
 
+    cg = ((c + BG - 1) // BG) * BG
+    msg_g = jnp.pad(msg_p.reshape(c, BE, f_pad),
+                    ((0, cg - c), (0, 0), (0, 0)))
+    loc_g = jnp.pad(local.reshape(c, 1, BE),
+                    ((0, cg - c), (0, 0), (0, 0)),
+                    constant_values=np.int32(BN))
     partials = pl.pallas_call(
         _chunk_kernel,
-        out_shape=jax.ShapeDtypeStruct((c, BN, f_pad), jnp.float32),
-        grid=(c, f_pad // BF),
+        out_shape=jax.ShapeDtypeStruct((cg, BN, f_pad), jnp.float32),
+        grid=(cg // BG, f_pad // BF),
         in_specs=[
-            pl.BlockSpec((1, BE, BF), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, BE, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((BG, BE, BF), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((BG, 1, BE), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BN, BF), lambda i, j: (i, 0, j)),
+        out_specs=pl.BlockSpec((BG, BN, BF), lambda i, j: (i, 0, j)),
         interpret=_interpret(),
-    )(msg_p.reshape(c, BE, f_pad), local.reshape(c, BE, 1))
+    )(msg_g, loc_g)[:c]
 
     row_ids = chunk_base[:, None] + jnp.arange(BN, dtype=jnp.int32)
     row_ids = jnp.clip(row_ids, 0, num_segments)
@@ -270,14 +285,9 @@ def spmm_pallas(edge_index, x: jnp.ndarray,
             w_pad = jnp.concatenate(
                 [jnp.ones((e,), x.dtype), jnp.zeros((1,), x.dtype)])
         w_slot = w_pad[jnp.minimum(blk.perm, e)]
-        # map transpose slots -> forward slot positions (host arrays are
-        # concrete once fill_cache ran; under jit this is a cheap gather
-        # through an inverse built from the forward perm)
-        inv = jnp.full((e + 1,), blk.perm.shape[0], jnp.int32)
-        inv = inv.at[jnp.minimum(blk.perm, e)].set(
-            jnp.arange(blk.perm.shape[0], dtype=jnp.int32))
-        t_perm_pos = jnp.minimum(inv[jnp.minimum(blk_t.perm, e)],
-                                 blk.perm.shape[0] - 1)
+        # transpose-slot -> forward-slot map (host-precomputed at
+        # fill_cache time — rebuilding it per call costs an XLA scatter)
+        t_perm_pos = blk_t.t_pos
         meta = (blk.src, blk.dst, blk.chunk_base, blk_t.src, blk_t.dst,
                 blk_t.chunk_base, t_perm_pos)
         return _spmm_blocked(x, w_slot, meta,

@@ -54,12 +54,15 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
         if backend.use_pallas_spmm is not None:
             use_pallas = backend.use_pallas_spmm
         else:
-            # default: XLA's sorted segment path — measured at 83x the
-            # reference baseline on v5e; the Pallas MXU kernel is opt-in
-            # (backend.use_pallas_spmm=True / PGT_FORCE_PALLAS) until
-            # its A/B wins on hardware.
-            import os
-            use_pallas = bool(os.environ.get('PGT_FORCE_PALLAS'))
+            # heuristic: the blocked MXU kernel A/B'd 2.65x faster than
+            # the XLA path on the 3-layer-GCN train step (v5e) and
+            # 2.8x/1.55x on the spmm microbench (F=128/512) — use it on
+            # TPU whenever the host-blocked layout was prebuilt;
+            # without the layout the windowed variant pays a full
+            # overflow scatter, so fall back to XLA.
+            from .pallas_spmm import _use_pallas
+            use_pallas = (_use_pallas()
+                          and getattr(adj, 'blocked', None) is not None)
         use_pallas = (use_pallas and reduce == 'sum'
                       and adj.num_edges >= _PALLAS_MIN_EDGES
                       and x.ndim == 2)
