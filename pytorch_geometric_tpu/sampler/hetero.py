@@ -51,14 +51,6 @@ class HeteroNeighborSampler:
         self.rng = np.random.default_rng(seed)
         self.batch_size: Optional[int] = None
 
-    def _budgets(self, bs: int):
-        """Static per-type node caps + per-edge-type edge caps by hop."""
-        node_caps = {t: [0] * (len(self.fanouts) + 1)
-                     for t in self.node_types}
-        edge_caps = {et: [0] * len(self.fanouts)
-                     for et in self.edge_types}
-        return node_caps, edge_caps
-
     def sample_from_nodes(self, input_type: str,
                           inputs: NodeSamplerInput
                           ) -> HeteroSamplerOutput:
