@@ -76,16 +76,33 @@ class HeteroNeighborSampler:
             for t in self.node_types:
                 cap[t][h + 1] = new_cap[t]
 
-        local: Dict[str, Dict[int, int]] = {t: {}
-                                            for t in self.node_types}
-        nodes: Dict[str, List[int]] = {t: [] for t in self.node_types}
+        # vectorised global->local relabel tables (one per node type;
+        # the numpy analog of the reference's CPU hashmaps)
+        local: Dict[str, np.ndarray] = {
+            t: np.full(self.num_nodes[t] + 1, -1, np.int64)
+            for t in self.node_types}
+        nodes: Dict[str, List[np.ndarray]] = {t: []
+                                              for t in self.node_types}
+        counts: Dict[str, int] = {t: 0 for t in self.node_types}
         nsn: Dict[str, List[int]] = {t: [] for t in self.node_types}
-        for s in seeds:
-            if int(s) not in local[input_type]:
-                local[input_type][int(s)] = len(nodes[input_type])
-                nodes[input_type].append(int(s))
+
+        def add_new(t: str, cand: np.ndarray) -> np.ndarray:
+            """Register unseen ids (first-occurrence order); returns the
+            newly added ids."""
+            unknown = local[t][cand] < 0
+            g = cand[unknown]
+            if len(g):
+                uniq, first = np.unique(g, return_index=True)
+                uniq = uniq[np.argsort(first)]
+                local[t][uniq] = counts[t] + np.arange(len(uniq))
+                counts[t] += len(uniq)
+                nodes[t].append(uniq)
+                return uniq
+            return g
+
+        add_new(input_type, seeds)
         for t in self.node_types:
-            nsn[t] = [len(nodes[t])]
+            nsn[t] = [counts[t]]
 
         total_ecap = {et: sum(ecap[et]) for et in self.edge_types}
         rows = {et: np.full(max(total_ecap[et], 1), -1, np.int64)
@@ -100,10 +117,11 @@ class HeteroNeighborSampler:
         cursor = {et: 0 for et in self.edge_types}
 
         frontier: Dict[str, np.ndarray] = {
-            t: np.array(nodes[t], np.int64) for t in self.node_types}
+            t: (np.concatenate(nodes[t]) if nodes[t]
+                else np.zeros(0, np.int64)) for t in self.node_types}
         for h in range(H):
             f = self.fanouts[h]
-            new_frontier: Dict[str, List[int]] = {
+            new_frontier: Dict[str, List[np.ndarray]] = {
                 t: [] for t in self.node_types}
             new_counts = {t: 0 for t in self.node_types}
             for et in self.edge_types:
@@ -114,37 +132,36 @@ class HeteroNeighborSampler:
                 if len(fr):
                     srcs, eid, valid = _sample_neighbors(
                         self.cscs[et], fr, f, self.rng, self.replace)
-                    dst_local = np.repeat(
-                        [local[dst_t][int(v)] for v in fr], f)
-                    for i in range(len(srcs)):
-                        if not valid[i]:
-                            continue
-                        g = int(srcs[i])
-                        if g not in local[src_t]:
-                            local[src_t][g] = len(nodes[src_t])
-                            nodes[src_t].append(g)
-                            new_frontier[src_t].append(g)
-                            new_counts[src_t] += 1
-                        slot = base + hop_edges
-                        rows[et][slot] = local[src_t][g]
-                        cols[et][slot] = dst_local[i]
-                        eids[et][slot] = eid[i]
-                        emask[et][slot] = True
-                        hop_edges += 1
+                    dst_local = np.repeat(local[dst_t][fr], f)
+                    g = srcs[valid]
+                    fresh = add_new(src_t, g)
+                    if len(fresh):
+                        new_frontier[src_t].append(fresh)
+                        new_counts[src_t] += len(fresh)
+                    hop_edges = len(g)
+                    sl = slice(base, base + hop_edges)
+                    rows[et][sl] = local[src_t][g]
+                    cols[et][sl] = dst_local[valid]
+                    eids[et][sl] = eid[valid]
+                    emask[et][sl] = True
                 nse[et].append(hop_edges)
                 cursor[et] += ecap[et][h]
             for t in self.node_types:
                 nsn[t].append(new_counts[t])
-            frontier = {t: np.array(new_frontier[t], np.int64)
-                        for t in self.node_types}
+            frontier = {
+                t: (np.concatenate(new_frontier[t])
+                    if new_frontier[t] else np.zeros(0, np.int64))
+                for t in self.node_types}
 
         node_out, node_mask = {}, {}
         for t in self.node_types:
             n_cap = max(sum(cap[t]), 1)
             arr = np.zeros(n_cap, np.int64)
-            arr[:len(nodes[t])] = nodes[t]
+            flat = (np.concatenate(nodes[t]) if nodes[t]
+                    else np.zeros(0, np.int64))
+            arr[:len(flat)] = flat
             node_out[t] = arr
-            node_mask[t] = np.arange(n_cap) < len(nodes[t])
+            node_mask[t] = np.arange(n_cap) < len(flat)
         return HeteroSamplerOutput(
             node=node_out, node_mask=node_mask, row=rows, col=cols,
             edge=eids, edge_mask=emask, num_sampled_nodes=nsn,
