@@ -48,7 +48,7 @@ def main():
             y = jnp.asarray(np.asarray(b.y).reshape(-1)[:B])
             gm = jnp.arange(B) < b.num_graphs
             ap, opt, loss = step(ap, opt, b.x, b.edge_index.coo,
-                                 b.batch, b.node_mask(), y, gm)
+                                 b.batch, b.node_mask, y, gm)
         print(f'epoch {epoch}: loss {float(loss):.4f}')
 
 

@@ -8,8 +8,14 @@ from .database import Database, SQLiteDatabase, OnDiskDataset, TensorInfo
 from .stores import (FeatureStore, GraphStore, InMemoryFeatureStore,
                      InMemoryGraphStore, TensorAttr, EdgeAttr, EdgeLayout)
 
-__all__ = ['Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
+__all__ = [
+    'LightningDataModule', 'LightningDataset', 'LightningNodeData',
+    'LightningLinkData', 'DatasetAdapter', 'Batcher',
+    'functional_transform','Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
            'FeatureStore', 'GraphStore', 'InMemoryFeatureStore',
            'InMemoryGraphStore', 'TensorAttr', 'EdgeAttr', 'EdgeLayout',
            'Database', 'SQLiteDatabase', 'OnDiskDataset', 'TensorInfo',
            'Summary', 'Stats', 'summary', 'HypergraphData']
+from .lightning import (LightningDataModule, LightningDataset,
+                        LightningNodeData, LightningLinkData)
+from .datapipes import DatasetAdapter, Batcher, functional_transform

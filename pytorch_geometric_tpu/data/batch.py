@@ -147,6 +147,7 @@ class Batch(Data):
     def num_real_edges(self) -> int:
         return self._num_real_edges
 
+    @property
     def node_mask(self) -> jnp.ndarray:
         """Validity mask over (possibly padded) node rows."""
         return jnp.arange(self.num_nodes) < self._num_real_nodes

@@ -161,3 +161,23 @@ def voxel_grid(pos: jnp.ndarray, size, batch: Optional[jnp.ndarray] = None,
     if batch is not None:
         vid = vid + batch.astype(jnp.int64) * jnp.prod(hi)
     return vid
+
+
+def approx_knn(x: jnp.ndarray, y: jnp.ndarray, k: int,
+               batch_x: Optional[jnp.ndarray] = None,
+               batch_y: Optional[jnp.ndarray] = None):
+    """Approximate KNN (reference ``nn/pool/approx_knn.py`` — pynndescent
+    backed). The exact dense-distance kernel is already fast on the MXU,
+    so this is an alias kept for API parity."""
+    return knn(x, y, k, batch_x, batch_y)
+
+
+def decimation_indices(score: jnp.ndarray, ratio: float
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep the top ceil(N*ratio) rows by score (reference
+    ``nn/pool/decimation.py``); returns (indices, mask)."""
+    import math as _math
+    n = score.shape[0]
+    k = max(1, _math.ceil(ratio * n))
+    _, idx = jax.lax.top_k(score, k)
+    return idx, jnp.zeros((n,), bool).at[idx].set(True)

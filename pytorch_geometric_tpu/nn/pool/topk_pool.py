@@ -79,3 +79,36 @@ class SAGPooling(fnn.Module):
         select = select_topk(score, batch, batch_size, self.ratio, L,
                              self.min_score, node_mask)
         return _gather_pool(x, edge_index, select, n, self.multiplier)
+
+
+class PANPooling(fnn.Module):
+    """PAN pooling (reference ``nn/pool/pan_pool.py:14``): node score is a
+    learned mix of the projected features and the MET-matrix diagonal
+    (here approximated by the weighted self-degree of the PAN propagation,
+    i.e. the node's own aggregated magnitude), followed by top-k selection."""
+    in_channels: int
+    ratio: float = 0.5
+    min_score: Optional[float] = None
+    multiplier: float = 1.0
+
+    @fnn.compact
+    def __call__(self, x, edge_index, batch=None, batch_size: int = 1,
+                 max_nodes_per_graph: Optional[int] = None,
+                 node_mask: Optional[jnp.ndarray] = None) -> PoolOutput:
+        n = x.shape[0]
+        if batch is None:
+            batch = jnp.zeros((n,), jnp.int32)
+        L = max_nodes_per_graph or n
+        p = self.param('p', fnn.initializers.ones, (self.in_channels,))
+        beta = self.param('beta', fnn.initializers.ones, (2,))
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        # diagonal proxy: self-loop weight of A + A^T (MET diag term)
+        diag = jnp.zeros((n,)).at[dst].add(
+            jnp.where(src == dst, 1.0, 0.0))
+        score = beta[0] * (x @ p) + beta[1] * diag
+        score = jnp.tanh(score) if self.min_score is None else score
+        select = select_topk(score, batch, batch_size, self.ratio, L,
+                             self.min_score, node_mask)
+        return _gather_pool(x, edge_index, select, n, self.multiplier)

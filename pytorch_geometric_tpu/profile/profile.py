@@ -111,3 +111,14 @@ def edges_per_second(num_edges: int, seconds: float,
                      num_passes: int = 1) -> float:
     """GNN roofline counter: processed edges per second."""
     return num_edges * num_passes / max(seconds, 1e-12)
+
+
+def count_flops(fn, *args) -> dict:
+    """FLOP/byte estimate from XLA's cost analysis (the reference uses
+    fvcore, ``test/nn/test_fvcore.py``)."""
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return {'flops': float(cost.get('flops', 0.0)),
+            'bytes_accessed': float(cost.get('bytes accessed', 0.0))}
