@@ -11,7 +11,7 @@ from .stores import (FeatureStore, GraphStore, InMemoryFeatureStore,
 __all__ = [
     'LightningDataModule', 'LightningDataset', 'LightningNodeData',
     'LightningLinkData', 'DatasetAdapter', 'Batcher',
-    'functional_transform','Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
+    'functional_transform', 'HeteroBatch','Data', 'Batch', 'HeteroData', 'Dataset', 'InMemoryDataset',
            'FeatureStore', 'GraphStore', 'InMemoryFeatureStore',
            'InMemoryGraphStore', 'TensorAttr', 'EdgeAttr', 'EdgeLayout',
            'Database', 'SQLiteDatabase', 'OnDiskDataset', 'TensorInfo',
@@ -19,3 +19,4 @@ __all__ = [
 from .lightning import (LightningDataModule, LightningDataset,
                         LightningNodeData, LightningLinkData)
 from .datapipes import DatasetAdapter, Batcher, functional_transform
+from .hetero_batch import HeteroBatch

@@ -70,8 +70,26 @@ class HeteroData:
     """
 
     def __init__(self):
-        self._node: Dict[str, Dict[str, Any]] = {}
-        self._edge: Dict[EdgeType, Dict[str, Any]] = {}
+        object.__setattr__(self, '_node', {})
+        object.__setattr__(self, '_edge', {})
+        object.__setattr__(self, '_global', {})
+
+    # graph-level attributes (``data.y = ...``) live in a global store so
+    # they participate in collation (reference ``hetero_data.py`` BaseStorage
+    # global store).
+    def __setattr__(self, key, value):
+        if key.startswith('_'):
+            object.__setattr__(self, key, value)
+        else:
+            self._global[key] = value
+
+    def __getattr__(self, key):
+        if key.startswith('_'):
+            raise AttributeError(key)
+        g = object.__getattribute__(self, '_global')
+        if key in g:
+            return g[key]
+        raise AttributeError(key)
 
     # -- store access -------------------------------------------------------
     def __getitem__(self, key):
@@ -131,18 +149,24 @@ class HeteroData:
             ks = sorted(self._edge[t].keys())
             eschema.append((t, tuple(ks)))
             children.extend(self._edge[t][k] for k in ks)
-        return tuple(children), (tuple(schema), tuple(eschema))
+        gkeys = tuple(sorted(self._global.keys()))
+        children.extend(self._global[k] for k in gkeys)
+        return tuple(children), (tuple(schema), tuple(eschema), gkeys)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        schema, eschema = aux
+        schema, eschema, gkeys = aux
         obj = object.__new__(cls)
-        obj._node, obj._edge = {}, {}
+        object.__setattr__(obj, '_node', {})
+        object.__setattr__(obj, '_edge', {})
+        object.__setattr__(obj, '_global', {})
         it = iter(children)
         for t, ks in schema:
             obj._node[t] = {k: next(it) for k in ks}
         for t, ks in eschema:
             obj._edge[t] = {k: next(it) for k in ks}
+        for k in gkeys:
+            obj._global[k] = next(it)
         return obj
 
     # -- conversions (reference hetero_data.py:to_homogeneous) ---------------

@@ -33,6 +33,9 @@ class Collater:
         self.edge_buckets = edge_buckets or [2 ** k for k in range(5, 26)]
 
     def __call__(self, data_list: List[Data]) -> Batch:
+        from ..data.hetero_data import HeteroData
+        if isinstance(data_list[0], HeteroData):
+            return self._collate_hetero(data_list)
         if not self.pad:
             return Batch.from_data_list(data_list)
         n = sum(d.num_nodes for d in data_list) + 1  # +1 dump row
@@ -41,6 +44,19 @@ class Collater:
             data_list,
             pad_num_nodes=_bucket(n, self.node_buckets),
             pad_num_edges=_bucket(e, self.edge_buckets))
+
+    def _collate_hetero(self, data_list):
+        from ..data.hetero_batch import HeteroBatch
+        if not self.pad:
+            return HeteroBatch.from_hetero_list(data_list)
+        pad_n, pad_e = {}, {}
+        for t in data_list[0].node_types:
+            n = sum(d[t].num_nodes or 0 for d in data_list) + 1
+            pad_n[t] = _bucket(n, self.node_buckets)
+        for et in data_list[0].edge_types:
+            e = sum(d[et].num_edges for d in data_list)
+            pad_e[et] = _bucket(e, self.edge_buckets)
+        return HeteroBatch.from_hetero_list(data_list, pad_n, pad_e)
 
 
 class DataLoader:
