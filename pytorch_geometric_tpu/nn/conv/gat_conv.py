@@ -15,7 +15,18 @@ import jax.numpy as jnp
 
 from ..message_passing import MessagePassing
 from ...ops import softmax
+from ...ops.gat_fused import fused_gat_available, gat_aggregate
+from ...ops.pallas_spmm import _use_pallas
 from ...utils.loop import add_self_loops as _add_self_loops
+
+
+def _dropout_scale(module, dropout, deterministic, shape):
+    """Numerator-only dropout multiplier (None when inactive)."""
+    if dropout <= 0 or deterministic:
+        return None
+    rng = module.make_rng('dropout')
+    keep = jax.random.bernoulli(rng, 1.0 - dropout, shape)
+    return keep.astype(jnp.float32) / (1.0 - dropout)
 
 
 class GATConv(MessagePassing):
@@ -86,16 +97,30 @@ class GATConv(MessagePassing):
         valid = coo[1] < num_dst
         if edge_mask is not None:
             valid = valid & edge_mask
-        alpha = softmax(alpha, i_idx, num_dst, mask=valid)
-        if self.dropout > 0 and not deterministic:
-            rng = self.make_rng('dropout')
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, alpha.shape)
-            alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0)
 
-        msgs = x_src[j_idx] * alpha[..., None]           # [E, H, C]
-        msgs = jnp.where(valid[:, None, None], msgs, 0)
-        out = jax.ops.segment_sum(msgs, jnp.where(valid, i_idx, num_dst),
-                                  num_dst)
+        # fused MXU softmax-aggregation: only when the conv did not
+        # rewrite the edge set (self-loop append invalidates the cached
+        # blocked layout) and attention weights aren't requested
+        fused_ok = (not (self.add_self_loops and num_src == num_dst)
+                    and not return_attention_weights
+                    and fused_gat_available(edge_index) and _use_pallas())
+        if fused_ok:
+            scale = _dropout_scale(self, self.dropout, deterministic,
+                                   alpha.shape)
+            out = gat_aggregate(edge_index, alpha, x_src,
+                                edge_mask=valid, numerator_scale=scale)
+        else:
+            alpha = softmax(alpha, i_idx, num_dst, mask=valid)
+            if self.dropout > 0 and not deterministic:
+                rng = self.make_rng('dropout')
+                keep = jax.random.bernoulli(rng, 1.0 - self.dropout,
+                                            alpha.shape)
+                alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0)
+            msgs = x_src[j_idx] * alpha[..., None]       # [E, H, C]
+            msgs = jnp.where(valid[:, None, None], msgs, 0)
+            out = jax.ops.segment_sum(msgs,
+                                      jnp.where(valid, i_idx, num_dst),
+                                      num_dst)
 
         if self.concat:
             out = out.reshape(num_dst, H * C)
@@ -170,17 +195,27 @@ class GATv2Conv(MessagePassing):
         valid = coo[1] < num_dst
         if edge_mask is not None:
             valid = valid & edge_mask
-        from ...ops import softmax as _softmax
-        alpha = _softmax(alpha, i_idx, num_dst, mask=valid)
-        if self.dropout > 0 and not deterministic:
-            rng = self.make_rng('dropout')
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, alpha.shape)
-            alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0)
 
-        msgs = x_l[j_idx] * alpha[..., None]
-        msgs = jnp.where(valid[:, None, None], msgs, 0)
-        out = jax.ops.segment_sum(msgs, jnp.where(valid, i_idx, num_dst),
-                                  num_dst)
+        fused_ok = (not (self.add_self_loops and num_src == num_dst)
+                    and not return_attention_weights
+                    and fused_gat_available(edge_index) and _use_pallas())
+        if fused_ok:
+            scale = _dropout_scale(self, self.dropout, deterministic,
+                                   alpha.shape)
+            out = gat_aggregate(edge_index, alpha, x_l,
+                                edge_mask=valid, numerator_scale=scale)
+        else:
+            alpha = softmax(alpha, i_idx, num_dst, mask=valid)
+            if self.dropout > 0 and not deterministic:
+                rng = self.make_rng('dropout')
+                keep = jax.random.bernoulli(rng, 1.0 - self.dropout,
+                                            alpha.shape)
+                alpha = jnp.where(keep, alpha / (1.0 - self.dropout), 0)
+            msgs = x_l[j_idx] * alpha[..., None]
+            msgs = jnp.where(valid[:, None, None], msgs, 0)
+            out = jax.ops.segment_sum(msgs,
+                                      jnp.where(valid, i_idx, num_dst),
+                                      num_dst)
         if self.concat:
             out = out.reshape(num_dst, H * C)
         else:

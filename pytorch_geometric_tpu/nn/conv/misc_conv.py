@@ -188,3 +188,33 @@ class WLConv:
             hist /= np.maximum(np.linalg.norm(hist, axis=-1,
                                               keepdims=True), 1e-12)
         return hist
+
+
+class MeshCNNConv(fnn.Module):
+    """MeshCNN edge convolution (reference ``nn/conv/meshcnn_conv.py:13``):
+
+        x'_i = W0 x_i + W1 |a-c| + W2 (a+c) + W3 |b-d| + W4 (b+d)
+
+    over the 4 ring neighbors (a, b upper face; c, d lower face) of each
+    mesh edge. TPU design: neighbors come as a dense ``ring [E, 4]``
+    index array (the reference's ``[2, 4|E|]`` adjacency in fixed a/b/c/d
+    column order reshapes to this) so the stencil is 4 aligned gathers +
+    5 MXU matmuls — no message-passing scatter at all.
+    """
+    out_channels: int
+    use_bias: bool = True
+
+    @fnn.compact
+    def __call__(self, x: jnp.ndarray, ring: jnp.ndarray) -> jnp.ndarray:
+        e = x.shape[0]
+        if ring.ndim == 2 and ring.shape[0] == 2:   # [2, 4E] PyG layout
+            ring = ring[1].reshape(e, 4)
+        safe = jnp.minimum(ring, e - 1)
+        a, b, c, d = (x[safe[:, k]] for k in range(4))
+        feats = [x, jnp.abs(a - c), a + c, jnp.abs(b - d), b + d]
+        out = fnn.Dense(self.out_channels, use_bias=self.use_bias,
+                        name='w0')(feats[0])
+        for k in range(1, 5):
+            out = out + fnn.Dense(self.out_channels, use_bias=False,
+                                  name=f'w{k}')(feats[k])
+        return out

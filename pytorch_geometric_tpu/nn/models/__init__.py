@@ -10,11 +10,13 @@ from .node2vec import Node2Vec, MetaPath2Vec, random_walk
 from .schnet import SchNet, GaussianSmearing
 from .molecular import (AttentiveFP, DimeNetPlusPlus, SignedGCN, RECT_L,
                         GroupAddRev)
+from .force_field import GNNFF, RENet, GaussianFilter
 from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
 from .transformers import SGFormer, Polynormer, GraphMixer
 
 __all__ = [
+    'GNNFF', 'RENet', 'GaussianFilter',
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
     'basic_gnn_inference',
     'InnerProductDecoder', 'GAE', 'VGAE', 'ARGA', 'ARGVA',

@@ -37,6 +37,9 @@ BG = 8      # chunks per grid step (amortises grid/DMA overhead)
 
 def _use_pallas() -> bool:
     import os
+    from .. import backend
+    if backend.use_pallas_spmm is not None:
+        return bool(backend.use_pallas_spmm)
     if os.environ.get('PGT_DISABLE_PALLAS'):
         return False
     if os.environ.get('PGT_FORCE_PALLAS'):
@@ -48,10 +51,12 @@ def _use_pallas() -> bool:
 
 
 def _interpret() -> bool:
-    import os
-    if os.environ.get('PGT_FORCE_PALLAS'):
+    # interpret mode whenever the kernel path is active on a non-TPU
+    # backend (tests force it on CPU via env or the backend knob)
+    try:
         return jax.default_backend() not in ('tpu', 'axon')
-    return False
+    except Exception:
+        return True
 
 
 def _precision():

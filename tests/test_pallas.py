@@ -166,3 +166,80 @@ def test_blocked_spmm_grads():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rgw),
                                rtol=1e-3, atol=1e-3)
+
+
+class TestFusedGAT:
+    """Fused softmax-aggregation (ops/gat_fused.py) vs the XLA path."""
+
+    def _graph(self, n=300, e=2500, h=4, f=16, seed=0):
+        rng = np.random.default_rng(seed)
+        src, dst = rng.integers(0, n, e), rng.integers(0, n, e)
+        ei = EdgeIndex(jnp.asarray(np.stack([src, dst])),
+                       (n, n)).fill_cache(blocked=True)
+        logits = jnp.asarray(rng.normal(size=(e, h)).astype(np.float32)) * 3
+        v = jnp.asarray(rng.normal(size=(n, h, f)).astype(np.float32))
+        return ei, jnp.asarray(src), jnp.asarray(dst), logits, v
+
+    def test_matches_xla_softmax_aggregate(self):
+        from pytorch_geometric_tpu.ops import softmax as seg_softmax
+        from pytorch_geometric_tpu.ops.gat_fused import gat_aggregate
+        ei, src, dst, logits, v = self._graph()
+        n = v.shape[0]
+
+        def ref(l, v):
+            alpha = seg_softmax(l, dst, n)
+            return jax.ops.segment_sum(v[src] * alpha[:, :, None], dst, n)
+
+        o1 = ref(logits, v)
+        o2 = gat_aggregate(ei, logits, v)
+        assert float(jnp.abs(o1 - o2).max()) < 1e-5
+        g1 = jax.grad(lambda l, v: (ref(l, v) ** 2).sum(),
+                      argnums=(0, 1))(logits, v)
+        g2 = jax.grad(lambda l, v: (gat_aggregate(ei, l, v) ** 2).sum(),
+                      argnums=(0, 1))(logits, v)
+        assert float(jnp.abs(g1[0] - g2[0]).max()) < 1e-4
+        assert float(jnp.abs(g1[1] - g2[1]).max()) < 1e-4
+
+    def test_edge_mask(self):
+        from pytorch_geometric_tpu.ops import softmax as seg_softmax
+        from pytorch_geometric_tpu.ops.gat_fused import gat_aggregate
+        ei, src, dst, logits, v = self._graph(seed=1)
+        n = v.shape[0]
+        rng = np.random.default_rng(2)
+        mask = jnp.asarray(rng.random(logits.shape[0]) < 0.7)
+        lm = jnp.where(mask[:, None], logits, -jnp.inf)
+        alpha = seg_softmax(lm, dst, n)
+        alpha = jnp.where(mask[:, None], alpha, 0)
+        o1 = jax.ops.segment_sum(v[src] * alpha[:, :, None], dst, n)
+        o2 = gat_aggregate(ei, logits, v, edge_mask=mask)
+        assert float(jnp.abs(o1 - o2).max()) < 1e-5
+
+    def test_numerator_scale(self):
+        from pytorch_geometric_tpu.ops import softmax as seg_softmax
+        from pytorch_geometric_tpu.ops.gat_fused import gat_aggregate
+        ei, src, dst, logits, v = self._graph(seed=3)
+        n = v.shape[0]
+        rng = np.random.default_rng(4)
+        scale = jnp.asarray((rng.random(logits.shape) < 0.5)
+                            .astype(np.float32)) * 2.0
+        alpha = seg_softmax(logits, dst, n) * scale
+        o1 = jax.ops.segment_sum(v[src] * alpha[:, :, None], dst, n)
+        o2 = gat_aggregate(ei, logits, v, numerator_scale=scale)
+        assert float(jnp.abs(o1 - o2).max()) < 1e-5
+
+    def test_gatconv_dispatch_parity(self):
+        from pytorch_geometric_tpu import backend
+        from pytorch_geometric_tpu.nn.conv import GATConv
+        ei, src, dst, logits, v = self._graph(n=120, e=800, f=8)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(120, 10)).astype(np.float32))
+        m = GATConv(out_channels=6, heads=3, add_self_loops=False)
+        params = m.init(jax.random.PRNGKey(0), x, ei)
+        try:
+            backend.use_pallas_spmm = True
+            out_fused = m.apply(params, x, ei)
+            backend.use_pallas_spmm = False
+            out_ref = m.apply(params, x, ei)
+        finally:
+            backend.use_pallas_spmm = None
+        assert float(jnp.abs(out_fused - out_ref).max()) < 1e-4
