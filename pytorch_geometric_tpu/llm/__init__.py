@@ -1,5 +1,7 @@
 from .models import LLM, SentenceTransformer, GRetriever
 from .rag import LargeGraphIndexer, RAGQueryLoader
 
-__all__ = ['LLM', 'SentenceTransformer', 'GRetriever',
+__all__ = [
+    'GLEM', 'glem_loss','LLM', 'SentenceTransformer', 'GRetriever',
            'LargeGraphIndexer', 'RAGQueryLoader']
+from .glem import GLEM, glem_loss

@@ -45,17 +45,26 @@ class TransformerConv(MessagePassing):
         if e is not None:
             k_j = k_j + e
         alpha = (q[dst] * k_j).sum(-1) / jnp.sqrt(C)     # [E, H]
-        alpha = self.edge_softmax(alpha, dst, n_dst, edge_mask)
-        msg = v[src]
-        if e is not None:
-            msg = msg + e
-        msg = msg * alpha[..., None]
-        if edge_mask is not None:
-            msg = jnp.where(edge_mask[:, None, None], msg, 0)
-        from ...ops import scatter
-        out = scatter(msg.reshape(-1, H * C), dst, n_dst, 'sum',
-                      mask=edge_mask)
-        out = out.reshape(n_dst, H, C)
+
+        from ...ops.gat_fused import fused_gat_available, gat_aggregate
+        from ...ops.pallas_spmm import _use_pallas
+        fused_ok = (e is None and not return_attention_weights
+                    and fused_gat_available(edge_index) and _use_pallas())
+        if fused_ok:
+            # one MXU pass for softmax numerator + denominator
+            out = gat_aggregate(edge_index, alpha, v, edge_mask=edge_mask)
+        else:
+            alpha = self.edge_softmax(alpha, dst, n_dst, edge_mask)
+            msg = v[src]
+            if e is not None:
+                msg = msg + e
+            msg = msg * alpha[..., None]
+            if edge_mask is not None:
+                msg = jnp.where(edge_mask[:, None, None], msg, 0)
+            from ...ops import scatter
+            out = scatter(msg.reshape(-1, H * C), dst, n_dst, 'sum',
+                          mask=edge_mask)
+            out = out.reshape(n_dst, H, C)
 
         if self.concat:
             out = out.reshape(n_dst, H * C)

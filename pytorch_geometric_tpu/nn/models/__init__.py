@@ -11,12 +11,18 @@ from .schnet import SchNet, GaussianSmearing
 from .molecular import (AttentiveFP, DimeNetPlusPlus, SignedGCN, RECT_L,
                         GroupAddRev)
 from .force_field import GNNFF, RENet, GaussianFilter
+from .visnet import ViSNet, ViSNetBlock, ViS_MP, EquivariantScalar
+from .lpformer import LPFormer, LPAttLayer, build_link_context
+from .gpse import GPSE, GPSENodeEncoder, AddGPSE, precompute_gpse
 from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
 from .transformers import SGFormer, Polynormer, GraphMixer
 
 __all__ = [
     'GNNFF', 'RENet', 'GaussianFilter',
+    'ViSNet', 'ViSNetBlock', 'ViS_MP', 'EquivariantScalar',
+    'LPFormer', 'LPAttLayer', 'build_link_context',
+    'GPSE', 'GPSENodeEncoder', 'AddGPSE', 'precompute_gpse',
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
     'basic_gnn_inference',
     'InnerProductDecoder', 'GAE', 'VGAE', 'ARGA', 'ARGVA',
