@@ -81,9 +81,11 @@ def _chunk_kernel(msg_ref, local_ref, out_ref):
     cols = jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
     for g in range(BG):
         local = local_ref[g, 0, :]
+        # bf16 messages stream HBM->VMEM at half the traffic and are
+        # widened on-chip (Mosaic rejects a bf16 one-hot LHS)
         onehot = (cols == local[:, None]).astype(jnp.float32)
         out_ref[g, :, :] = jax.lax.dot_general(
-            onehot, msg_ref[g, :, :],
+            onehot, msg_ref[g, :, :].astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)
@@ -194,8 +196,9 @@ def _seg_blocked_impl(msg, blk_meta, num_segments):
     e_pad, f = msg.shape
     c = e_pad // BE
     f_pad = ((max(f, 1) + BF - 1) // BF) * BF
+    dt = jnp.bfloat16 if msg.dtype == jnp.bfloat16 else jnp.float32
     msg_p = (jnp.pad(msg, ((0, 0), (0, f_pad - f)))
-             if f_pad != f else msg).astype(jnp.float32)
+             if f_pad != f else msg).astype(dt)
     local = dst.reshape(c, BE) - chunk_base[:, None]
     local = jnp.where((local >= 0) & (local < BN), local,
                       BN).astype(jnp.int32)
