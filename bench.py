@@ -66,22 +66,29 @@ def main():
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()
 
-    @jax.jit
-    def train_step(params, opt_state, x, edge_index, w, y):
+    def train_step(carry, _):
+        params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, x, edge_index,
                                                   w, y)
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    # All STEPS inside one device call (lax.scan): the whole training
+    # loop compiles to a single XLA program, so host<->device dispatch
+    # overhead is paid once, not per step — the TPU-native analog of the
+    # reference's 500-iteration python loop.
+    @jax.jit
+    def train_n(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            train_step, (params, opt_state), None, length=STEPS)
+        return params, opt_state, losses[-1]
 
     # Warmup / compile.
-    params, opt_state, loss = train_step(params, opt_state, x, edge_index,
-                                         w, y)
+    p1, o1, loss = train_n(params, opt_state)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        params, opt_state, loss = train_step(params, opt_state, x,
-                                             edge_index, w, y)
+    params, opt_state, loss = train_n(params, opt_state)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
