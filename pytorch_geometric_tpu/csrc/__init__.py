@@ -59,6 +59,21 @@ def load():
             i64p, u8p, i64p, i64p, i64p, u8p,          # outputs
             i64p, i64p,
         ]
+        i64pp = ctypes.POINTER(i64p)
+        u8pp = ctypes.POINTER(u8p)
+        lib.hetero_neighbor_sample.restype = ctypes.c_int64
+        lib.hetero_neighbor_sample.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,            # T, R
+            i64pp, i64pp, i64pp,                       # colptrs, rows, eids
+            i64p, i64p,                                # src_type, dst_type
+            ctypes.c_int64, i64p, ctypes.c_int64,      # input_type, seeds
+            i64p, ctypes.c_int64,                      # fanouts, H
+            i64p, i64p,                                # n_caps, ecap_hop
+            ctypes.c_int, ctypes.c_uint64,             # replace, seed
+            i64pp, u8pp,                               # node_out, node_mask
+            i64pp, i64pp, i64pp, u8pp,                 # row/col/eid/mask
+            i64p, i64p,                                # nsn, nse
+        ]
         lib.random_walk.restype = None
         lib.random_walk.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,

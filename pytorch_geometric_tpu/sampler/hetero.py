@@ -51,11 +51,109 @@ class HeteroNeighborSampler:
         self.rng = np.random.default_rng(seed)
         self.batch_size: Optional[int] = None
 
+    def _budgets(self, input_type: str, bs: int):
+        """Static per-type node / per-edge-type per-hop budgets."""
+        H = len(self.fanouts)
+        cap = {t: [0] * (H + 1) for t in self.node_types}
+        cap[input_type][0] = bs
+        ecap = {et: [0] * H for et in self.edge_types}
+        for h in range(H):
+            f = self.fanouts[h]
+            for (src, rel, dst) in self.edge_types:
+                ecap[(src, rel, dst)][h] = cap[dst][h] * f
+            new_cap = {t: 0 for t in self.node_types}
+            for (src, rel, dst) in self.edge_types:
+                new_cap[src] += cap[dst][h] * f
+            for t in self.node_types:
+                cap[t][h + 1] = new_cap[t]
+        return cap, ecap
+
+    def _sample_native(self, input_type: str, seeds: np.ndarray,
+                       bs: int) -> Optional[HeteroSamplerOutput]:
+        """C++ fast path (csrc/sampler.cpp::hetero_neighbor_sample)."""
+        import ctypes
+        from ..csrc import load
+        lib = load()
+        if lib is None:
+            return None
+        H = len(self.fanouts)
+        cap, ecap = self._budgets(input_type, bs)
+        T, R = len(self.node_types), len(self.edge_types)
+        tix = {t: i for i, t in enumerate(self.node_types)}
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+
+        def pp(arrs, ty):
+            return (ty * len(arrs))(*[a.ctypes.data_as(ty) for a in arrs])
+
+        colptrs = [np.ascontiguousarray(self.cscs[et].colptr, np.int64)
+                   for et in self.edge_types]
+        rows = [np.ascontiguousarray(self.cscs[et].row, np.int64)
+                for et in self.edge_types]
+        eids = [np.ascontiguousarray(self.cscs[et].eid, np.int64)
+                for et in self.edge_types]
+        src_t = np.asarray([tix[et[0]] for et in self.edge_types],
+                           np.int64)
+        dst_t = np.asarray([tix[et[2]] for et in self.edge_types],
+                           np.int64)
+        n_caps = np.asarray([max(sum(cap[t]), 1)
+                             for t in self.node_types], np.int64)
+        ecap_flat = np.asarray([ecap[et][h] for et in self.edge_types
+                                for h in range(H)], np.int64)
+        e_caps = [max(int(ecap_flat[r * H:(r + 1) * H].sum()), 1)
+                  for r in range(R)]
+
+        node_bufs = [np.zeros(int(n), np.int64) for n in n_caps]
+        nmask_bufs = [np.zeros(int(n), np.uint8) for n in n_caps]
+        row_bufs = [np.full(e, -1, np.int64) for e in e_caps]
+        col_bufs = [np.full(e, -1, np.int64) for e in e_caps]
+        eid_bufs = [np.zeros(e, np.int64) for e in e_caps]
+        emask_bufs = [np.zeros(e, np.uint8) for e in e_caps]
+        nsn = np.zeros(T * (H + 1), np.int64)
+        nse = np.zeros(R * H, np.int64)
+        seeds = np.ascontiguousarray(seeds, np.int64)
+        fan = np.asarray(self.fanouts, np.int64)
+
+        lib.hetero_neighbor_sample(
+            T, R, pp(colptrs, i64p), pp(rows, i64p), pp(eids, i64p),
+            src_t.ctypes.data_as(i64p), dst_t.ctypes.data_as(i64p),
+            tix[input_type], seeds.ctypes.data_as(i64p), len(seeds),
+            fan.ctypes.data_as(i64p), H,
+            n_caps.ctypes.data_as(i64p), ecap_flat.ctypes.data_as(i64p),
+            int(self.replace), int(self.rng.integers(2 ** 62)),
+            pp(node_bufs, i64p), pp(nmask_bufs, u8p),
+            pp(row_bufs, i64p), pp(col_bufs, i64p), pp(eid_bufs, i64p),
+            pp(emask_bufs, u8p),
+            nsn.ctypes.data_as(i64p), nse.ctypes.data_as(i64p))
+
+        return HeteroSamplerOutput(
+            node={t: node_bufs[i] for i, t in enumerate(self.node_types)},
+            node_mask={t: nmask_bufs[i].astype(bool)
+                       for i, t in enumerate(self.node_types)},
+            row={et: row_bufs[r] for r, et in enumerate(self.edge_types)},
+            col={et: col_bufs[r] for r, et in enumerate(self.edge_types)},
+            edge={et: eid_bufs[r]
+                  for r, et in enumerate(self.edge_types)},
+            edge_mask={et: emask_bufs[r].astype(bool)
+                       for r, et in enumerate(self.edge_types)},
+            num_sampled_nodes={
+                t: nsn[tix[t] * (H + 1):(tix[t] + 1) * (H + 1)].tolist()
+                for t in self.node_types},
+            num_sampled_edges={
+                et: nse[r * H:(r + 1) * H].tolist()
+                for r, et in enumerate(self.edge_types)},
+            batch_size=len(seeds), input_type=input_type)
+
     def sample_from_nodes(self, input_type: str,
                           inputs: NodeSamplerInput
                           ) -> HeteroSamplerOutput:
         seeds = np.asarray(inputs.node, np.int64)
         bs = self.batch_size or len(seeds)
+        from ..csrc import WITH_NATIVE_SAMPLER
+        if WITH_NATIVE_SAMPLER:
+            out = self._sample_native(input_type, seeds, bs)
+            if out is not None:
+                return out
         H = len(self.fanouts)
 
         # dynamic frontier simulation to compute static budgets: frontier

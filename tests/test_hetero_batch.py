@@ -98,3 +98,41 @@ def test_global_store_collation():
     flat, td = jax.tree_util.tree_flatten(b)
     b2 = jax.tree_util.tree_unflatten(td, flat)
     np.testing.assert_array_equal(np.asarray(b2.y), [0, 1, 0])
+
+
+def test_hetero_native_sampler_topology():
+    """C++ hetero_neighbor_sample (csrc/sampler.cpp) produces valid
+    relabeled subgraphs; numpy fallback agrees on budgets/shapes."""
+    from pytorch_geometric_tpu.sampler.base import NodeSamplerInput
+    from pytorch_geometric_tpu.sampler.hetero import HeteroNeighborSampler
+    rng = np.random.default_rng(0)
+    NP, NA = 500, 300
+    d = HeteroData()
+    d['paper'].x = np.zeros((NP, 1), np.float32)
+    d['author'].x = np.zeros((NA, 1), np.float32)
+    d[ET].edge_index = np.stack(
+        [rng.integers(0, NA, 2000), rng.integers(0, NP, 2000)])
+    s = HeteroNeighborSampler(d, [4, 3], seed=0)
+    seeds = rng.integers(0, NP, 16)
+    out = s.sample_from_nodes('paper', NodeSamplerInput(seeds))
+    coo = np.asarray(d[ET].edge_index)
+    r, c, m = out.row[ET], out.col[ET], out.edge_mask[ET]
+    assert (r[m] >= 0).all() and (c[m] >= 0).all()
+    gsrc = out.node['author'][r[m]]
+    gdst = out.node['paper'][c[m]]
+    eid = out.edge[ET][m]
+    np.testing.assert_array_equal(coo[0][eid], gsrc)
+    np.testing.assert_array_equal(coo[1][eid], gdst)
+    # seeds occupy the first local slots of the input type
+    uniq = seeds[np.sort(np.unique(seeds, return_index=True)[1])]
+    np.testing.assert_array_equal(out.node['paper'][:len(uniq)], uniq)
+    # numpy fallback produces the same static shapes
+    import pytorch_geometric_tpu.sampler.hetero as hmod
+    orig = hmod.HeteroNeighborSampler._sample_native
+    try:
+        hmod.HeteroNeighborSampler._sample_native = lambda *a, **k: None
+        out2 = s.sample_from_nodes('paper', NodeSamplerInput(seeds))
+    finally:
+        hmod.HeteroNeighborSampler._sample_native = orig
+    assert out2.node['paper'].shape == out.node['paper'].shape
+    assert out2.row[ET].shape == out.row[ET].shape
