@@ -85,6 +85,12 @@ class Data:
     def __getitem__(self, key: str):
         return self._store.get(key)
 
+    def __setitem__(self, key: str, value):
+        setattr(self, key, value)
+
+    def __delitem__(self, key: str):
+        self._store.pop(key, None)
+
     def __contains__(self, key: str) -> bool:
         return key in self._store
 
@@ -127,6 +133,10 @@ class Data:
         if ei is not None and ei.size:
             return int(np.asarray(ei).max()) + 1
         return None
+
+    @num_nodes.setter
+    def num_nodes(self, value):
+        self._num_nodes = None if value is None else int(value)
 
     @property
     def num_edges(self) -> int:

@@ -15,7 +15,21 @@ from .splits import (RandomNodeSplit, RandomLinkSplit, IndexToMask,
                      MaskToIndex)
 from .diffusion import GDC, AddMetaPaths, RootedEgoNets, HalfHop
 
+from .misc import (ComposeFilters, AddRemainingSelfLoops, Delaunay,
+                   FixedPoints, GenerateMeshNormals, LaplacianLambdaMax,
+                   LargestConnectedComponents, LinearTransformation,
+                   LocalCartesian, NodePropertySplit, NormalizeRotation,
+                   PointPairFeatures, RemoveTrainingClasses,
+                   RootedRWSubgraph, ToDense, ToDevice,
+                   AddRandomMetaPaths)
+
 __all__ = [
+    'ComposeFilters', 'AddRemainingSelfLoops', 'Delaunay', 'FixedPoints',
+    'GenerateMeshNormals', 'LaplacianLambdaMax',
+    'LargestConnectedComponents', 'LinearTransformation',
+    'LocalCartesian', 'NodePropertySplit', 'NormalizeRotation',
+    'PointPairFeatures', 'RemoveTrainingClasses', 'RootedRWSubgraph',
+    'ToDense', 'ToDevice', 'AddRandomMetaPaths',
     'BaseTransform', 'Compose',
     'ToUndirected', 'AddSelfLoops', 'RemoveSelfLoops',
     'RemoveDuplicatedEdges', 'RemoveIsolatedNodes', 'TwoHop', 'VirtualNode',
