@@ -1,5 +1,5 @@
-from .explanation import Explanation
-from .config import ExplainerConfig, ModelConfig, Threshold
+from .explanation import Explanation, HeteroExplanation
+from .config import ExplainerConfig, ModelConfig, Threshold, ThresholdConfig
 from .explainer import Explainer
 from .algorithm import (ExplainerAlgorithm, GNNExplainer, DummyExplainer,
                         AttentionExplainer)
@@ -7,7 +7,7 @@ from .metric import (groundtruth_metrics, fidelity,
                      characterization_score, unfaithfulness)
 
 __all__ = [
-    'Explanation', 'ExplainerConfig', 'ModelConfig', 'Threshold',
+    'Explanation', 'HeteroExplanation', 'ThresholdConfig', 'ExplainerConfig', 'ModelConfig', 'Threshold',
     'Explainer', 'ExplainerAlgorithm', 'GNNExplainer', 'DummyExplainer',
     'AttentionExplainer', 'groundtruth_metrics', 'fidelity',
     'characterization_score', 'unfaithfulness',

@@ -22,3 +22,7 @@ class ModelConfig:
 class Threshold:
     type: str = 'topk'
     value: float = 10
+
+
+# reference-name alias (explain/config.py:ThresholdConfig)
+ThresholdConfig = Threshold

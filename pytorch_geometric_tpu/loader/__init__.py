@@ -5,7 +5,7 @@ from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .temporal import TemporalDataLoader
 from .ibmb import IBMBNodeLoader
 from .prefetch import PrefetchLoader, CachedLoader
-from .list_loader import DataListLoader, DenseDataLoader
+from .list_loader import ZipLoader, AffinityMixin, MultithreadingMixin, LogMemoryMixin, DataListLoader, DenseDataLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
                           GraphSAINTRandomWalkSampler, ShaDowKHopSampler,
@@ -22,3 +22,9 @@ __all__ = [
     'GraphSAINTRandomWalkSampler', 'ShaDowKHopSampler', 'RandomNodeLoader',
     'ImbalancedSampler', 'DynamicBatchSampler',
 ]
+
+# reference-name aliases
+from .neighbor_loader import NeighborLoader as NodeLoader  # base role
+from .neighbor_loader import LinkNeighborLoader as LinkLoader
+__all__ += ['NodeLoader', 'LinkLoader', 'ZipLoader',
+            'AffinityMixin', 'MultithreadingMixin', 'LogMemoryMixin']

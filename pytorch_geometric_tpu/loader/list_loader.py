@@ -60,3 +60,44 @@ class DenseDataLoader:
                 g[k].coo if hasattr(g[k], 'coo') else g[k]))
                 for g in graphs]) for k in keys}
             yield Data(num_nodes=graphs[0].num_nodes, **stacked)
+
+
+class ZipLoader:
+    """Zip several loaders into one iterator
+    (reference ``loader/zip_loader.py``)."""
+
+    def __init__(self, loaders, filter_per_worker: bool = False):
+        self.loaders = list(loaders)
+
+    def __len__(self):
+        return min(len(ld) for ld in self.loaders)
+
+    def __iter__(self):
+        return zip(*self.loaders)
+
+
+class AffinityMixin:
+    """CPU-affinity context (reference ``loader/mixin.py:15``). JAX's
+    dispatch is single-process host-side, so worker pinning is a no-op;
+    kept for API parity."""
+
+    def enable_cpu_affinity(self, loader_cores=None):
+        import contextlib
+        return contextlib.nullcontext()
+
+
+class MultithreadingMixin:
+    """(reference ``mixin.py:78``) — no-op under JAX dispatch."""
+
+    def enable_multithreading(self, worker_threads: int = 1):
+        import contextlib
+        return contextlib.nullcontext()
+
+
+class LogMemoryMixin:
+    """(reference ``mixin.py:100``)."""
+
+    def _mem_report(self):
+        import resource
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        print(f'peak host memory: {peak / 1024:.1f} MB')

@@ -13,7 +13,8 @@ from .rgcn_conv import RGCNConv, FastRGCNConv
 from .gen_conv import (GENConv, FiLMConv, PDNConv, GeneralConv, PNAConv,
                        EGConv)
 from .misc_conv import (SignedConv, DirGNNConv, AntiSymmetricConv,
-                        HypergraphConv, WLConv, MeshCNNConv)
+                        HypergraphConv, WLConv, MeshCNNConv, SimpleConv,
+                        GCN2Conv, PointGNNConv)
 from .point_conv import (PointNetConv, EdgeConv, DynamicEdgeConv, PPFConv,
                          PointTransformerConv, GravNetConv)
 from .hetero_conv import HeteroConv, HGTConv, HANConv
@@ -31,7 +32,7 @@ __all__ = [
     'MixHopConv', 'TransformerConv', 'RGCNConv', 'FastRGCNConv',
     'GENConv', 'FiLMConv', 'PDNConv', 'GeneralConv', 'PNAConv', 'EGConv',
     'SignedConv', 'DirGNNConv', 'AntiSymmetricConv', 'HypergraphConv',
-    'WLConv', 'MeshCNNConv', 'PointNetConv', 'EdgeConv', 'DynamicEdgeConv', 'PPFConv',
+    'WLConv', 'MeshCNNConv', 'SimpleConv', 'GCN2Conv', 'PointGNNConv', 'PointNetConv', 'EdgeConv', 'DynamicEdgeConv', 'PPFConv',
     'PointTransformerConv', 'GravNetConv', 'HeteroConv', 'HGTConv', 'HANConv',
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv',
     'GMMConv', 'SplineConv', 'NNConv', 'CGConv', 'FeaStConv',

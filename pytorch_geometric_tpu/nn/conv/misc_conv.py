@@ -218,3 +218,118 @@ class MeshCNNConv(fnn.Module):
             out = out + fnn.Dense(self.out_channels, use_bias=False,
                                   name=f'w{k}')(feats[k])
         return out
+
+
+class SimpleConv(MessagePassing):
+    """Non-trainable propagation (reference ``simple_conv.py:19``):
+    out_i = aggr_j e_ji * x_j, optionally combined with the root
+    (combine_root in {'sum', 'cat', 'self_loop', None})."""
+    aggr: str = 'sum'
+    combine_root: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, edge_index,
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ...utils.loop import add_self_loops as _asl
+        x_src, x_dst = x if isinstance(x, tuple) else (x, x)
+        n = x_dst.shape[0]
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        if self.combine_root == 'self_loop':
+            coo, edge_weight = _asl(coo, edge_weight, num_nodes=n)
+            if edge_mask is not None:
+                edge_mask = jnp.concatenate(
+                    [edge_mask, jnp.ones((n,), bool)])
+        src = jnp.minimum(coo[0], x_src.shape[0] - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        msg = x_src[src]
+        if edge_weight is not None:
+            msg = msg * edge_weight[:, None]
+        valid = coo[1] < n
+        if edge_mask is not None:
+            valid = valid & edge_mask
+        out = scatter(msg, dst, n, self.aggr, mask=valid)
+        if self.combine_root == 'sum':
+            out = out + x_dst
+        elif self.combine_root == 'cat':
+            out = jnp.concatenate([x_dst, out], -1)
+        return out
+
+
+class GCN2Conv(MessagePassing):
+    """GCNII (reference ``gcn2_conv.py:15``):
+    out = ((1-a) P x + a x0) ((1-b) I + b W)."""
+    channels: int
+    alpha: float = 0.1
+    theta: Optional[float] = None
+    layer: Optional[int] = None
+    shared_weights: bool = True
+    normalize: bool = True
+    add_self_loops: bool = True
+
+    @fnn.compact
+    def __call__(self, x, x_0, edge_index,
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        import math as _math
+        from .gcn_conv import gcn_norm
+        from ...ops import spmm as _spmm
+        n = x.shape[0]
+        beta = 1.0
+        if self.theta is not None or self.layer is not None:
+            beta = _math.log(self.theta / self.layer + 1)
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        if self.normalize:
+            coo, edge_weight = gcn_norm(coo, edge_weight, n,
+                                        add_self_loops=self.add_self_loops)
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        w = edge_weight if edge_weight is not None \
+            else jnp.ones(coo.shape[1])
+        valid = coo[1] < n
+        if edge_mask is not None:
+            valid = valid & edge_mask
+        msg = x[src] * jnp.where(valid, w, 0)[:, None]
+        h = jax.ops.segment_sum(msg, jnp.where(valid, dst, n), n)
+        h = (1 - self.alpha) * h
+        x0 = self.alpha * x_0[:n]
+        w1 = self.param('weight1', fnn.initializers.glorot_uniform(),
+                        (self.channels, self.channels))
+        if self.shared_weights:
+            out = h + x0
+            return (1 - beta) * out + beta * (out @ w1)
+        w2 = self.param('weight2', fnn.initializers.glorot_uniform(),
+                        (self.channels, self.channels))
+        return ((1 - beta) * h + beta * (h @ w1)
+                + (1 - beta) * x0 + beta * (x0 @ w2))
+
+
+class PointGNNConv(MessagePassing):
+    """Point-GNN (reference ``point_gnn_conv.py``): predicted coordinate
+    offsets sharpen the relative-position messages."""
+    channels: int
+
+    @fnn.compact
+    def __call__(self, x, pos, edge_index,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        n = x.shape[0]
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        delta = fnn.Dense(3, name='mlp_h2')(fnn.relu(
+            fnn.Dense(self.channels, name='mlp_h1')(x)))
+        e = jnp.concatenate(
+            [pos[src] - pos[dst] + delta[dst], x[src]], -1)
+        msg = fnn.Dense(self.channels, name='mlp_f2')(fnn.relu(
+            fnn.Dense(self.channels, name='mlp_f1')(e)))
+        valid = coo[1] < n
+        if edge_mask is not None:
+            valid = valid & edge_mask
+        msg = jnp.where(valid[:, None], msg, 0)
+        agg = jax.ops.segment_max(
+            jnp.where(valid[:, None], msg, -jnp.inf),
+            jnp.where(valid, dst, n), n + 1)[:n]
+        agg = jnp.where(jnp.isfinite(agg), agg, 0)
+        out = fnn.Dense(self.channels, name='mlp_g2')(fnn.relu(
+            fnn.Dense(self.channels, name='mlp_g1')(agg)))
+        return x + out

@@ -14,6 +14,8 @@ from .force_field import GNNFF, RENet, GaussianFilter
 from .visnet import ViSNet, ViSNetBlock, ViS_MP, EquivariantScalar
 from .lpformer import LPFormer, LPAttLayer, build_link_context
 from .gpse import GPSE, GPSENodeEncoder, AddGPSE, precompute_gpse
+from .misc_models import HeteroJumpingKnowledge, ARLinkPredictor
+from .molecular import DimeNetPlusPlus as DimeNet  # lite base alias
 from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
 from .transformers import SGFormer, Polynormer, GraphMixer
@@ -23,6 +25,7 @@ __all__ = [
     'ViSNet', 'ViSNetBlock', 'ViS_MP', 'EquivariantScalar',
     'LPFormer', 'LPAttLayer', 'build_link_context',
     'GPSE', 'GPSENodeEncoder', 'AddGPSE', 'precompute_gpse',
+    'HeteroJumpingKnowledge', 'ARLinkPredictor', 'DimeNet',
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
     'basic_gnn_inference',
     'InnerProductDecoder', 'GAE', 'VGAE', 'ARGA', 'ARGVA',

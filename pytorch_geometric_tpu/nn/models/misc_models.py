@@ -434,3 +434,66 @@ class GraphUNet(fnn.Module):
             if d > 1:
                 cur_x = fnn.relu(cur_x)
         return cur_x
+
+
+class HeteroJumpingKnowledge(fnn.Module):
+    """Per-type JumpingKnowledge (reference
+    ``jumping_knowledge.py:103``)."""
+    types: Sequence[str]
+    mode: str = 'cat'
+    channels: Optional[int] = None
+    num_layers: Optional[int] = None
+
+    @fnn.compact
+    def __call__(self, xs_dict):
+        out = {}
+        for t in self.types:
+            jk = JumpingKnowledge(mode=self.mode, channels=self.channels,
+                                  name=f'jk_{t}')
+            out[t] = jk(xs_dict[t])
+        return out
+
+
+class ARLinkPredictor(fnn.Module):
+    """Attract-Repel link predictor (reference
+    ``nn/models/attract_repel.py:5``): embeddings split into attract /
+    repel halves; score = <a_i, a_j> - <r_i, r_j>."""
+    in_channels: int
+    hidden_channels: int
+    out_channels: Optional[int] = None
+    num_layers: int = 2
+    dropout: float = 0.0
+    attract_ratio: float = 0.5
+
+    def _dims(self):
+        out = self.out_channels or self.hidden_channels
+        a = int(out * self.attract_ratio)
+        return a, out - a
+
+    @fnn.compact
+    def encode(self, x, deterministic: bool = True):
+        h = x
+        for i in range(self.num_layers - 1):
+            h = fnn.relu(fnn.Dense(self.hidden_channels,
+                                   name=f'lin_{i}')(h))
+            if self.dropout > 0 and not deterministic:
+                rng = self.make_rng('dropout')
+                keep = 1.0 - self.dropout
+                h = h * jax.random.bernoulli(rng, keep, h.shape) / keep
+        a_dim, r_dim = self._dims()
+        return (fnn.Dense(a_dim, name='lin_attract')(h),
+                fnn.Dense(r_dim, name='lin_repel')(h))
+
+    def __call__(self, x, edge_index, deterministic: bool = True):
+        attract, repel = self.encode(x, deterministic)
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        src, dst = coo[0], coo[1]
+        score = ((attract[src] * attract[dst]).sum(-1)
+                 - (repel[src] * repel[dst]).sum(-1))
+        return jax.nn.sigmoid(score)
+
+    @staticmethod
+    def calculate_r_fraction(attract_emb, repel_emb):
+        r2 = (repel_emb ** 2).sum()
+        a2 = (attract_emb ** 2).sum()
+        return r2 / jnp.maximum(a2 + r2, 1e-12)

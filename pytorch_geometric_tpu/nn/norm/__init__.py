@@ -7,3 +7,6 @@ __all__ = [
     'PairNorm', 'MeanSubtractionNorm', 'MsgNorm', 'DiffGroupNorm',
     'HeteroBatchNorm', 'HeteroLayerNorm',
 ]
+
+MessageNorm = MsgNorm  # reference-name alias (norm/msg_norm.py)
+__all__.append('MessageNorm')

@@ -236,3 +236,66 @@ class MemPooling(fnn.Module):
         p = s2 / jnp.maximum(s2.sum(-1, keepdims=True), 1e-12)
         return (p * jnp.log(jnp.maximum(p, 1e-12)
                             / jnp.maximum(s, 1e-12))).sum(-1).mean()
+
+
+class ClusterPooling(fnn.Module):
+    """Edge-based graph component pooling (reference
+    ``nn/pool/cluster_pool.py:21``): score each edge, keep edges above a
+    threshold, contract the resulting connected components (host-side
+    union-find, like graclus here) with sum aggregation.
+
+    Returns (x_pooled [N, F] padded, cluster [N], edge_index', edge_mask',
+    num_clusters). Static shapes: pooled x keeps N rows (empty clusters
+    are zero).
+    """
+    in_channels: int
+    edge_score_method: str = 'tanh'
+    threshold: Optional[float] = None
+
+    @fnn.compact
+    def __call__(self, x, edge_index,
+                 edge_mask: Optional[jnp.ndarray] = None):
+        n = x.shape[0]
+        coo = np.asarray(edge_index.coo if hasattr(edge_index, 'coo')
+                         else edge_index)
+        src = jnp.minimum(jnp.asarray(coo[0]), n - 1)
+        dst = jnp.minimum(jnp.asarray(coo[1]), n - 1)
+        e_feat = jnp.concatenate([x[src], x[dst]], -1)
+        raw = fnn.Dense(1, name='lin')(e_feat)[:, 0]
+        if self.edge_score_method == 'sigmoid':
+            score = jax.nn.sigmoid(raw)
+            th = 0.5 if self.threshold is None else self.threshold
+        elif self.edge_score_method == 'log_softmax':
+            score = jax.nn.log_softmax(raw)
+            th = 0.0 if self.threshold is None else self.threshold
+        else:
+            score = jnp.tanh(raw)
+            th = 0.0 if self.threshold is None else self.threshold
+        keep = np.asarray(score > th)
+        if edge_mask is not None:
+            keep = keep & np.asarray(edge_mask)
+
+        # host union-find over kept edges
+        parent = np.arange(n)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for s, d in zip(coo[0][keep], coo[1][keep]):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        roots = np.asarray([find(v) for v in range(n)])
+        uniq, cluster = np.unique(roots, return_inverse=True)
+        k = len(uniq)
+
+        cl = jnp.asarray(cluster)
+        pooled = jnp.zeros_like(x).at[cl].add(x)
+        new_coo = np.stack([cluster[coo[0]], cluster[coo[1]]])
+        new_mask = new_coo[0] != new_coo[1]
+        if edge_mask is not None:
+            new_mask = new_mask & np.asarray(edge_mask)
+        return pooled, cl, jnp.asarray(new_coo), jnp.asarray(new_mask), k

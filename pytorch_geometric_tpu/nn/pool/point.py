@@ -181,3 +181,11 @@ def decimation_indices(score: jnp.ndarray, ratio: float
     k = max(1, _math.ceil(ratio * n))
     _, idx = jax.lax.top_k(score, k)
     return idx, jnp.zeros((n,), bool).at[idx].set(True)
+
+
+def approx_knn_graph(x: jnp.ndarray, k: int,
+                     batch: Optional[jnp.ndarray] = None,
+                     loop: bool = False, flow: str = 'source_to_target'):
+    """(reference ``approx_knn.py:approx_knn_graph``) — exact kernel
+    alias, see :func:`approx_knn`."""
+    return knn_graph(x, k, batch, loop, flow=flow)

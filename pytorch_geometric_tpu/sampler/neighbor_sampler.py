@@ -244,3 +244,19 @@ class NeighborSampler(BaseSampler):
         out.metadata = {'edge_label': label,
                         'edge_label_index': np.stack([src_idx, dst_idx])}
         return out
+
+
+class BidirectionalNeighborSampler(NeighborSampler):
+    """Samples over the union of in- and out-edges
+    (reference ``neighbor_sampler.py:620``): the CSC is built on
+    A + A^T so hops traverse both directions."""
+
+    def __init__(self, data, num_neighbors, **kwargs):
+        import numpy as _np
+        ei = data.edge_index
+        coo = _np.asarray(ei.coo if hasattr(ei, 'coo') else ei)
+        both = _np.concatenate([coo, coo[::-1]], 1)
+        both = _np.unique(both, axis=1)
+        d2 = data.replace(edge_index=both) if hasattr(data, 'replace') \
+            else type(data)(x=data.x, edge_index=both)
+        super().__init__(d2, num_neighbors, **kwargs)
