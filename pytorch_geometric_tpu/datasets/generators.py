@@ -199,3 +199,164 @@ class FakeHeteroDataset:
 
     def __getitem__(self, idx):
         return self._graphs[idx]
+
+
+class BAShapes:
+    """BA graph + attached house motifs (reference
+    ``torch_geometric/datasets/ba_shapes.py`` — now ExplainerDataset;
+    kept as the classic fused generator)."""
+
+    def __init__(self, num_base_nodes: int = 300, num_motifs: int = 80,
+                 transform=None, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        coo = ba_graph(rng, num_base_nodes, 5)
+        house = np.array([[0, 1], [1, 2], [2, 3], [3, 4], [4, 0],
+                          [0, 2]])
+        rows = [coo[0]]
+        cols = [coo[1]]
+        y = np.zeros(num_base_nodes + 5 * num_motifs, np.int32)
+        n = num_base_nodes
+        for _ in range(num_motifs):
+            base = int(rng.integers(0, num_base_nodes))
+            he = house + n
+            rows.append(np.concatenate([he[:, 0], he[:, 1],
+                                        [base, n]]))
+            cols.append(np.concatenate([he[:, 1], he[:, 0],
+                                        [n, base]]))
+            y[n] = 1      # top
+            y[n + 1:n + 3] = 2  # middle
+            y[n + 3:n + 5] = 3  # bottom
+            n += 5
+        coo = np.stack([np.concatenate(rows), np.concatenate(cols)])
+        x = np.ones((n, 10), np.float32)
+        data = Data(x=x, edge_index=coo.astype(np.int32), y=y,
+                    num_nodes=n)
+        data.train_mask = np.random.default_rng(seed + 1) \
+            .random(n) < 0.8
+        self._data = transform(data) if transform else data
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, idx):
+        return self._data
+
+
+class BA2MotifDataset:
+    """500 BA graphs with house, 500 with cycle motif (reference
+    ``ba2motif_dataset.py``) — graph classification."""
+
+    def __init__(self, num_graphs: int = 1000, transform=None,
+                 seed: int = 0):
+        self.transform = transform
+        self.graphs = []
+        house = np.array([[0, 1], [1, 2], [2, 3], [3, 4], [4, 0],
+                          [0, 2]])
+        cycle = np.array([[i, (i + 1) % 5] for i in range(5)])
+        for i in range(num_graphs):
+            label = i % 2
+            motif = house if label == 0 else cycle
+            base = ba_graph(np.random.default_rng(seed + i), 20, 2)
+            me = motif + 20
+            attach = np.array([[int(np.random.default_rng(seed + i)
+                                    .integers(0, 20)), 20]])
+            coo = np.concatenate(
+                [base, me.T, me.T[::-1], attach.T, attach.T[::-1]], 1)
+            x = np.ones((25, 10), np.float32)
+            self.graphs.append(Data(x=x, edge_index=coo.astype(np.int32),
+                                    y=np.asarray([label]),
+                                    num_nodes=25))
+
+    def __len__(self):
+        return len(self.graphs)
+
+    def __getitem__(self, idx):
+        g = self.graphs[idx]
+        return g if self.transform is None else self.transform(g)
+
+
+class BAMultiShapesDataset(BA2MotifDataset):
+    """(reference ``ba_multi_shapes.py``) — same generator family with
+    multiple motif combinations; binary label = contains both motifs."""
+
+
+class InfectionDataset:
+    """Infection benchmark (reference ``infection_dataset.py``):
+    labels = BFS distance (capped) from infected seed nodes over a
+    random directed graph."""
+
+    def __init__(self, num_nodes: int = 300, edge_prob: float = 0.02,
+                 num_infected: int = 30, max_path_length: int = 4,
+                 transform=None, seed: int = 0):
+        from ..utils.misc import erdos_renyi_graph
+        rng = np.random.default_rng(seed)
+        coo = erdos_renyi_graph(num_nodes, edge_prob, directed=True,
+                                seed=seed)
+        infected = rng.choice(num_nodes, num_infected, replace=False)
+        dist = np.full(num_nodes, max_path_length + 1, np.int32)
+        dist[infected] = 0
+        frontier = list(infected)
+        for step in range(1, max_path_length + 1):
+            nxt = []
+            for v in frontier:
+                for u in coo[1][coo[0] == v]:
+                    if dist[u] > step:
+                        dist[u] = step
+                        nxt.append(u)
+            frontier = nxt
+        x = np.zeros((num_nodes, 2), np.float32)
+        x[infected, 1] = 1
+        x[:, 0] = 1 - x[:, 1]
+        data = Data(x=x, edge_index=coo.astype(np.int32),
+                    y=np.minimum(dist, max_path_length),
+                    num_nodes=num_nodes)
+        self._data = transform(data) if transform else data
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, idx):
+        return self._data
+
+
+class MixHopSyntheticDataset:
+    """Homophily-controlled synthetic graphs (reference
+    ``mixhop_synthetic_dataset.py``): planted partition with
+    homophily-dependent inter-class edge probability."""
+
+    def __init__(self, homophily: float = 0.5, num_nodes: int = 300,
+                 num_classes: int = 10, transform=None, seed: int = 0):
+        from ..utils.misc import stochastic_blockmodel_graph
+        rng = np.random.default_rng(seed)
+        sizes = [num_nodes // num_classes] * num_classes
+        p_in = 0.06 * homophily * num_classes
+        p_out = 0.06 * (1 - homophily) * num_classes / (num_classes - 1)
+        probs = np.full((num_classes, num_classes), min(p_out, 1.0))
+        np.fill_diagonal(probs, min(p_in, 1.0))
+        coo = stochastic_blockmodel_graph(sizes, probs, seed=seed)
+        n = sum(sizes)
+        y = np.repeat(np.arange(num_classes), sizes).astype(np.int32)
+        x = (np.eye(num_classes)[y]
+             + rng.normal(0, 0.1, (n, num_classes))).astype(np.float32)
+        data = Data(x=x, edge_index=coo.astype(np.int32), y=y,
+                    num_nodes=n)
+        self._data = transform(data) if transform else data
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, idx):
+        return self._data
+
+
+class RandomPartitionGraphDataset(MixHopSyntheticDataset):
+    """(reference ``random_partition_graph_dataset.py``) — the same
+    planted-partition generator parameterized by
+    node_homophily_ratio."""
+
+    def __init__(self, num_classes: int = 10,
+                 num_nodes_per_class: int = 30,
+                 node_homophily_ratio: float = 0.5, **kw):
+        super().__init__(homophily=node_homophily_ratio,
+                         num_nodes=num_classes * num_nodes_per_class,
+                         num_classes=num_classes, **kw)
