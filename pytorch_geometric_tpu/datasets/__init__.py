@@ -26,6 +26,21 @@ from .big_graphs import (Reddit, Reddit2, Flickr, Yelp, AmazonProducts,
 from .hetero_datasets import (DBLP, IMDB, MovieLens100K, MovieLens1M,
                               Taobao, LastFM, AMiner, OGB_MAG,
                               HGBDataset)
+from .point_datasets import (GeometricShapes, SHREC2016, MedShapeNet,
+                             Teeth3DS, CoMA, TOSCA, PCPNetDataset,
+                             ShapeNet, S3DIS, DynamicFAUST, PascalPF,
+                             WILLOWObjectClass)
+from .misc_datasets import (AmazonBook, HM, CityNetwork, DGraphFin,
+                            EllipticBitcoinTemporalDataset, GEDDataset,
+                            BrcaTcga, DBP15K, UPFD,
+                            SuiteSparseMatrixCollection, PCQM4Mv2,
+                            CornellTemporalHyperGraphDataset,
+                            CWQDataset, WebQSPDataset, AirfRANS,
+                            NeuroGraphDataset, OPFDataset, HydroNet,
+                            OMDB, OSE_GVCS, RCDD, IGMCDataset,
+                            GraphLandDataset, TAGDataset,
+                            ProteinMPNNDataset, GitMolDataset,
+                            InstructMolDataset, MoleculeGPTDataset)
 
 __all__ = [
     'FakeDataset', 'planetoid_like', 'KarateClub',
@@ -49,4 +64,15 @@ __all__ = [
     'Reddit', 'Reddit2', 'Flickr', 'Yelp', 'AmazonProducts', 'NELL',
     'DBLP', 'IMDB', 'MovieLens100K', 'MovieLens1M', 'Taobao', 'LastFM',
     'AMiner', 'OGB_MAG', 'HGBDataset',
+    'GeometricShapes', 'SHREC2016', 'MedShapeNet', 'Teeth3DS', 'CoMA',
+    'TOSCA', 'PCPNetDataset', 'ShapeNet', 'S3DIS', 'DynamicFAUST',
+    'PascalPF', 'WILLOWObjectClass',
+    'AmazonBook', 'HM', 'CityNetwork', 'DGraphFin',
+    'EllipticBitcoinTemporalDataset', 'GEDDataset', 'BrcaTcga',
+    'DBP15K', 'UPFD', 'SuiteSparseMatrixCollection', 'PCQM4Mv2',
+    'CornellTemporalHyperGraphDataset', 'CWQDataset', 'WebQSPDataset',
+    'AirfRANS', 'NeuroGraphDataset', 'OPFDataset', 'HydroNet', 'OMDB',
+    'OSE_GVCS', 'RCDD', 'IGMCDataset', 'GraphLandDataset', 'TAGDataset',
+    'ProteinMPNNDataset', 'GitMolDataset', 'InstructMolDataset',
+    'MoleculeGPTDataset',
 ]

@@ -2,7 +2,7 @@ from ..message_passing import MessagePassing
 from .gcn_conv import GCNConv, gcn_norm
 from .sage_conv import SAGEConv
 from .gin_conv import GINConv, GINEConv
-from .gat_conv import GATConv, GATv2Conv
+from .gat_conv import GATConv, GATv2Conv, FusedGATConv
 from .graph_conv import (GraphConv, ResGatedGraphConv, GatedGraphConv,
                          LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,
                          WLConvContinuous, LGConv)
@@ -25,7 +25,7 @@ from .x_conv import XConv
 
 __all__ = [
     'MessagePassing', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
-    'GINEConv', 'GATConv', 'GATv2Conv',
+    'GINEConv', 'GATConv', 'GATv2Conv', 'FusedGATConv',
     'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv', 'LEConv', 'MFConv',
     'FAConv', 'AGNNConv', 'ClusterGCNConv', 'WLConvContinuous', 'LGConv',
     'ChebConv', 'ARMAConv', 'SGConv', 'SSGConv', 'TAGConv', 'APPNP',

@@ -227,3 +227,20 @@ class GATv2Conv(MessagePassing):
         if return_attention_weights:
             return out, (coo, alpha)
         return out
+
+
+class FusedGATConv(GATConv):
+    """Alias of :class:`GATConv` (reference ``fused_gat_conv.py`` wraps
+    dgNN CUDA kernels): here the fused path IS the default — GATConv
+    dispatches onto the Pallas MXU softmax-aggregation kernel whenever
+    the blocked edge layout is cached (see ``ops/gat_fused.py``)."""
+
+    @staticmethod
+    def to_graph_format(edge_index, size=None):
+        """(reference ``fused_gat_conv.py:to_graph_format``) — returns
+        the EdgeIndex with blocked caches filled, the analog of the
+        CSR/CSC/permutation triple dgNN wants."""
+        from ...edge_index import EdgeIndex
+        if not isinstance(edge_index, EdgeIndex):
+            edge_index = EdgeIndex(edge_index, size)
+        return edge_index.fill_cache(blocked=True)

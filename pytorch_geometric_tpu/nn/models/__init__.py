@@ -14,7 +14,9 @@ from .force_field import GNNFF, RENet, GaussianFilter
 from .visnet import ViSNet, ViSNetBlock, ViS_MP, EquivariantScalar
 from .lpformer import LPFormer, LPAttLayer, build_link_context
 from .gpse import GPSE, GPSENodeEncoder, AddGPSE, precompute_gpse
-from .misc_models import HeteroJumpingKnowledge, ARLinkPredictor
+from .misc_models import (HeteroJumpingKnowledge, ARLinkPredictor,
+                          to_captum_model, to_captum_input,
+                          captum_output_to_dicts)
 from .molecular import DimeNetPlusPlus as DimeNet  # lite base alias
 from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
@@ -26,6 +28,7 @@ __all__ = [
     'LPFormer', 'LPAttLayer', 'build_link_context',
     'GPSE', 'GPSENodeEncoder', 'AddGPSE', 'precompute_gpse',
     'HeteroJumpingKnowledge', 'ARLinkPredictor', 'DimeNet',
+    'to_captum_model', 'to_captum_input', 'captum_output_to_dicts',
     'MLP', 'BasicGNN', 'GCN', 'GraphSAGE', 'GIN', 'GAT', 'PNA', 'EdgeCNN',
     'basic_gnn_inference',
     'InnerProductDecoder', 'GAE', 'VGAE', 'ARGA', 'ARGVA',

@@ -497,3 +497,20 @@ class ARLinkPredictor(fnn.Module):
         r2 = (repel_emb ** 2).sum()
         a2 = (attract_emb ** 2).sum()
         return r2 / jnp.maximum(a2 + r2, 1e-12)
+
+
+def to_captum_model(*args, **kwargs):  # pragma: no cover - torch-only
+    """The reference's captum bridge (``nn/models/captum.py``) is
+    torch-autograd-specific; for attribution use ``explain.Explainer``
+    with GNNExplainer/AttentionExplainer, or ``jax.grad`` directly."""
+    raise ImportError('to_captum_model requires torch-captum; use '
+                      'pytorch_geometric_tpu.explain instead')
+
+
+def to_captum_input(*args, **kwargs):  # pragma: no cover
+    raise ImportError('to_captum_input requires torch-captum; use '
+                      'pytorch_geometric_tpu.explain instead')
+
+
+def captum_output_to_dicts(*args, **kwargs):  # pragma: no cover
+    raise ImportError('captum_output_to_dicts requires torch-captum')

@@ -21,7 +21,7 @@ from .misc import (ComposeFilters, AddRemainingSelfLoops, Delaunay,
                    LocalCartesian, NodePropertySplit, NormalizeRotation,
                    PointPairFeatures, RemoveTrainingClasses,
                    RootedRWSubgraph, ToDense, ToDevice,
-                   AddRandomMetaPaths)
+                   AddRandomMetaPaths, ToSLIC)
 
 __all__ = [
     'ComposeFilters', 'AddRemainingSelfLoops', 'Delaunay', 'FixedPoints',
@@ -29,7 +29,7 @@ __all__ = [
     'LargestConnectedComponents', 'LinearTransformation',
     'LocalCartesian', 'NodePropertySplit', 'NormalizeRotation',
     'PointPairFeatures', 'RemoveTrainingClasses', 'RootedRWSubgraph',
-    'ToDense', 'ToDevice', 'AddRandomMetaPaths',
+    'ToDense', 'ToDevice', 'AddRandomMetaPaths', 'ToSLIC',
     'BaseTransform', 'Compose',
     'ToUndirected', 'AddSelfLoops', 'RemoveSelfLoops',
     'RemoveDuplicatedEdges', 'RemoveIsolatedNodes', 'TwoHop', 'VirtualNode',

@@ -448,3 +448,35 @@ class AddRandomMetaPaths(BaseTransform):
             ei = np.stack([start[alive], cur[alive]])
             data[(src_t, f'metapath_{j}', dst_t)].edge_index = ei
         return data
+
+
+class ToSLIC(BaseTransform):
+    """Image -> SLIC superpixel graph (reference ``to_superpixels.py``;
+    skimage-gated like the reference's optional dep)."""
+
+    def __init__(self, add_seg: bool = False, add_img: bool = False,
+                 **slic_kwargs):
+        self.add_seg, self.add_img = add_seg, add_img
+        self.slic_kwargs = slic_kwargs
+
+    def __call__(self, img):
+        try:
+            from skimage.segmentation import slic
+        except ImportError as e:  # pragma: no cover
+            raise ImportError('ToSLIC requires scikit-image') from e
+        img = np.asarray(img)
+        seg = slic(img, **self.slic_kwargs)
+        k = int(seg.max()) + 1
+        pos = np.zeros((k, 2))
+        x = np.zeros((k, img.shape[-1] if img.ndim == 3 else 1))
+        for s in range(k):
+            ys, xs = np.nonzero(seg == s)
+            pos[s] = [xs.mean(), ys.mean()]
+            x[s] = img[ys, xs].reshape(len(ys), -1).mean(0)
+        d = Data(x=x.astype(np.float32),
+                 pos=pos.astype(np.float32), num_nodes=k)
+        if self.add_seg:
+            d.seg = seg
+        if self.add_img:
+            d.img = img
+        return d

@@ -33,7 +33,8 @@ from .misc import (index_to_mask, mask_to_index, mask_select, narrow,
                    to_torch_coo_tensor, to_torch_csr_tensor,
                    to_torch_csc_tensor, to_torch_sparse_tensor,
                    is_sparse, is_torch_sparse_tensor, get_embeddings,
-                   total_influence, from_smiles, from_rdmol, to_smiles,
+                   total_influence, get_embeddings_hetero,
+                   from_smiles, from_rdmol, to_smiles,
                    to_rdmol, tree_decomposition, to_dgl, from_dgl,
                    to_cugraph, from_cugraph, to_networkit,
                    from_networkit, to_trimesh, from_trimesh, group_cat)
@@ -50,7 +51,7 @@ __all__ = [
     'to_scipy_csr', 'to_scipy_csc', 'to_torch_coo_tensor',
     'to_torch_csr_tensor', 'to_torch_csc_tensor',
     'to_torch_sparse_tensor', 'is_sparse', 'is_torch_sparse_tensor',
-    'get_embeddings', 'total_influence', 'from_smiles', 'from_rdmol',
+    'get_embeddings', 'total_influence', 'get_embeddings_hetero', 'from_smiles', 'from_rdmol',
     'to_smiles', 'to_rdmol', 'tree_decomposition', 'to_dgl', 'from_dgl',
     'to_cugraph', 'from_cugraph', 'to_networkit', 'from_networkit',
     'to_trimesh', 'from_trimesh', 'group_cat', 'dropout_adj',

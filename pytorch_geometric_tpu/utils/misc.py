@@ -472,3 +472,26 @@ def group_cat(tensors, indices, dim: int = 0):
     idx = np.concatenate([np.asarray(i) for i in indices])
     order = np.argsort(idx, kind='stable')
     return np.take(cat, order, axis=dim), idx[order]
+
+
+def get_embeddings_hetero(model, params, *args, **kwargs):
+    """Per-type intermediate embeddings (reference
+    ``utils/embedding.py:get_embeddings_hetero``) via flax
+    ``capture_intermediates``; returns {node_type: [layer outputs]}
+    when intermediates are dicts, else a flat list."""
+    _, state = model.apply(params, *args, capture_intermediates=True,
+                           **kwargs)
+    per_type = {}
+
+    def walk(tree, path):
+        for k in sorted(tree):
+            v = tree[k]
+            if k == '__call__':
+                out = v[0] if isinstance(v, tuple) else v
+                if isinstance(out, dict):
+                    for t, arr in out.items():
+                        per_type.setdefault(t, []).append(arr)
+            elif isinstance(v, dict):
+                walk(v, path + (k,))
+    walk(dict(state.get('intermediates', {})), ())
+    return per_type
