@@ -40,7 +40,8 @@ from .misc_datasets import (AmazonBook, HM, CityNetwork, DGraphFin,
                             OMDB, OSE_GVCS, RCDD, IGMCDataset,
                             GraphLandDataset, TAGDataset,
                             ProteinMPNNDataset, GitMolDataset,
-                            InstructMolDataset, MoleculeGPTDataset)
+                            InstructMolDataset, MoleculeGPTDataset,
+                            QM7b, PascalVOCKeypoints)
 
 __all__ = [
     'FakeDataset', 'planetoid_like', 'KarateClub',
@@ -74,5 +75,5 @@ __all__ = [
     'AirfRANS', 'NeuroGraphDataset', 'OPFDataset', 'HydroNet', 'OMDB',
     'OSE_GVCS', 'RCDD', 'IGMCDataset', 'GraphLandDataset', 'TAGDataset',
     'ProteinMPNNDataset', 'GitMolDataset', 'InstructMolDataset',
-    'MoleculeGPTDataset',
+    'MoleculeGPTDataset', 'QM7b', 'PascalVOCKeypoints',
 ]

@@ -432,3 +432,36 @@ ProteinMPNNDataset = _GatedDataset('ProteinMPNNDataset', 'pdb dumps')
 GitMolDataset = _GatedDataset('GitMolDataset', 'rdkit')
 InstructMolDataset = _GatedDataset('InstructMolDataset', 'rdkit')
 MoleculeGPTDataset = _GatedDataset('MoleculeGPTDataset', 'rdkit')
+
+
+class QM7b(InMemoryDataset):
+    """QM7b molecules (reference ``qm7.py`` — .mat with Coulomb
+    matrices + multi-target labels)."""
+
+    @property
+    def raw_file_names(self) -> Sequence[str]:
+        return ['qm7b.mat']
+
+    def process(self):
+        from scipy.io import loadmat
+        m = loadmat(osp.join(self.raw_dir, 'qm7b.mat'))
+        coulomb = m['X']          # [N_mol, 23, 23]
+        targets = m['T'].astype(np.float32)
+        out = []
+        for i in range(coulomb.shape[0]):
+            C = coulomb[i]
+            mask = C.any(0)
+            C = C[mask][:, mask]
+            r, c = np.nonzero(np.triu(C, 1))
+            coo = np.concatenate([np.stack([r, c]),
+                                  np.stack([c, r])], 1)
+            w = np.concatenate([C[r, c], C[c, r]]).astype(np.float32)
+            out.append(Data(edge_index=coo.astype(np.int64),
+                            edge_attr=w, y=targets[i:i + 1],
+                            num_nodes=int(mask.sum()),
+                            z=np.diag(C).astype(np.float32)))
+        self.save(out)
+
+
+PascalVOCKeypoints = _GatedDataset('PascalVOCKeypoints',
+                                   'VOC xml annotations + images')

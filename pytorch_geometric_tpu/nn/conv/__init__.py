@@ -2,7 +2,7 @@ from ..message_passing import MessagePassing
 from .gcn_conv import GCNConv, gcn_norm
 from .sage_conv import SAGEConv
 from .gin_conv import GINConv, GINEConv
-from .gat_conv import GATConv, GATv2Conv, FusedGATConv
+from .gat_conv import GATConv, GATv2Conv, FusedGATConv, CuGraphGATConv
 from .graph_conv import (GraphConv, ResGatedGraphConv, GatedGraphConv,
                          LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,
                          WLConvContinuous, LGConv)
@@ -38,3 +38,8 @@ __all__ = [
     'GMMConv', 'SplineConv', 'NNConv', 'CGConv', 'FeaStConv',
     'DNAConv', 'PANConv', 'XConv',
 ]
+
+# cugraph aliases (CUDA wrappers in the reference; Pallas path here)
+from .rgcn_conv import RGCNConv as CuGraphRGCNConv
+from .sage_conv import SAGEConv as CuGraphSAGEConv
+__all__ += ['CuGraphGATConv', 'CuGraphRGCNConv', 'CuGraphSAGEConv']

@@ -244,3 +244,9 @@ class FusedGATConv(GATConv):
         if not isinstance(edge_index, EdgeIndex):
             edge_index = EdgeIndex(edge_index, size)
         return edge_index.fill_cache(blocked=True)
+
+
+# CUDA-ecosystem aliases (reference nn/conv/cugraph/*): cugraph wraps
+# CUDA kernels for GAT/RGCN/SAGE; on TPU the same role is played by the
+# Pallas fused/blocked paths, so these resolve to the native convs.
+CuGraphGATConv = FusedGATConv
