@@ -57,6 +57,9 @@ class BlockedCSC(NamedTuple):
     # layout (host-precomputed; used by the SpMM backward) — padded
     # slots point at slot 0
     t_pos: Optional[jnp.ndarray] = None
+    # inverse permutation: original edge id -> slot in THIS layout
+    # (host-precomputed; turns gather backward into a gather)
+    inv_pos: Optional[jnp.ndarray] = None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -259,8 +262,12 @@ def _link_blocked_pair(blk: BlockedCSC, blk_t: BlockedCSC,
     t_pos[perm >= num_edges] = 0
     t_pos_t = inv[np.minimum(perm_t, num_edges)]
     t_pos_t[perm_t >= num_edges] = 0
-    blk = blk._replace(t_pos=jnp.asarray(t_pos.astype(np.int32)))
-    blk_t = blk_t._replace(t_pos=jnp.asarray(t_pos_t.astype(np.int32)))
+    blk = blk._replace(t_pos=jnp.asarray(t_pos.astype(np.int32)),
+                       inv_pos=jnp.asarray(
+                           inv[:num_edges].astype(np.int32)))
+    blk_t = blk_t._replace(t_pos=jnp.asarray(t_pos_t.astype(np.int32)),
+                           inv_pos=jnp.asarray(
+                               inv_t[:num_edges].astype(np.int32)))
     return blk, blk_t
 
 

@@ -26,7 +26,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_spmm import segment_sum_blocked
+from .pallas_spmm import segment_max_blocked, segment_sum_blocked
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _slot_gather(x, fill_row, slots, inv_pos, e):
+    """Reorder per-edge data into blocked slots. The backward is the
+    INVERSE-permutation gather (host-precomputed ``inv_pos``), avoiding
+    the XLA scatter a plain gather's transpose would lower to."""
+    x_pad = jnp.concatenate([x, fill_row[None, :]], 0)
+    return x_pad[jnp.minimum(slots, e)]
+
+
+def _slot_gather_fwd(x, fill_row, slots, inv_pos, e):
+    return _slot_gather(x, fill_row, slots, inv_pos, e), inv_pos
+
+
+def _slot_gather_bwd(e, inv_pos, g):
+    grad_x = g[inv_pos]
+    zf = jnp.zeros((g.shape[1],), g.dtype)
+    zeros_i = np.zeros(inv_pos.shape, jax.dtypes.float0)
+    return grad_x, zf, np.zeros(g.shape[:1], jax.dtypes.float0), zeros_i
+
+
+_slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -111,29 +134,37 @@ def gat_aggregate(edge_index, logits: jnp.ndarray, v: jnp.ndarray,
     num_src = edge_index.num_src_nodes
     e = logits.shape[0]
     coo_dst = edge_index.coo[1]
+    invalid = coo_dst >= num_dst
     if edge_mask is not None:
-        logits = jnp.where(edge_mask[:, None], logits, -jnp.inf)
-    # per-dst max, gradient-free (softmax is shift invariant)
-    dst_ok = jnp.minimum(coo_dst, num_dst - 1)
-    m = jax.lax.stop_gradient(
-        jax.ops.segment_max(jnp.where((coo_dst < num_dst)[:, None],
-                                      logits, -jnp.inf),
-                            dst_ok, num_dst))
-    m = jnp.where(jnp.isfinite(m), m, 0)
-    p = jnp.exp(logits - m[dst_ok])
-    p = jnp.where((coo_dst < num_dst)[:, None], p, 0)
-    if edge_mask is not None:
-        p = jnp.where(edge_mask[:, None], p, 0)
-    # original-order -> blocked-slot order
-    p_pad = jnp.concatenate([p, jnp.zeros((1, p.shape[1]), p.dtype)])
-    slot_ids = jnp.minimum(blk.perm, e)
-    p_slot = p_pad[slot_ids]
+        invalid = invalid | ~edge_mask
+    logits = jnp.where(invalid[:, None], -jnp.inf, logits)
+    h = logits.shape[1]
+    neg = jnp.full((h,), -jnp.inf, logits.dtype)
+    # reorder to blocked slots once; everything downstream (max kernel,
+    # exp, mix kernel) runs in slot order — no original-order scatters
+    l_slot = _slot_gather(logits, neg, blk.perm, blk.inv_pos, e)
+    # per-dst stabilizer via the MXU sum kernel: softmax is invariant
+    # to ANY per-segment constant, and the log-sum-exp bound
+    # m = G + log(sum exp(l - G)) sits in [max, max + log deg] — exact
+    # stability without a scatter-max (which XLA lowers ~4x slower than
+    # the blocked segment-sum)
+    ls = jax.lax.stop_gradient(l_slot)
+    G = jnp.max(jnp.where(jnp.isfinite(ls), ls, -jnp.inf), axis=0)
+    G = jnp.where(jnp.isfinite(G), G, 0.0)
+    z = jnp.exp(jnp.maximum(ls - G, -85.0))
+    z = jnp.where(jnp.isfinite(ls), z, 0.0)
+    s0 = segment_sum_blocked(z, (blk.dst, blk.chunk_base), num_dst)
+    m = jnp.where(s0 > 0, G + jnp.log(jnp.maximum(s0, 1e-38)),
+                  G - 85.0)
+    m = jax.lax.stop_gradient(m)
+    dsafe = jnp.minimum(blk.dst, num_dst - 1)
+    p_slot = jnp.exp(l_slot - m[dsafe])          # -inf slots -> 0
+    p_slot = jnp.where((blk.dst < num_dst)[:, None], p_slot, 0)
     if numerator_scale is not None:
-        sc_pad = jnp.concatenate(
-            [numerator_scale,
-             jnp.zeros((1, numerator_scale.shape[1]),
-                       numerator_scale.dtype)])
-        p_u = p_slot * sc_pad[slot_ids]
+        zero = jnp.zeros((numerator_scale.shape[1],),
+                         numerator_scale.dtype)
+        p_u = p_slot * _slot_gather(numerator_scale, zero, blk.perm,
+                                    blk.inv_pos, e)
     else:
         p_u = p_slot
     meta = (blk.src, blk.dst, blk.chunk_base, blk_t.src, blk_t.dst,

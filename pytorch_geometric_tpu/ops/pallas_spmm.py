@@ -322,3 +322,79 @@ def spmm_pallas(edge_index, x: jnp.ndarray,
                 if edge_weight is not None else None)
     return csr_spmm(x, src_sorted, dst_sorted, w_sorted,
                     edge_index.num_dst_nodes)
+
+
+def _chunk_max_kernel(val_ref, local_ref, out_ref):
+    """Per-chunk masked segment-MAX: out[g, n, h] = max over edges e in
+    chunk g with local dst n of val[g, e, h] (-inf where none).
+
+    val_ref: [BG, BE, BH]; local_ref: [BG, 1, BE]; out_ref: [BG, BN, BH].
+    VPU-only (max has no MXU form); BH is the padded head dim.
+    """
+    bh = val_ref.shape[-1]
+    neg = jnp.float32(-3.4e38)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0)
+    for g in range(BG):
+        local = local_ref[g, 0, :]                      # [BE]
+        # f32 mask (Mosaic only supports minor-dim insertion on 32-bit)
+        onehot = (rows == local[None, :]).astype(jnp.float32)
+        acc = jnp.full((BN, bh), neg, jnp.float32)
+        vals = val_ref[g, :, :]                         # [BE, BH]
+        # max over edges via a masked broadcast reduce in BE slabs
+        # (full [BN, BE, BH] would blow VMEM at BH=128)
+        SLAB = 32
+        for s in range(BE // SLAB):
+            sl = slice(s * SLAB, (s + 1) * SLAB)
+            oh = onehot[:, sl][:, :, None]              # [BN, SLAB, 1]
+            m = oh * vals[sl][None, :, :] + (1.0 - oh) * neg
+            acc = jnp.maximum(acc, m.max(axis=1))
+        out_ref[g, :, :] = acc
+
+
+def segment_max_blocked(vals: jnp.ndarray, blk_meta,
+                        num_segments: int) -> jnp.ndarray:
+    """Blocked-layout segment-max over [E_pad, H] values; returns
+    [num_segments, H] with -inf for empty segments. Gradient-free by
+    design (used for the softmax stabilizer under stop_gradient)."""
+    dst, chunk_base = blk_meta
+    if not _use_pallas():
+        safe = jnp.minimum(dst, num_segments - 1)
+        v = jnp.where((dst < num_segments)[:, None], vals, -jnp.inf)
+        return jax.ops.segment_max(v, safe, num_segments)
+    from jax.experimental import pallas as pl
+
+    e_pad, h = vals.shape
+    c = e_pad // BE
+    h_pad = ((max(h, 1) + BF - 1) // BF) * BF
+    # clamp -inf to a finite sentinel: the kernel's arithmetic select
+    # would produce NaN from 0 * -inf
+    v = jnp.maximum(vals.astype(jnp.float32), -3.4e38)
+    if h_pad != h:
+        v = jnp.pad(v, ((0, 0), (0, h_pad - h)),
+                    constant_values=-3.4e38)
+    local = dst.reshape(c, BE) - chunk_base[:, None]
+    local = jnp.where((local >= 0) & (local < BN), local,
+                      BN).astype(jnp.int32)
+    cg = ((c + BG - 1) // BG) * BG
+    v_g = jnp.pad(v.reshape(c, BE, h_pad), ((0, cg - c), (0, 0), (0, 0)),
+                  constant_values=-3.4e38)
+    loc_g = jnp.pad(local.reshape(c, 1, BE),
+                    ((0, cg - c), (0, 0), (0, 0)),
+                    constant_values=np.int32(BN))
+    partials = pl.pallas_call(
+        _chunk_max_kernel,
+        out_shape=jax.ShapeDtypeStruct((cg, BN, h_pad), jnp.float32),
+        grid=(cg // BG, h_pad // BF),
+        in_specs=[
+            pl.BlockSpec((BG, BE, BF), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((BG, 1, BE), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BG, BN, BF), lambda i, j: (i, 0, j)),
+        interpret=_interpret(),
+    )(v_g, loc_g)[:c]
+    row_ids = chunk_base[:, None] + jnp.arange(BN, dtype=jnp.int32)
+    row_ids = jnp.clip(row_ids, 0, num_segments)
+    out = jax.ops.segment_max(
+        partials.reshape(c * BN, h_pad), row_ids.reshape(-1),
+        num_segments + 1)[:num_segments, :h]
+    return jnp.where(out <= -3e38, -jnp.inf, out)
