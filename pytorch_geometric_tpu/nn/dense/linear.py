@@ -40,14 +40,16 @@ class HeteroLinear(fnn.Module):
     is_sorted: bool = False   # kept for API parity; layout-independent here
 
     @fnn.compact
-    def __call__(self, x: jnp.ndarray, type_vec: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, type_vec: jnp.ndarray,
+                 typed_layout=None) -> jnp.ndarray:
+        from ...ops.grouped import typed_matmul
         f = x.shape[-1]
         w = self.param('weight', fnn.initializers.glorot_uniform(),
                        (self.num_types, f, self.out_channels))
-        # Batched typed GEMM (TPU segment_matmul): all types in one einsum.
-        h = jnp.einsum('nf,tfo->tno', x, w)
-        out = jnp.take_along_axis(
-            h, type_vec[None, :, None].astype(jnp.int32), axis=0)[0]
+        # Typed GEMM (TPU segment_matmul): dense einsum for small type
+        # counts; pass a host-built ``build_typed_layout(...)`` for the
+        # sort-and-batch grouped GEMM when num_types is large/skewed.
+        out = typed_matmul(x, type_vec, w, typed_layout)
         if self.use_bias:
             b = self.param('bias', fnn.initializers.zeros,
                            (self.num_types, self.out_channels))

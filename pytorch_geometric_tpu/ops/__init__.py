@@ -4,7 +4,10 @@ from .softmax import softmax
 from .spmm import spmm
 
 __all__ = [
+    'TypedLayout', 'build_typed_layout', 'typed_matmul', 'grouped_matmul',
     'scatter', 'scatter_argmax', 'group_argsort',
     'segment', 'segment_logsumexp', 'ptr2index', 'index2ptr',
     'softmax', 'spmm',
 ]
+from .grouped import (TypedLayout, build_typed_layout, typed_matmul,
+                      grouped_matmul)

@@ -1,0 +1,88 @@
+"""Typed (grouped) matrix multiply — the ``pyg_lib.ops.segment_matmul``
+/ ``grouped_matmul`` role (reference ``nn/dense/linear.py:301`` uses it
+inside HeteroLinear, ``rgcn_conv.py:224`` for typed message transforms).
+
+Two TPU strategies, picked by type skew:
+
+1. dense-einsum (default, small R): ``x @ W[r]`` for every (row, type)
+   pair — one big MXU einsum, wastes R-1 of R FLOPs but no data
+   movement. Wins while R is small because the MXU is FLOP-rich.
+2. sort-and-batch (large R): rows sorted by type on the host into
+   per-type runs padded to a shared bucket ``T``; compute is ONE
+   batched GEMM ``[R, T, F] @ [R, F, C]`` — FLOPs proportional to
+   rows + padding instead of rows * R.
+
+``TypedLayout`` is the host-precomputed sort (analogous to the cached
+CSC permutations); build it once per graph/batch shape.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TypedLayout(NamedTuple):
+    """Host-precomputed type-major layout.
+
+    perm:    [R * T] row index feeding each slot (len(x) for pads)
+    inv:     [N] slot of each row (for scattering results back)
+    bucket:  T (rows per type after padding)
+    """
+    perm: jnp.ndarray
+    inv: jnp.ndarray
+    bucket: int
+
+
+def build_typed_layout(types: np.ndarray, num_types: int,
+                       bucket: Optional[int] = None) -> TypedLayout:
+    """Sort rows by type; pad every type's run to ``bucket`` slots."""
+    types = np.asarray(types)
+    n = len(types)
+    counts = np.bincount(types, minlength=num_types)
+    T = int(bucket or (int(counts.max()) if n else 1))
+    T = max(T, 1)
+    perm = np.full(num_types * T, n, np.int64)
+    inv = np.zeros(n, np.int64)
+    order = np.argsort(types, kind='stable')
+    cursor = 0
+    for r in range(num_types):
+        c = int(counts[r])
+        take = min(c, T)
+        rows = order[cursor:cursor + take]
+        perm[r * T:r * T + take] = rows
+        inv[rows] = r * T + np.arange(take)
+        cursor += c
+    return TypedLayout(perm=jnp.asarray(perm.astype(np.int32)),
+                       inv=jnp.asarray(inv.astype(np.int32)),
+                       bucket=T)
+
+
+def typed_matmul(x: jnp.ndarray, types: jnp.ndarray, weights: jnp.ndarray,
+                 layout: Optional[TypedLayout] = None) -> jnp.ndarray:
+    """out[i] = x[i] @ weights[types[i]].
+
+    x: [N, F]; types: [N] int; weights: [R, F, C].
+    With ``layout`` (from :func:`build_typed_layout`) uses the
+    sort-and-batch grouped GEMM; otherwise the dense einsum.
+    """
+    r = weights.shape[0]
+    if layout is None:
+        # dense: [N, R, C] then select each row's type
+        all_out = jnp.einsum('nf,rfc->nrc', x, weights)
+        return jnp.take_along_axis(
+            all_out, types[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
+    n = x.shape[0]
+    T = layout.bucket
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+    xs = x_pad[layout.perm].reshape(r, T, x.shape[1])
+    out = jnp.einsum('rtf,rfc->rtc', xs, weights)   # batched MXU GEMM
+    return out.reshape(r * T, -1)[layout.inv]
+
+
+def grouped_matmul(xs, weights):
+    """List-of-matrices variant (reference
+    ``pyg_lib.ops.grouped_matmul``): out[i] = xs[i] @ weights[i]."""
+    return [x @ w for x, w in zip(xs, weights)]

@@ -157,3 +157,26 @@ def test_spmm_grad():
     np.testing.assert_allclose(gx, expect_gx, rtol=1e-4, atol=1e-4)
     expect_gw = np.asarray(x)[row].sum(1)
     np.testing.assert_allclose(gw, expect_gw, rtol=1e-4, atol=1e-4)
+
+
+def test_typed_matmul_grouped_matches_dense():
+    """(reference pyg_lib.ops.segment_matmul parity)."""
+    import jax
+    from pytorch_geometric_tpu.ops import build_typed_layout, typed_matmul
+    rng2 = np.random.default_rng(7)
+    N, F, C, R = 200, 8, 12, 15
+    x = jnp.asarray(rng2.normal(size=(N, F)).astype(np.float32))
+    types = rng2.integers(0, R, N)
+    W = jnp.asarray(rng2.normal(size=(R, F, C)).astype(np.float32))
+    dense = typed_matmul(x, jnp.asarray(types), W)
+    lay = build_typed_layout(types, R)
+    grouped = typed_matmul(x, jnp.asarray(types), W, lay)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(grouped),
+                               atol=1e-5)
+    # HeteroLinear accepts the layout
+    from pytorch_geometric_tpu.nn.dense import HeteroLinear
+    m = HeteroLinear(out_channels=C, num_types=R)
+    params = m.init(jax.random.PRNGKey(0), x, jnp.asarray(types))
+    o1 = m.apply(params, x, jnp.asarray(types))
+    o2 = m.apply(params, x, jnp.asarray(types), typed_layout=lay)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
