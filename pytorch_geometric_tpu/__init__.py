@@ -41,3 +41,5 @@ __all__ = [
     'parallel', 'explain', 'metrics', 'profile', 'graphgym', 'io',
     'visualization', 'testing', 'contrib', '__version__',
 ]
+from . import checkpoint
+from . import logging as pgt_logging

@@ -15,3 +15,14 @@ use_pallas_spmm: Optional[bool] = None
 # implemented strategy today; the flag mirrors the reference's
 # use_segment_matmul for API parity.
 use_segment_matmul: Optional[bool] = None
+
+
+# Determinism knob (reference torch_geometric.is_in_deterministic_mode /
+# nn/aggr/base.py:65): XLA TPU segment reductions are deterministic by
+# construction; this flag additionally seeds host-side samplers.
+deterministic: bool = False
+
+
+def set_deterministic(value: bool = True):
+    global deterministic
+    deterministic = value

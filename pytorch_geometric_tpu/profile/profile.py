@@ -122,3 +122,16 @@ def count_flops(fn, *args) -> dict:
         cost = cost[0] if cost else {}
     return {'flops': float(cost.get('flops', 0.0)),
             'bytes_accessed': float(cost.get('bytes accessed', 0.0))}
+
+
+@contextlib.contextmanager
+def nvtxit(name: str = ''):
+    """NVTX ranges are CUDA-only (reference ``profile/nvtx.py``); on TPU
+    this delegates to a named jax.profiler trace annotation."""
+    with jax.profiler.TraceAnnotation(name or 'pgt'):
+        yield
+
+
+def xpu_profile(*a, **k):  # pragma: no cover - XPU-only in reference
+    raise ImportError('xpu_profile is Intel-XPU specific; use '
+                      'profile.trace() for TPU chrome traces')
