@@ -82,6 +82,26 @@ class Data:
             return store[key]
         return None
 
+    def __setattr__(self, key: str, value):
+        # private fields and properties (num_nodes) use normal attribute
+        # mechanics; everything else lands in the store so batching,
+        # pytree flattening and __getitem__ all see it
+        if key.startswith('_') or isinstance(
+                getattr(type(self), key, None), property):
+            object.__setattr__(self, key, value)
+            return
+        store = object.__getattribute__(self, '_store')
+        if value is None:
+            store.pop(key, None)
+            return
+        if isinstance(value, EdgeIndex):
+            store[key] = value
+            return
+        try:
+            store[key] = jnp.asarray(value)
+        except (TypeError, ValueError):
+            store[key] = value   # non-array payloads (strings, objects)
+
     def __getitem__(self, key: str):
         return self._store.get(key)
 
