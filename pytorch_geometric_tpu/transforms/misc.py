@@ -173,9 +173,10 @@ class LargestConnectedComponents(BaseTransform):
         keep_labels = np.argsort(-counts)[:self.num_components]
         keep = np.isin(label, keep_labels)
         from ..utils.subgraph import subgraph
-        new_coo, _, emask = subgraph(keep, coo, num_nodes=n,
-                                     relabel_nodes=True)
-        new_coo = np.asarray(new_coo)[:, np.asarray(emask)]
+        # subgraph() already returns only the kept (relabeled) edges
+        new_coo, _, _ = subgraph(keep, coo, num_nodes=n,
+                                 relabel_nodes=True)
+        new_coo = np.asarray(new_coo)
         for k in list(data.keys()):
             v = np.asarray(data[k])
             if k != 'edge_index' and v.ndim >= 1 and v.shape[0] == n:
@@ -357,10 +358,10 @@ class RootedRWSubgraph(BaseTransform):
             for t in range(self.walk_length):
                 lo = rowptr[cur]
                 deg = rowptr[cur + 1] - lo
-                nxt = np.where(deg > 0,
-                               col[lo + (rng.integers(
-                                   0, 2 ** 31, n) % np.maximum(deg, 1))],
-                               cur)
+                pick = np.minimum(
+                    lo + rng.integers(0, 2 ** 31, n)
+                    % np.maximum(deg, 1), len(col) - 1)
+                nxt = np.where(deg > 0, col[pick], cur)
                 walks[:, 1 + r * self.walk_length + t] = nxt
                 cur = nxt
         data.sub_n_id = walks
@@ -442,8 +443,9 @@ class AddRandomMetaPaths(BaseTransform):
                 lo = rowptr[np.minimum(cur, n_dst - 1)]
                 deg = rowptr[np.minimum(cur, n_dst - 1) + 1] - lo
                 alive = alive & (deg > 0)
-                pick = lo + (self.rng.integers(0, 2 ** 31, len(cur))
-                             % np.maximum(deg, 1))
+                pick = np.minimum(
+                    lo + self.rng.integers(0, 2 ** 31, len(cur))
+                    % np.maximum(deg, 1), max(len(col) - 1, 0))
                 cur = np.where(alive, col[pick], cur)
             ei = np.stack([start[alive], cur[alive]])
             data[(src_t, f'metapath_{j}', dst_t)].edge_index = ei

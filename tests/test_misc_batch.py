@@ -175,3 +175,12 @@ class TestAux:
         log(epoch=2, loss=0.25)
         out = capsys.readouterr().out
         assert 'loss: 0.2500' in out
+
+
+def test_largest_cc_multiple_components():
+    coo = np.array([[0, 1, 2, 3, 5, 6, 7], [1, 2, 3, 4, 6, 7, 5]])
+    d = Data(x=np.ones((8, 2), np.float32), edge_index=coo)
+    out = T.LargestConnectedComponents()(d)
+    assert out.num_nodes == 5
+    e = np.asarray(out.edge_index)
+    assert e.shape[1] == 4 and e.max() < 5
