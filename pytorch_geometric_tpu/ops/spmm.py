@@ -19,6 +19,7 @@ TPU-native equivalent of the reference SpMM dispatch ladder
 
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..edge_index import EdgeIndex
@@ -63,12 +64,23 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
             from .pallas_spmm import _use_pallas
             use_pallas = (_use_pallas()
                           and getattr(adj, 'blocked', None) is not None)
-        use_pallas = (use_pallas and reduce == 'sum'
+        use_pallas = (use_pallas and reduce in ('sum', 'mean')
                       and adj.num_edges >= _PALLAS_MIN_EDGES
                       and x.ndim == 2)
-    if use_pallas and reduce == 'sum':
+    if use_pallas and reduce in ('sum', 'mean'):
         from .pallas_spmm import spmm_pallas
-        return spmm_pallas(adj, x, edge_weight)
+        out = spmm_pallas(adj, x, edge_weight)
+        if reduce == 'mean':
+            csc = adj.csc
+            if csc is not None:
+                deg = jnp.diff(csc.indptr).astype(out.dtype)
+            else:
+                ones = jnp.ones((adj.coo.shape[1],), out.dtype)
+                deg = jax.ops.segment_sum(
+                    ones, jnp.minimum(adj.col, num_out), num_out + 1
+                )[:num_out]
+            out = out / jnp.maximum(deg, 1)[:, None]
+        return out
 
     csc = adj.csc  # cached dst-sorted orientation, if present
     if csc is not None:
