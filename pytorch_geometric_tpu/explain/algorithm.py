@@ -134,3 +134,178 @@ class AttentionExplainer(ExplainerAlgorithm):
             alpha = alpha.max(-1)
         return Explanation(edge_mask=alpha, x=x, edge_index=coo,
                            target=target, prediction=logits)
+
+
+class PGExplainer(ExplainerAlgorithm):
+    """Parameterized explainer (reference
+    ``explain/algorithm/pg_explainer.py``): a small MLP over edge
+    embeddings ``[z_src || z_dst (|| z_index)]`` is TRAINED across
+    instances to emit edge masks; explanation is then a single forward
+    pass. ``train_explainer`` runs the training phase; ``__call__``
+    produces the mask."""
+
+    coeffs = {
+        'edge_size': 0.05,
+        'edge_ent': 1.0,
+        'temp': (5.0, 2.0),
+        'bias': 0.01,
+        'EPS': 1e-15,
+    }
+
+    def __init__(self, epochs: int = 30, lr: float = 0.003,
+                 hidden: int = 64, seed: int = 0,
+                 task_level: str = 'node'):
+        self.epochs = epochs
+        self.lr = lr
+        self.hidden = hidden
+        self.seed = seed
+        self.task_level = task_level
+        self.params = None
+
+    def _mlp(self, p, feats):
+        h = jnp.maximum(feats @ p['w1'] + p['b1'], 0)
+        return (h @ p['w2'] + p['b2'])[:, 0]
+
+    def _edge_feats(self, z, coo, index):
+        n = z.shape[0]
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        parts = [z[src], z[dst]]
+        if self.task_level == 'node' and index is not None:
+            parts.append(jnp.broadcast_to(z[index][None, :],
+                                          z[src].shape))
+        return jnp.concatenate(parts, -1)
+
+    def _temperature(self, epoch):
+        t0, t1 = self.coeffs['temp']
+        return t0 * (t1 / t0) ** (epoch / max(self.epochs, 1))
+
+    def train_explainer(self, model_fn: Callable, embed_fn: Callable,
+                        x, edge_index, target,
+                        indices=None) -> float:
+        """model_fn(x, edge_weight)->logits; embed_fn(x)->z node
+        embeddings (the reference takes the model's last conv layer)."""
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        z = jax.lax.stop_gradient(embed_fn(x))
+        fdim = self._edge_feats(z, coo,
+                                0 if self.task_level == 'node'
+                                else None).shape[-1]
+        k = jax.random.PRNGKey(self.seed)
+        k1, k2 = jax.random.split(k)
+        p = {'w1': jax.random.normal(k1, (fdim, self.hidden)) * 0.1,
+             'b1': jnp.zeros(self.hidden),
+             'w2': jax.random.normal(k2, (self.hidden, 1)) * 0.1,
+             'b2': jnp.zeros(1)}
+        tx = optax.adam(self.lr)
+        opt = tx.init(p)
+        c = self.coeffs
+        if indices is None:
+            indices = [None] if self.task_level == 'graph' else [0]
+
+        def loss_one(p, idx, temp, key):
+            feats = self._edge_feats(z, coo, idx)
+            logits = self._mlp(p, feats)
+            u = jax.random.uniform(key, logits.shape,
+                                   minval=c['bias'],
+                                   maxval=1 - c['bias'])
+            gumbel = jnp.log(u) - jnp.log(1 - u)
+            em = jax.nn.sigmoid((logits + gumbel) / temp)
+            out = model_fn(x, em)
+            if self.task_level == 'node' and idx is not None:
+                out = out[idx]
+                tgt = target[idx] if target.ndim else target
+            else:
+                tgt = target
+            logp = jax.nn.log_softmax(out.reshape(-1), -1)
+            ce = -logp[jnp.asarray(tgt).reshape(())]
+            ent = -em * jnp.log(em + c['EPS']) \
+                - (1 - em) * jnp.log(1 - em + c['EPS'])
+            return ce + c['edge_size'] * em.mean() \
+                + c['edge_ent'] * ent.mean()
+
+        @jax.jit
+        def step(p, opt, idx, temp, key):
+            def f(p):
+                return loss_one(p, idx, temp, key)
+            l, g = jax.value_and_grad(f)(p)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(p, up), opt, l
+
+        key = jax.random.PRNGKey(self.seed + 1)
+        loss = 0.0
+        for epoch in range(self.epochs):
+            temp = self._temperature(epoch)
+            for idx in indices:
+                key, sub = jax.random.split(key)
+                p, opt, loss = step(p, opt, idx, temp, sub)
+        self.params = p
+        self._embed_fn = embed_fn
+        return float(loss)
+
+    def __call__(self, model_fn: Callable, x, edge_index, target,
+                 index: Optional[int] = None, **kwargs) -> Explanation:
+        if self.params is None:
+            raise RuntimeError("PGExplainer must be trained first via "
+                               "'train_explainer(...)'")
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        z = self._embed_fn(x)
+        logits = self._mlp(self.params, self._edge_feats(z, coo, index))
+        return Explanation(edge_mask=jax.nn.sigmoid(logits), x=x,
+                           edge_index=coo, target=target)
+
+
+class GraphMaskExplainer(ExplainerAlgorithm):
+    """Layer-wise gated masking (reference
+    ``explain/algorithm/graphmask_explainer.py``, simplified to a
+    single learned gate per edge per layer with the same sparsity
+    objective): trains hard-concrete gates so messages can be replaced
+    by a learned baseline without changing the prediction."""
+
+    def __init__(self, num_layers: int = 1, epochs: int = 100,
+                 lr: float = 0.01, penalty: float = 0.005,
+                 seed: int = 0, task_level: str = 'node'):
+        self.num_layers = num_layers
+        self.epochs = epochs
+        self.lr = lr
+        self.penalty = penalty
+        self.seed = seed
+        self.task_level = task_level
+
+    def __call__(self, model_fn: Callable, x, edge_index, target,
+                 index: Optional[int] = None, **kwargs) -> Explanation:
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        e = coo.shape[1]
+        k = jax.random.PRNGKey(self.seed)
+        gates = 0.1 * jax.random.normal(k, (self.num_layers, e))
+        tx = optax.adam(self.lr)
+        params = {'g': gates}
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            em = jax.nn.sigmoid(p['g']).mean(0)   # combined layer gates
+            out = model_fn(x, em)
+            if self.task_level == 'node' and index is not None:
+                out = out[index]
+                tgt = target[index] if target.ndim else target
+            else:
+                tgt = target
+            logp = jax.nn.log_softmax(out.reshape(-1), -1)
+            ce = -logp[jnp.asarray(tgt).reshape(())]
+            return ce + self.penalty * jax.nn.sigmoid(p['g']).sum()
+
+        @jax.jit
+        def step(params, opt):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), opt, l
+
+        for _ in range(self.epochs):
+            params, opt, _ = step(params, opt)
+        return Explanation(
+            edge_mask=jax.nn.sigmoid(params['g']).mean(0),
+            x=x, edge_index=coo, target=target)
+
+
+def CaptumExplainer(*a, **k):  # pragma: no cover - torch-captum only
+    raise ImportError('CaptumExplainer requires torch-captum; use '
+                      'GNNExplainer / PGExplainer / AttentionExplainer')
