@@ -1,3 +1,4 @@
-from .attacks import PRBCDAttack
+from .attacks import PRBCDAttack, GRBCDAttack
+from .pgm_explainer import PGMExplainer
 
-__all__ = ['PRBCDAttack']
+__all__ = ['PRBCDAttack', 'GRBCDAttack', 'PGMExplainer']
