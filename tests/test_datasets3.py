@@ -157,3 +157,69 @@ def test_missing_raw_raises():
     from pytorch_geometric_tpu.datasets import WikiCS
     with pytest.raises(RuntimeError, match='raw'):
         WikiCS(tempfile.mkdtemp())
+
+
+def test_mesh_folder_and_shapenet():
+    from pytorch_geometric_tpu.datasets import GeometricShapes, ShapeNet
+    root, _ = _root()
+    raw = osp.join(root, 'raw', 'cube')
+    os.makedirs(raw)
+    with open(osp.join(raw, 'a.off'), 'w') as f:
+        f.write('OFF\n4 2 0\n0 0 0\n1 0 0\n0 1 0\n0 0 1\n'
+                '3 0 1 2\n3 0 2 3\n')
+    ds = GeometricShapes(root)
+    d = ds[0]
+    assert d.pos.shape == (4, 3) and d.face.shape == (3, 2)
+    assert int(d.y[0]) == 0
+
+    root2, _ = _root()
+    raw2 = osp.join(root2, 'raw', 'chair')
+    os.makedirs(raw2)
+    np.savetxt(osp.join(raw2, 'p1.txt'), np.concatenate(
+        [rng.normal(size=(30, 6)), rng.integers(0, 4, (30, 1))], 1))
+    ds = ShapeNet(root2)
+    assert ds[0].pos.shape == (30, 3) and ds[0].y.shape == (30,)
+
+
+def test_amazon_book_and_qa():
+    from pytorch_geometric_tpu.datasets import AmazonBook, WebQSPDataset
+    root, raw = _root()
+    with open(osp.join(raw, 'train.txt'), 'w') as f:
+        f.write('0 1 2 3\n1 0 4\n')
+    with open(osp.join(raw, 'test.txt'), 'w') as f:
+        f.write('0 4\n')
+    d = AmazonBook(root)[0]
+    et = ('user', 'rates', 'book')
+    assert d[et].edge_index.shape == (2, 5)
+    assert d[et].edge_label_index.shape == (2, 1)
+
+    root2, raw2 = _root()
+    with open(osp.join(raw2, 'data.json'), 'w') as f:
+        json.dump([{'question': 'who?', 'graph': [['a', 'r', 'b'],
+                                                  ['b', 'r', 'c']]}], f)
+    ds = WebQSPDataset(root2)
+    assert ds[0].num_nodes == 3 and ds[0].num_edges == 2
+
+
+def test_qm7b_coulomb():
+    from scipy.io import savemat
+    from pytorch_geometric_tpu.datasets import QM7b
+    root, raw = _root()
+    X = np.zeros((2, 23, 23))
+    for i in range(2):
+        n = 4 + i
+        C = np.abs(rng.normal(size=(n, n)))
+        X[i, :n, :n] = (C + C.T) / 2
+    savemat(osp.join(raw, 'qm7b.mat'),
+            {'X': X, 'T': rng.normal(size=(2, 14))})
+    ds = QM7b(root)
+    assert len(ds) == 2
+    assert ds[0].num_nodes == 4 and ds[0].y.shape == (1, 14)
+
+
+def test_gated_datasets_raise():
+    from pytorch_geometric_tpu.datasets import (AirfRANS, OMDB,
+                                                GitMolDataset)
+    for cls in (AirfRANS, OMDB, GitMolDataset):
+        with pytest.raises(ImportError):
+            cls('/tmp/x')
