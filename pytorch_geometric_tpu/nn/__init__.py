@@ -22,8 +22,8 @@ from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    DNAConv, PANConv, XConv)
 from .unpool import knn_interpolate
 from .encoding import PositionalEncoding, TemporalEncoding
-from .sequential import Sequential
-from .to_hetero import to_hetero, ToHetero
+from .sequential import Sequential, Reshape, DataParallel
+from .to_hetero import to_hetero_with_bases, to_fixed_size, to_hetero, ToHetero
 from .resolver import (activation_resolver, aggregation_resolver,
                        normalization_resolver, optimizer_resolver,
                        lr_scheduler_resolver)
@@ -39,7 +39,8 @@ __all__ = [
     'GPSConv', 'RGATConv', 'SuperGATConv', 'HEATConv', 'GMMConv',
     'SplineConv', 'NNConv', 'CGConv', 'FeaStConv', 'DNAConv', 'PANConv', 'XConv',
     'knn_interpolate',
-    'PositionalEncoding', 'TemporalEncoding', 'Sequential', 'to_hetero',
+    'PositionalEncoding', 'TemporalEncoding', 'Sequential', 'Reshape',
+    'DataParallel', 'to_hetero', 'to_hetero_with_bases', 'to_fixed_size',
     'ToHetero', 'activation_resolver', 'aggregation_resolver',
     'normalization_resolver', 'optimizer_resolver',
     'lr_scheduler_resolver', 'summary', 'PyGModelHubMixin',

@@ -42,3 +42,39 @@ class Sequential(fnn.Module):
                 out = entry(out)
                 scope['x'] = out
         return out
+
+
+class Reshape:
+    """(reference ``nn/reshape.py``)."""
+
+    def __init__(self, *shape):
+        self.shape = shape
+
+    def __call__(self, x):
+        return x.reshape(self.shape)
+
+
+class DataParallel:
+    """(reference ``nn/data_parallel.py``): in JAX, data parallelism is
+    a sharding annotation, not a module wrapper. This thin helper jits
+    ``module.apply`` with the batch dim sharded over all local devices.
+    """
+
+    def __init__(self, module, axis_name: str = 'data'):
+        import jax
+        self.module = module
+        mesh_devices = jax.local_devices()
+        self.mesh = jax.sharding.Mesh(mesh_devices, (axis_name,))
+        self.axis_name = axis_name
+
+    def init(self, *a, **k):
+        return self.module.init(*a, **k)
+
+    def apply(self, params, *args, **kwargs):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(self.mesh, P(self.axis_name))
+        args = tuple(jax.device_put(a, shard)
+                     if hasattr(a, 'ndim') and a.ndim >= 1 else a
+                     for a in args)
+        return jax.jit(self.module.apply)(params, *args, **kwargs)
