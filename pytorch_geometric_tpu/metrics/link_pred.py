@@ -126,3 +126,94 @@ class LinkPredMetricCollection:
 
     def compute(self) -> Dict[str, float]:
         return {repr(m): m.compute() for m in self.metrics}
+
+
+class LinkPredCoverage(LinkPredMetric):
+    """Fraction of the catalog that appears in top-k recommendations
+    (reference ``link_pred.py:LinkPredCoverage``)."""
+    higher_is_better = True
+
+    def __init__(self, k: int, num_dst_nodes: int):
+        self.num_dst_nodes = num_dst_nodes
+        super().__init__(k)
+
+    def reset(self):
+        self._seen = set()
+
+    def update(self, pred_index_mat, edge_label_index):
+        self._seen.update(
+            np.asarray(pred_index_mat)[:, :self.k].ravel().tolist())
+
+    def compute(self) -> float:
+        return len(self._seen) / max(self.num_dst_nodes, 1)
+
+
+class LinkPredDiversity(LinkPredMetric):
+    """Mean intra-list category diversity (reference
+    ``link_pred.py:LinkPredDiversity``): 1 - pairwise same-category
+    rate within each user's top-k."""
+    higher_is_better = True
+
+    def __init__(self, k: int, category):
+        self.category = np.asarray(category)
+        super().__init__(k)
+
+    def update(self, pred_index_mat, edge_label_index=None):
+        top = np.asarray(pred_index_mat)[:, :self.k]
+        cats = self.category[np.minimum(top, len(self.category) - 1)]
+        for row in cats:
+            kk = len(row)
+            if kk < 2:
+                continue
+            same = sum(int(row[i] == row[j])
+                       for i in range(kk) for j in range(i + 1, kk))
+            pairs = kk * (kk - 1) / 2
+            self._acc += 1.0 - same / pairs
+            self._count += 1
+
+
+class LinkPredPersonalization(LinkPredMetric):
+    """Mean pairwise dissimilarity of users' top-k lists (reference
+    ``link_pred.py:LinkPredPersonalization``)."""
+    higher_is_better = True
+
+    def __init__(self, k: int, max_src_nodes: int = 2 ** 12):
+        self.max_src_nodes = max_src_nodes
+        super().__init__(k)
+
+    def reset(self):
+        self._lists = []
+
+    def update(self, pred_index_mat, edge_label_index=None):
+        top = np.asarray(pred_index_mat)[:, :self.k]
+        for row in top[:self.max_src_nodes - len(self._lists)]:
+            self._lists.append(set(row.tolist()))
+
+    def compute(self) -> float:
+        n = len(self._lists)
+        if n < 2:
+            return 0.0
+        sims = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                inter = len(self._lists[i] & self._lists[j])
+                union = len(self._lists[i] | self._lists[j])
+                sims.append(inter / max(union, 1))
+        return 1.0 - float(np.mean(sims))
+
+
+class LinkPredAveragePopularity(LinkPredMetric):
+    """Mean popularity of recommended items (reference
+    ``link_pred.py:LinkPredAveragePopularity``); lower = more novel."""
+    higher_is_better = False
+
+    def __init__(self, k: int, popularity):
+        self.popularity = np.asarray(popularity, np.float64)
+        super().__init__(k)
+
+    def update(self, pred_index_mat, edge_label_index=None):
+        top = np.asarray(pred_index_mat)[:, :self.k]
+        pops = self.popularity[np.minimum(top,
+                                          len(self.popularity) - 1)]
+        self._acc += float(pops.mean(1).sum())
+        self._count += top.shape[0]

@@ -135,3 +135,96 @@ def nvtxit(name: str = ''):
 def xpu_profile(*a, **k):  # pragma: no cover - XPU-only in reference
     raise ImportError('xpu_profile is Intel-XPU specific; use '
                       'profile.trace() for TPU chrome traces')
+
+
+def count_parameters(params) -> int:
+    """(reference ``profile/utils.py:count_parameters``)."""
+    return count_model_params(params)
+
+
+def get_model_size(params) -> int:
+    """Bytes of all parameter arrays (reference ``get_model_size``)."""
+    return sum(np.asarray(p).nbytes
+               for p in jax.tree_util.tree_leaves(params))
+
+
+def get_data_size(data) -> int:
+    """(reference ``get_data_size``)."""
+    total = 0
+    for v in (data.items() if hasattr(data, 'items') else []):
+        arr = v[1]
+        if hasattr(arr, 'nbytes'):
+            total += int(arr.nbytes)
+        elif hasattr(arr, 'coo'):
+            total += int(np.asarray(arr.coo).nbytes)
+    return total
+
+
+def get_cpu_memory_from_gc() -> int:
+    """(reference ``get_cpu_memory_from_gc``) — live array bytes."""
+    import gc
+    total = 0
+    for obj in gc.get_objects():
+        try:
+            if isinstance(obj, np.ndarray):
+                total += obj.nbytes
+        except ReferenceError:
+            continue
+    return total
+
+
+def get_gpu_memory_from_gc(*a, **k) -> int:
+    """CUDA-only in the reference; TPU analog reads device stats."""
+    total = 0
+    for d in jax.local_devices():
+        stats = d.memory_stats() or {}
+        total += stats.get('bytes_in_use', 0)
+    return total
+
+
+def get_gpu_memory_from_nvidia_smi(*a, **k):  # pragma: no cover
+    raise ImportError('nvidia-smi is CUDA-only; use '
+                      'jax.local_devices()[0].memory_stats()')
+
+
+get_gpu_memory_from_ipex = get_gpu_memory_from_nvidia_smi
+
+
+def get_stats_summary(stats_list):
+    """Aggregate ProfileStats (reference ``profile/utils.py``)."""
+    times = [s.time for s in stats_list]
+    mems = [s.max_allocated_bytes for s in stats_list]
+    return {'time_mean': float(np.mean(times)),
+            'time_std': float(np.std(times)),
+            'max_allocated_bytes': int(max(mems) if mems else 0)}
+
+
+def print_time_total(fn, *args, **kwargs):
+    """(reference ``print_time_total``)."""
+    with timeit() as tt:
+        out = jax.block_until_ready(fn(*args, **kwargs))
+    return out
+
+
+def rename_profile_file(*suffixes: str):
+    """Decorator renaming the chrome trace after the run
+    (reference ``profile.py:rename_profile_file``)."""
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            return fn(*a, **k)
+        return wrapped
+    return deco
+
+
+def torch_profile(*a, **k):
+    """The reference's torch.profiler context; on TPU use
+    :func:`trace` (jax.profiler chrome traces)."""
+    return trace(*a, **k)
+
+
+def trace_handler(p):  # pragma: no cover - torch-profiler callback
+    raise ImportError('trace_handler is a torch.profiler callback; '
+                      'use profile.trace() on TPU')
