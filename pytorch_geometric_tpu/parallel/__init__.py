@@ -10,3 +10,5 @@ __all__ = [
     'partition_gcn_apply', 'shard_partitions',
     'train_partition_parallel',
 ]
+from .mesh2d import make_mesh2d, train_2d
+__all__ += ['make_mesh2d', 'train_2d']
