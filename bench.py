@@ -92,19 +92,50 @@ def main():
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
+    # roofline accounting for the 3 SpMM layers (fwd+bwd per step):
+    # gather x (E*F), write out (N*F), weights (E), bwd re-gather +
+    # scatter (2*E*F + N*F) — matches benchmarks/spmm_bench.py
+    layer_bytes = (E * F * 4 + N * F * 4 + E * 4) + \
+                  (2 * E * F * 4 + N * F * 4)
+    total_gb = 3 * STEPS * layer_bytes / 1e9
+    gbps = total_gb / dt
     print(json.dumps({
         'metric': 'gcn_train_500steps',
         'value': round(dt, 4),
         'unit': 's',
         'vs_baseline': round(BASELINE_EAGER_S / dt, 3),
         'backend': jax.default_backend(),
+        'edges_per_s': round(3 * STEPS * E / dt),
+        'spmm_gbps': round(gbps, 1),
+        'pct_roofline': round(100 * gbps / 819.0, 1),  # v5e HBM
     }))
 
 
+def _probe_tpu(env, timeout=75) -> bool:
+    """Cheap tunnel-health check: a child that lists devices and runs one
+    tiny jitted op. The shared tunnel flaps between wedged-for-hours and
+    open windows; probing avoids burning the whole watchdog budget on a
+    wedged 500-step run."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp;"
+            "d=jax.devices();"
+            "assert d and d[0].platform != 'cpu', d;"
+            "x=jax.jit(lambda a: a*2)(jnp.ones((128,128)));"
+            "x.block_until_ready();print('TPU_OK')")
+    try:
+        out = subprocess.run([sys.executable, '-c', code], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout)
+        return 'TPU_OK' in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _main_with_watchdog():
-    """Run the bench in a child process with a timeout; if the default
-    (TPU) backend is wedged, fall back to CPU so the driver always gets
-    its JSON line."""
+    """Probe for a TPU tunnel window and retry the bench inside the
+    budget; only surrender to CPU when no window opens at all, so the
+    recorded number is a hardware number whenever the chip is reachable."""
     import os
     import subprocess
     import sys
@@ -114,17 +145,27 @@ def _main_with_watchdog():
         return
 
     env = {**os.environ, 'PGT_BENCH_CHILD': '1'}
-    try:
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             timeout=480)
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith('{')]
-        if out.returncode == 0 and line:
-            print(line[-1])
-            return
-    except subprocess.TimeoutExpired:
-        pass
+    budget = float(os.environ.get('PGT_BENCH_BUDGET_S', '540'))
+    deadline = time.time() + budget
+    while time.time() < deadline - 90:
+        if not _probe_tpu(env, timeout=min(75, deadline - time.time())):
+            time.sleep(10)
+            continue
+        child_t = min(420.0, deadline - time.time())
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=child_t)
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith('{')]
+            if out.returncode == 0 and lines:
+                rec = json.loads(lines[-1])
+                if rec.get('backend') != 'cpu':
+                    print(lines[-1])
+                    return
+        except subprocess.TimeoutExpired:
+            pass
     # fallback: CPU backend (still one valid JSON line)
     env['JAX_PLATFORMS'] = 'cpu'
     env['PGT_FORCE_CPU'] = '1'

@@ -74,6 +74,20 @@ def load():
             i64pp, i64pp, i64pp, u8pp,                 # row/col/eid/mask
             i64p, i64p,                                # nsn, nse
         ]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.neighbor_sample_tw.restype = ctypes.c_int64
+        lib.neighbor_sample_tw.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,          # csc, n
+            i64p, ctypes.c_int64, f64p,                # seeds, seed_time
+            i64p, ctypes.c_int64,                      # fanouts
+            i64p, ctypes.c_int64, ctypes.c_int64,      # caps
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # replace/disj/strat
+            f64p, f64p, f64p,                          # node/edge time, w
+            ctypes.c_uint64,                           # seed
+            i64p, i64p, u8p,                           # node, batch, mask
+            i64p, i64p, i64p, u8p,                     # row/col/eid/mask
+            i64p, i64p,
+        ]
         lib.random_walk.restype = None
         lib.random_walk.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,

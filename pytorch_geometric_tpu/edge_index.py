@@ -161,7 +161,9 @@ class EdgeIndex:
                                           self.num_src_nodes)
                 blk, blk_t = _link_blocked_pair(blk, blk_t,
                                                 coo_np.shape[1])
-            except Exception:   # traced coo inside jit — skip
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                # traced coo inside jit — blocked cache needs host numpy
                 blk = blk_t = None
         return EdgeIndex(self.coo, self.sparse_size,
                          csr=self.get_csr(), csc=self.get_csc(),
@@ -214,7 +216,15 @@ def build_blocked_csc(coo: np.ndarray, num_dst: int,
     every kernel chunk's dst ids lie in one ``block_nodes`` window."""
     e = coo.shape[1]
     dst = coo[1].astype(np.int64)
-    order = np.argsort(dst, kind='stable')
+    # Padded COO edges (dst >= num_dst) must not enter the blocking: with
+    # num_dst % block_nodes == 0 they would open an overflow block past
+    # the last window. They carry no data, so keep them out entirely —
+    # the layout's own pad slots (dst=num_dst, perm=e) play their role.
+    is_pad = dst >= num_dst
+    sort_key = np.where(is_pad, np.iinfo(np.int64).max, dst)
+    order = np.argsort(sort_key, kind='stable')
+    n_real = int((~is_pad).sum())
+    order = order[:n_real]
     src_s = coo[0][order].astype(np.int64)
     dst_s = dst[order]
     block_of = dst_s // block_nodes

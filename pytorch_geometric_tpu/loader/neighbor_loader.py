@@ -53,12 +53,20 @@ class NeighborLoader:
 
     def __init__(self, data: Data, num_neighbors: Sequence[int],
                  input_nodes: Optional[np.ndarray] = None,
+                 input_time: Optional[np.ndarray] = None,
                  batch_size: int = 1, shuffle: bool = False,
-                 replace: bool = False, drop_last: bool = False,
-                 seed: int = 0):
+                 replace: bool = False, disjoint: bool = False,
+                 temporal_strategy: str = 'uniform',
+                 time_attr: Optional[str] = None,
+                 weight_attr: Optional[str] = None,
+                 drop_last: bool = False, seed: int = 0):
         self.data = data
-        self.sampler = NeighborSampler(data, num_neighbors,
-                                       replace=replace, seed=seed)
+        self.sampler = NeighborSampler(
+            data, num_neighbors, replace=replace, disjoint=disjoint,
+            temporal_strategy=temporal_strategy, time_attr=time_attr,
+            weight_attr=weight_attr, seed=seed)
+        self.input_time = (np.asarray(input_time, np.float64)
+                           if input_time is not None else None)
         if input_nodes is None:
             input_nodes = np.arange(data.num_nodes)
         elif input_nodes.dtype == bool:

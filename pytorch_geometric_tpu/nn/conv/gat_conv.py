@@ -20,6 +20,24 @@ from ...ops.pallas_spmm import _use_pallas
 from ...utils.loop import add_self_loops as _add_self_loops
 
 
+def _loop_edge_attr(edge_attr, dst, keep, num_dst, fill_value):
+    """Edge features for the appended self loops (reference
+    ``gat_conv.py`` fill_value='mean': mean of each node's kept incident
+    edge features; numeric fill_value broadcasts)."""
+    if not isinstance(fill_value, str):
+        return jnp.full((num_dst,) + edge_attr.shape[1:],
+                        fill_value, edge_attr.dtype)
+    if fill_value != 'mean':
+        raise ValueError(f"Unsupported fill_value {fill_value!r}")
+    w = keep.astype(edge_attr.dtype)
+    seg = jnp.where(keep, jnp.minimum(dst, num_dst - 1), num_dst)
+    flat = edge_attr.reshape(edge_attr.shape[0], -1)
+    sums = jax.ops.segment_sum(flat * w[:, None], seg, num_dst + 1)
+    cnt = jax.ops.segment_sum(w, seg, num_dst + 1)
+    mean = sums[:num_dst] / jnp.maximum(cnt[:num_dst, None], 1)
+    return mean.reshape((num_dst,) + edge_attr.shape[1:])
+
+
 def _dropout_scale(module, dropout, deterministic, shape):
     """Numerator-only dropout multiplier (None when inactive)."""
     if dropout <= 0 or deterministic:
@@ -37,6 +55,7 @@ class GATConv(MessagePassing):
     dropout: float = 0.0
     add_self_loops: bool = True
     edge_dim: Optional[int] = None
+    fill_value: Union[float, str] = 'mean'
     use_bias: bool = True
     aggr: str = 'sum'
 
@@ -75,13 +94,14 @@ class GATConv(MessagePassing):
             is_loop = coo[0] == coo[1]
             keep = ~is_loop
             edge_mask = keep if edge_mask is None else (edge_mask & keep)
+            if edge_attr is not None:
+                loop_attr = _loop_edge_attr(edge_attr, coo[1], edge_mask,
+                                            num_dst, self.fill_value)
             coo, _ = _add_self_loops(coo, num_nodes=num_dst)
             edge_mask = jnp.concatenate(
                 [edge_mask, jnp.ones((num_dst,), bool)])
             if edge_attr is not None:
-                edge_attr = jnp.concatenate(
-                    [edge_attr, jnp.zeros((num_dst,) + edge_attr.shape[1:],
-                                          edge_attr.dtype)])
+                edge_attr = jnp.concatenate([edge_attr, loop_attr])
 
         j_idx = jnp.minimum(coo[0], num_src - 1)
         i_idx = jnp.minimum(coo[1], num_dst - 1)
@@ -145,6 +165,7 @@ class GATv2Conv(MessagePassing):
     dropout: float = 0.0
     add_self_loops: bool = True
     edge_dim: Optional[int] = None
+    fill_value: Union[float, str] = 'mean'
     use_bias: bool = True
     share_weights: bool = False
     aggr: str = 'sum'
@@ -174,13 +195,14 @@ class GATv2Conv(MessagePassing):
             # remove existing + add fresh self loops (reference behavior)
             keep = coo[0] != coo[1]
             edge_mask = keep if edge_mask is None else (edge_mask & keep)
+            if edge_attr is not None:
+                loop_attr = _loop_edge_attr(edge_attr, coo[1], edge_mask,
+                                            num_dst, self.fill_value)
             coo, _ = _add_self_loops(coo, num_nodes=num_dst)
             edge_mask = jnp.concatenate(
                 [edge_mask, jnp.ones((num_dst,), bool)])
             if edge_attr is not None:
-                edge_attr = jnp.concatenate(
-                    [edge_attr, jnp.zeros((num_dst,) + edge_attr.shape[1:],
-                                          edge_attr.dtype)])
+                edge_attr = jnp.concatenate([edge_attr, loop_attr])
 
         j_idx = jnp.minimum(coo[0], num_src - 1)
         i_idx = jnp.minimum(coo[1], num_dst - 1)

@@ -43,6 +43,11 @@ def build_typed_layout(types: np.ndarray, num_types: int,
     counts = np.bincount(types, minlength=num_types)
     T = int(bucket or (int(counts.max()) if n else 1))
     T = max(T, 1)
+    if n and int(counts.max()) > T:
+        raise ValueError(
+            f"build_typed_layout: bucket={T} is smaller than the largest "
+            f"per-type count ({int(counts.max())}); rows would be silently "
+            f"dropped. Pass bucket=None to size automatically.")
     perm = np.full(num_types * T, n, np.int64)
     inv = np.zeros(n, np.int64)
     order = np.argsort(types, kind='stable')

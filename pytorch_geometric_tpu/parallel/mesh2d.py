@@ -41,8 +41,7 @@ def train_2d(datas, num_graph_parts: int, mesh: Mesh,
     assert len(datas) == num_data
 
     # partition every replica's graph; stack along a leading data axis
-    stacks = []
-    n_max = e_max = 0
+    n_max = e_max = h_max = 0
     parts_list = []
     for data in datas:
         coo = np.asarray(data.edge_index.coo
@@ -60,6 +59,7 @@ def train_2d(datas, num_graph_parts: int, mesh: Mesh,
         parts_list.append(parts)
         n_max = max(n_max, parts.n_max)
         e_max = max(e_max, parts.edge_src.shape[1])
+        h_max = max(h_max, parts.h_max)
 
     def pad_to(a, n2, axis, fill=0):
         pad = [(0, 0)] * a.ndim
@@ -67,28 +67,43 @@ def train_2d(datas, num_graph_parts: int, mesh: Mesh,
         return np.pad(a, pad, constant_values=fill)
 
     F = parts_list[0].x.shape[-1]
-    xs, ys, oms, tms, srcs, dsts, ems, ews = ([] for _ in range(8))
-    for parts in parts_list:
+    (xs, ys, oms, tms, srcs, dsts, ems, ews,
+     hss, hms) = ([] for _ in range(10))
+    for data, parts in zip(datas, parts_list):
         # re-pad each replica's partition arrays to the global maxima so
         # the stacked [D, G, ...] tensors are rectangular
-        pad_n = n_max - parts.n_max
         xs.append(pad_to(parts.x.astype(np.float32), n_max, 1))
         ys.append(pad_to(parts.y.astype(np.int32), n_max, 1))
         oms.append(pad_to(parts.own_mask, n_max, 1))
-        tms.append(pad_to(parts.own_mask, n_max, 1))
-        # remap gathered-buffer positions to the new n_max stride
-        p_of = parts.edge_src // parts.n_max
-        l_of = parts.edge_src % parts.n_max
-        src2 = p_of * n_max + l_of
-        srcs.append(pad_to(src2, e_max, 1))
+        # per-replica train mask, mapped into partition-local layout
+        # (mirrors shard_partitions: train_mask[own] & own_mask)
+        tm_full = (np.asarray(data.train_mask)
+                   if getattr(data, 'train_mask', None) is not None
+                   else np.ones(data.num_nodes, bool))
+        tms.append(pad_to(tm_full[parts.own] & parts.own_mask, n_max, 1))
+        # remap [own | recv]-buffer positions to the new n_max/h_max
+        # strides: own positions are stride-free; recv slots re-encode
+        n_o, h_o = parts.n_max, parts.h_max
+        v = parts.edge_src_halo
+        is_own = v < n_o
+        q = np.minimum((v - n_o) // max(h_o, 1), num_graph_parts - 1)
+        s = (v - n_o) % max(h_o, 1)
+        is_pad = v >= n_o + num_graph_parts * h_o
+        src2 = np.where(is_own, v, n_max + q * h_max + s)
+        src2 = np.where(is_pad, n_max + num_graph_parts * h_max, src2)
+        srcs.append(pad_to(src2, e_max, 1,
+                           fill=n_max + num_graph_parts * h_max))
         dsts.append(pad_to(parts.edge_dst, e_max, 1, fill=n_max))
         ems.append(pad_to(parts.edge_mask, e_max, 1))
         ew = (parts.edge_weight if parts.edge_weight is not None
               else np.ones_like(parts.edge_src, np.float32))
         ews.append(pad_to(ew.astype(np.float32), e_max, 1))
+        hs = np.where(parts.halo_send_mask, parts.halo_send, n_max)
+        hss.append(pad_to(hs, h_max, 2, fill=n_max))
+        hms.append(pad_to(parts.halo_send_mask, h_max, 2))
 
     leaves = tuple(np.stack(a) for a in
-                   (xs, ys, oms, tms, srcs, dsts, ems, ews))
+                   (xs, ys, oms, tms, srcs, dsts, ems, ews, hss, hms))
     spec = NamedSharding(mesh, P('data', 'graph'))
     leaves = tuple(jax.device_put(jnp.asarray(a), spec) for a in leaves)
 

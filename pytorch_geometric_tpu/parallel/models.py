@@ -7,6 +7,7 @@ by the mesh. Full-batch semantics are exactly preserved (validated
 against the single-device model in tests).
 """
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -16,7 +17,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .partition import GraphPartitions, Partitioner
-from .spmm import partition_spmm, make_partition_gcn_step
+from .spmm import (partition_spmm, partition_spmm_halo,
+                   make_partition_gcn_step)
 
 
 def gcn_norm_weights(coo: np.ndarray, num_nodes: int) -> np.ndarray:
@@ -43,23 +45,34 @@ def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
     """2-layer GCN on one partition shard (inside shard_map).
 
     shard_leaves: (x, y, own_mask, train_mask, edge_src, edge_dst,
-                   edge_mask, edge_weight) — each with the leading
-    per-device block (shard_map strips the P axis).
+                   edge_mask, edge_weight[, halo_send, halo_send_mask])
+    — each with the leading per-device block (shard_map strips the P
+    axis). With the two halo leaves present, ``edge_src`` must carry
+    [own | recv]-buffer positions and the sparse exchange is used.
     """
     (x, y, own_mask, train_mask, edge_src, edge_dst, edge_mask,
-     edge_weight) = shard_leaves
+     edge_weight) = shard_leaves[:8]
+    halo = shard_leaves[8:]
     x, y = x[0], y[0]
     own_mask, train_mask = own_mask[0], train_mask[0]
     edge_src, edge_dst = edge_src[0], edge_dst[0]
     edge_mask, edge_weight = edge_mask[0], edge_weight[0]
+    if halo:
+        hs, hm = halo[0][0], halo[1][0]
+        spmm = partial(partition_spmm_halo, halo_send=hs,
+                       halo_send_mask=hm, edge_src=edge_src,
+                       edge_dst=edge_dst, edge_mask=edge_mask,
+                       edge_weight=edge_weight, axis_name=axis_name)
+    else:
+        spmm = partial(partition_spmm, edge_src=edge_src,
+                       edge_dst=edge_dst, edge_mask=edge_mask,
+                       edge_weight=edge_weight, axis_name=axis_name)
 
     h = x @ params['w1']
-    h = partition_spmm(h, edge_src, edge_dst, edge_mask, edge_weight,
-                       axis_name) + params['b1']
+    h = spmm(h) + params['b1']
     h = jax.nn.relu(h)
     h = h @ params['w2']
-    logits = partition_spmm(h, edge_src, edge_dst, edge_mask,
-                            edge_weight, axis_name) + params['b2']
+    logits = spmm(h) + params['b2']
 
     mask = own_mask & train_mask
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
@@ -79,9 +92,16 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
     tm = tm_flat & parts.own_mask
     ew = (parts.edge_weight if parts.edge_weight is not None
           else np.ones_like(parts.edge_src, np.float32))
-    leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
-              parts.own_mask, tm, parts.edge_src, parts.edge_dst,
-              parts.edge_mask, ew.astype(np.float32))
+    if parts.halo_send is not None:
+        # sparse halo: edge srcs address the [own | recv] buffer
+        leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
+                  parts.own_mask, tm, parts.edge_src_halo,
+                  parts.edge_dst, parts.edge_mask, ew.astype(np.float32),
+                  parts.halo_send, parts.halo_send_mask)
+    else:
+        leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
+                  parts.own_mask, tm, parts.edge_src, parts.edge_dst,
+                  parts.edge_mask, ew.astype(np.float32))
     spec = NamedSharding(mesh, P(axis_name))
     return tuple(jax.device_put(jnp.asarray(a), spec) for a in leaves)
 

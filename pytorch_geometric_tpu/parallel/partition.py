@@ -47,6 +47,17 @@ class GraphPartitions:
     edge_weight: Optional[np.ndarray]
     node_part: np.ndarray
     global_pos: np.ndarray
+    # Sparse halo exchange (reference exchanges only boundary nodes per
+    # hop, dist_neighbor_sampler.py:875-947; here the boundary sets are
+    # precomputed so the device-side exchange is ONE all_to_all):
+    # halo_send[p, r, s]   local position in p's own block to ship to r
+    #                      (pad = n_max); halo_send[p, p] is all-pad.
+    # edge_src_halo[p, e]  src position in p's [own | recv] buffer:
+    #                      < n_max         -> own block
+    #                      n_max + q*h + s -> slot s received from q
+    halo_send: Optional[np.ndarray] = None
+    halo_send_mask: Optional[np.ndarray] = None
+    edge_src_halo: Optional[np.ndarray] = None
 
     @property
     def num_parts(self) -> int:
@@ -55,6 +66,21 @@ class GraphPartitions:
     @property
     def n_max(self) -> int:
         return self.own.shape[1]
+
+    @property
+    def h_max(self) -> int:
+        return 0 if self.halo_send is None else self.halo_send.shape[2]
+
+    def halo_bytes(self, feature_dim: int, itemsize: int = 4) -> int:
+        """Boundary features actually shipped per layer (all devices)."""
+        if self.halo_send_mask is None:
+            return 0
+        return int(self.halo_send_mask.sum()) * feature_dim * itemsize
+
+    def gather_bytes(self, feature_dim: int, itemsize: int = 4) -> int:
+        """What the dense all_gather baseline ships per layer."""
+        P = self.num_parts
+        return P * (P - 1) * self.n_max * feature_dim * itemsize
 
 
 class Partitioner:
@@ -74,21 +100,18 @@ class Partitioner:
                          else data.edge_index)
         parts = partition_graph(coo, n, P, seed=self.seed)
 
-        local_pos = np.zeros(n, np.int64)
-        counts = np.zeros(P, np.int64)
+        counts = np.bincount(parts, minlength=P).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)])
         order = np.argsort(parts, kind='stable')
-        for v in order:
-            p = parts[v]
-            local_pos[v] = counts[p]
-            counts[p] += 1
+        local_pos = np.zeros(n, np.int64)
+        local_pos[order] = np.arange(n) - starts[parts[order]]
         n_max = int(counts.max())
         global_pos = parts.astype(np.int64) * n_max + local_pos
 
         own = np.zeros((P, n_max), np.int64)
         own_mask = np.zeros((P, n_max), bool)
-        for v in range(n):
-            own[parts[v], local_pos[v]] = v
-            own_mask[parts[v], local_pos[v]] = True
+        own[parts, local_pos] = np.arange(n)
+        own_mask[parts, local_pos] = True
 
         x = None
         if data.x is not None:
@@ -115,18 +138,67 @@ class Partitioner:
         if w is not None:
             w = np.asarray(w)
             ew = np.zeros((P, e_max), w.dtype)
-        cursor = np.zeros(P, np.int64)
-        for e in range(coo.shape[1]):
-            p = eparts[e]
-            c = cursor[p]
-            edge_src[p, c] = global_pos[coo[0, e]]
-            edge_dst[p, c] = local_pos[coo[1, e]]
-            edge_mask[p, c] = True
-            if ew is not None:
-                ew[p, c] = w[e]
-            cursor[p] += 1
+        e_starts = np.concatenate([[0], np.cumsum(e_counts)])
+        eorder = np.argsort(eparts, kind='stable')
+        e_pos = np.arange(coo.shape[1]) - e_starts[eparts[eorder]]
+        ep_s = eparts[eorder]
+        edge_src[ep_s, e_pos] = global_pos[coo[0][eorder]]
+        edge_dst[ep_s, e_pos] = local_pos[coo[1][eorder]]
+        edge_mask[ep_s, e_pos] = True
+        if ew is not None:
+            ew[ep_s, e_pos] = w[eorder]
+
+        # ---- sparse halo sets --------------------------------------------
+        # For every (src-part q, dst-part p) pair, the unique boundary
+        # nodes q must ship to p. Slot order is sorted-by-global-id, so
+        # sender and receiver agree on addressing with no handshake.
+        src_part = parts[coo[0]]
+        rem = src_part != eparts
+        if rem.any():
+            pairkey = src_part[rem].astype(np.int64) * P + eparts[rem]
+            combined = pairkey * (n + 1) + coo[0][rem]
+            uniq = np.unique(combined)
+            u_pair = uniq // (n + 1)
+            u_src = (uniq % (n + 1)).astype(np.int64)
+            pair_counts = np.bincount(u_pair, minlength=P * P)
+            h_max = int(pair_counts.max())
+            h_max = max(8, -(-h_max // 8) * 8)      # pad to lanes of 8
+            pair_offsets = np.concatenate([[0], np.cumsum(pair_counts)])
+            slot = np.arange(len(uniq)) - pair_offsets[u_pair]
+        else:
+            uniq = np.zeros(0, np.int64)
+            u_pair = np.zeros(0, np.int64)
+            u_src = np.zeros(0, np.int64)
+            slot = np.zeros(0, np.int64)
+            h_max = 8
+        halo_send = np.full((P, P, h_max), n_max, np.int64)
+        halo_send_mask = np.zeros((P, P, h_max), bool)
+        q_of = u_pair // P
+        p_of = u_pair % P
+        halo_send[q_of, p_of, slot] = local_pos[u_src]
+        halo_send_mask[q_of, p_of, slot] = True
+
+        # Re-address each edge's src into the receiver's [own | recv]
+        # buffer: own-block position for local edges, halo-slot position
+        # for remote ones.
+        e_all = coo.shape[1]
+        buf_pos = np.zeros(e_all, np.int64)
+        local_e = ~rem
+        buf_pos[local_e] = local_pos[coo[0][local_e]]
+        if rem.any():
+            pairkey_e = (src_part[rem].astype(np.int64) * P + eparts[rem])
+            comb_e = pairkey_e * (n + 1) + coo[0][rem]
+            u_idx = np.searchsorted(uniq, comb_e)
+            buf_pos[rem] = (n_max + u_pair[u_idx] // P * h_max
+                            + slot[u_idx])
+        # pad slots point one past the recv buffer (masked out on device)
+        edge_src_halo = np.full((P, e_max), n_max + P * h_max, np.int64)
+        edge_src_halo[ep_s, e_pos] = buf_pos[eorder]
 
         return GraphPartitions(own=own, own_mask=own_mask, x=x, y=y,
                                edge_src=edge_src, edge_dst=edge_dst,
                                edge_mask=edge_mask, edge_weight=ew,
-                               node_part=parts, global_pos=global_pos)
+                               node_part=parts, global_pos=global_pos,
+                               halo_send=halo_send,
+                               halo_send_mask=halo_send_mask,
+                               edge_src_halo=edge_src_halo)

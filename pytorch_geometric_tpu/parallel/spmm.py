@@ -2,14 +2,24 @@
 
 The TPU replacement for the reference's pull-based RPC sampling + halo
 merge (``distributed/dist_neighbor_sampler.py:875-947``): graph
-partitions live on devices along a ``graph`` mesh axis; each step
-all-gathers owned features over ICI (statically shaped) and reduces
-local edges to owned destinations. ``shard_map`` keeps the collective
-explicit; XLA overlaps the gather with the local GEMMs where possible.
+partitions live on devices along a ``graph`` mesh axis.
 
-Gradient flow: ``shard_map`` is differentiable — the backward of the
-``all_gather`` is a ``psum_scatter``, which is exactly the halo-gradient
-exchange the reference would need to hand-write.
+Two exchange strategies:
+
+* **sparse halo** (default, :func:`partition_spmm_halo`) — the
+  Partitioner precomputes per-pair boundary index sets; each layer ships
+  ONLY boundary features via one ``all_to_all`` over ICI
+  (O(boundary * F) traffic), then reduces local edges against the
+  ``[own | recv]`` buffer. The backward is the transposed
+  ``all_to_all`` — the mirrored halo-gradient exchange — for free via
+  shard_map differentiation.
+* **dense gather** (:func:`partition_spmm`) — all-gathers every owned
+  block (O(N * F) replicated traffic); kept as the fallback for
+  partitions built without halo sets.
+
+The boundary ``x_own[halo_send]`` gather and the local-edge aggregation
+are independent of the collective's in-flight bytes, so XLA's async
+collectives overlap them with compute where profitable.
 """
 
 from functools import partial
@@ -35,6 +45,40 @@ def partition_spmm(x_own: jnp.ndarray, edge_src: jnp.ndarray,
     x_full = jax.lax.all_gather(x_own, axis_name, tiled=True)  # [P*n, F]
     src = jnp.minimum(edge_src, x_full.shape[0] - 1)
     msg = x_full[src]
+    if edge_weight is not None:
+        msg = msg * edge_weight[:, None]
+    dst = jnp.where(edge_mask, edge_dst, n_max)
+    return jax.ops.segment_sum(msg, dst, n_max + 1)[:n_max]
+
+
+def partition_spmm_halo(x_own: jnp.ndarray, halo_send: jnp.ndarray,
+                        halo_send_mask: jnp.ndarray,
+                        edge_src: jnp.ndarray, edge_dst: jnp.ndarray,
+                        edge_mask: jnp.ndarray,
+                        edge_weight: Optional[jnp.ndarray],
+                        axis_name: str = 'graph') -> jnp.ndarray:
+    """Sparse-halo A^T x (dst-owned). Call INSIDE shard_map.
+
+    x_own:          [n_max, F] this device's owned features
+    halo_send:      [P, h_max] local positions to ship to each peer
+    halo_send_mask: [P, h_max]
+    edge_src:       [e_max] position in the [own | recv] buffer
+    edge_dst:       [e_max] local dst position
+    """
+    n_max, f = x_own.shape
+    num_p, h_max = halo_send.shape
+    # Boundary gather (pad -> zero row), then ONE all_to_all: device q's
+    # send[r] lands as this device's recv[q]; slot order was agreed at
+    # partition time, so recv is directly addressable.
+    x_pad = jnp.concatenate([x_own, jnp.zeros((1, f), x_own.dtype)])
+    send = x_pad[jnp.minimum(halo_send, n_max)]          # [P, h, F]
+    send = jnp.where(halo_send_mask[..., None], send, 0)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)  # [P, h, F]
+    buf = jnp.concatenate([x_own, recv.reshape(num_p * h_max, f),
+                           jnp.zeros((1, f), x_own.dtype)])
+    src = jnp.minimum(edge_src, buf.shape[0] - 1)
+    msg = buf[src]
     if edge_weight is not None:
         msg = msg * edge_weight[:, None]
     dst = jnp.where(edge_mask, edge_dst, n_max)

@@ -53,6 +53,9 @@ class SamplerOutput:
     batch_size: int
     seed_mask: Optional[np.ndarray] = None
     metadata: Optional[dict] = None
+    # disjoint mode: seed-subtree index of each local node ([N_cap];
+    # reference base.py:188 ``batch``)
+    batch: Optional[np.ndarray] = None
 
     @property
     def num_nodes_cap(self) -> int:

@@ -10,6 +10,7 @@ first-occurrence global->local relabeling, seeds-first ordering,
 ``directional`` subgraph (edges sampled toward seeds).
 """
 
+import math
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -76,7 +77,10 @@ class NeighborSampler(BaseSampler):
 
     def __init__(self, data: Union[Data, tuple],
                  num_neighbors: Sequence[int], replace: bool = False,
-                 disjoint: bool = False, seed: int = 0):
+                 disjoint: bool = False,
+                 temporal_strategy: str = 'uniform',
+                 time_attr: Optional[str] = None,
+                 weight_attr: Optional[str] = None, seed: int = 0):
         if isinstance(data, Data):
             self.num_nodes = data.num_nodes
             edge_index = data.edge_index
@@ -85,9 +89,38 @@ class NeighborSampler(BaseSampler):
         self.csc = _CSC(edge_index, self.num_nodes)
         self.num_neighbors = NumNeighbors(num_neighbors)
         self.replace = replace
-        self.disjoint = disjoint
+        # temporal + weighted options (reference
+        # ``neighbor_sampler.py:428``: node- or edge-level ``time_attr``
+        # with 'uniform'|'last', ``weight_attr`` biased draws)
+        self.node_time = self.edge_time = self.edge_weight = None
+        if time_attr is not None:
+            t = np.asarray(getattr(data, time_attr)).astype(np.float64)
+            num_edges = len(self.csc.row)
+            if len(t) == self.num_nodes:
+                self.node_time = t
+            elif len(t) == num_edges:
+                self.edge_time = t     # indexed by original edge id
+            else:
+                raise ValueError(
+                    f"'{time_attr}' has {len(t)} entries; expected "
+                    f"num_nodes ({self.num_nodes}) or num_edges "
+                    f"({num_edges})")
+        if weight_attr is not None:
+            self.edge_weight = np.asarray(
+                getattr(data, weight_attr)).astype(np.float64)
+        if temporal_strategy not in ('uniform', 'last'):
+            raise ValueError(f"temporal_strategy must be 'uniform' or "
+                             f"'last' (got {temporal_strategy!r})")
+        self.temporal_strategy = temporal_strategy
+        # temporal sampling needs per-seed subtrees (reference forces
+        # disjoint=True when time_attr is set)
+        self.disjoint = disjoint or self.is_temporal
         self.rng = np.random.default_rng(seed)
         self.batch_size: Optional[int] = None
+
+    @property
+    def is_temporal(self) -> bool:
+        return self.node_time is not None or self.edge_time is not None
 
     def _sample_native(self, seeds: np.ndarray, bs: int):
         """C++ fast path (csrc/sampler.cpp — the pyg-lib equivalent)."""
@@ -139,10 +172,203 @@ class NeighborSampler(BaseSampler):
             num_sampled_edges=[int(v) for v in nse],
             batch_size=len(seeds))
 
+    def _seed_time(self, inputs, seeds) -> Optional[np.ndarray]:
+        if not self.is_temporal:
+            return None
+        if inputs.time is not None:
+            return np.asarray(inputs.time, np.float64)
+        if self.node_time is not None:
+            return self.node_time[seeds]
+        raise ValueError(
+            "edge-level temporal sampling needs explicit seed times "
+            "(NodeSamplerInput.time / the loader's input_time)")
+
+    def _sample_native_tw(self, seeds: np.ndarray, bs: int,
+                          seed_time: Optional[np.ndarray]):
+        """C++ temporal/weighted/disjoint path (neighbor_sample_tw)."""
+        import ctypes
+        from ..csrc import load
+        lib = load()
+        node_caps = self.num_neighbors.node_budget(bs)
+        edge_caps = self.num_neighbors.edge_budget(bs)
+        n_cap, e_cap = sum(node_caps), sum(edge_caps)
+        H = self.num_neighbors.num_hops
+
+        colptr = np.ascontiguousarray(self.csc.colptr, np.int64)
+        row = np.ascontiguousarray(self.csc.row, np.int64)
+        eid = np.ascontiguousarray(self.csc.eid, np.int64)
+        seeds_c = np.ascontiguousarray(seeds, np.int64)
+        fanouts = np.ascontiguousarray(self.num_neighbors.values,
+                                       np.int64)
+        ecaps = np.ascontiguousarray(edge_caps, np.int64)
+        node = np.zeros(n_cap, np.int64)
+        batch = np.zeros(n_cap, np.int64)
+        node_mask = np.zeros(n_cap, np.uint8)
+        rows = np.zeros(e_cap, np.int64)
+        cols = np.zeros(e_cap, np.int64)
+        eids = np.zeros(e_cap, np.int64)
+        emask = np.zeros(e_cap, np.uint8)
+        nsn = np.zeros(H + 1, np.int64)
+        nse = np.zeros(H, np.int64)
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        def pu8(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+        def pf64(a):
+            if a is None:
+                return ctypes.POINTER(ctypes.c_double)()
+            a = np.ascontiguousarray(a, np.float64)
+            _keep.append(a)
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+        _keep = []
+        lib.neighbor_sample_tw(
+            p64(colptr), p64(row), p64(eid),
+            ctypes.c_int64(self.num_nodes),
+            p64(seeds_c), ctypes.c_int64(len(seeds_c)),
+            pf64(seed_time),
+            p64(fanouts), ctypes.c_int64(H),
+            p64(ecaps), ctypes.c_int64(n_cap), ctypes.c_int64(e_cap),
+            ctypes.c_int(int(self.replace)),
+            ctypes.c_int(int(self.disjoint)),
+            ctypes.c_int(1 if self.temporal_strategy == 'last' else 0),
+            pf64(self.node_time), pf64(self.edge_time),
+            pf64(self.edge_weight),
+            ctypes.c_uint64(int(self.rng.integers(0, 2 ** 62))),
+            p64(node), p64(batch), pu8(node_mask),
+            p64(rows), p64(cols), p64(eids), pu8(emask),
+            p64(nsn), p64(nse))
+        return SamplerOutput(
+            node=node, row=rows, col=cols, edge=eids,
+            node_mask=node_mask.astype(bool),
+            edge_mask=emask.astype(bool),
+            num_sampled_nodes=[int(v) for v in nsn],
+            num_sampled_edges=[int(v) for v in nse],
+            batch_size=len(seeds),
+            batch=batch if self.disjoint else None)
+
+    def _sample_tw_python(self, seeds: np.ndarray, bs: int,
+                          seed_time: Optional[np.ndarray]):
+        """numpy mirror of ``neighbor_sample_tw`` (same semantics)."""
+        node_caps = self.num_neighbors.node_budget(bs)
+        edge_caps = self.num_neighbors.edge_budget(bs)
+        n_cap, e_cap = sum(node_caps), sum(edge_caps)
+        temporal = self.is_temporal
+        key_of = ((lambda g, b: b * self.num_nodes + g)
+                  if self.disjoint else (lambda g, b: g))
+
+        local = {}
+        nodes, batches = [], []
+        for i, s in enumerate(seeds):
+            k = key_of(int(s), i)
+            if k not in local:
+                local[k] = len(nodes)
+                nodes.append(int(s))
+                batches.append(i if self.disjoint else 0)
+        nsn = [len(nodes)]
+        nse = []
+        rows = np.full(e_cap, n_cap, np.int64)
+        cols = np.full(e_cap, n_cap, np.int64)
+        eids = np.zeros(e_cap, np.int64)
+        emask = np.zeros(e_cap, bool)
+
+        frontier = [(nodes[i], batches[i]) for i in range(len(nodes))]
+        e_cursor = 0
+        for hop, fanout in enumerate(self.num_neighbors.values):
+            next_frontier = []
+            new_nodes = hop_edges = 0
+            base = e_cursor
+            for v, b in frontier:
+                dst_local = local[key_of(v, b)]
+                lo, hi = self.csc.colptr[v], self.csc.colptr[v + 1]
+                cand = np.arange(lo, hi)
+                if temporal:
+                    t_max = (seed_time[b] if seed_time is not None
+                             else self.node_time[v])
+                    t = (self.node_time[self.csc.row[cand]]
+                         if self.node_time is not None
+                         else self.edge_time[self.csc.eid[cand]])
+                    cand = cand[t <= t_max]
+                deg = len(cand)
+                if deg == 0:
+                    continue
+                if temporal and self.temporal_strategy == 'last':
+                    t = (self.node_time[self.csc.row[cand]]
+                         if self.node_time is not None
+                         else self.edge_time[self.csc.eid[cand]])
+                    pick = cand[np.argsort(-t, kind='stable')[:fanout]]
+                elif self.edge_weight is not None:
+                    w = self.edge_weight[self.csc.eid[cand]]
+                    if self.replace:
+                        if w.sum() <= 0:
+                            continue
+                        pick = self.rng.choice(cand, fanout,
+                                               p=w / w.sum())
+                    elif deg <= fanout:
+                        pick = cand
+                    else:
+                        ok = w > 0
+                        keys = np.full(deg, -np.inf)
+                        keys[ok] = (np.log(self.rng.random(ok.sum()))
+                                    / w[ok])
+                        pick = cand[np.argsort(-keys)[:min(
+                            fanout, int(ok.sum()))]]
+                elif deg <= fanout and not self.replace:
+                    pick = cand
+                elif self.replace:
+                    pick = cand[self.rng.integers(0, deg, fanout)]
+                else:
+                    pick = self.rng.choice(cand, fanout, replace=False)
+                for pos in pick:
+                    g = int(self.csc.row[pos])
+                    k = key_of(g, b)
+                    if len(nodes) >= n_cap and k not in local:
+                        continue
+                    if k not in local:
+                        local[k] = len(nodes)
+                        nodes.append(g)
+                        batches.append(b if self.disjoint else 0)
+                        next_frontier.append((g, b))
+                        new_nodes += 1
+                    slot = base + hop_edges
+                    if slot >= e_cap:
+                        continue
+                    rows[slot] = local[k]
+                    cols[slot] = dst_local
+                    eids[slot] = self.csc.eid[pos]
+                    emask[slot] = True
+                    hop_edges += 1
+            nsn.append(new_nodes)
+            nse.append(hop_edges)
+            e_cursor += edge_caps[hop]
+            frontier = next_frontier
+
+        node = np.zeros(n_cap, np.int64)
+        node[:len(nodes)] = nodes
+        batch = np.zeros(n_cap, np.int64)
+        batch[:len(batches)] = batches
+        node_mask = np.arange(n_cap) < len(nodes)
+        return SamplerOutput(
+            node=node, row=rows, col=cols, edge=eids,
+            node_mask=node_mask, edge_mask=emask,
+            num_sampled_nodes=nsn, num_sampled_edges=nse,
+            batch_size=len(seeds),
+            batch=batch if self.disjoint else None)
+
     def sample_from_nodes(self, inputs: NodeSamplerInput) -> SamplerOutput:
         seeds = np.asarray(inputs.node, np.int64)
         bs = self.batch_size or len(seeds)
         from ..csrc import WITH_NATIVE_SAMPLER
+        needs_tw = (self.disjoint or self.is_temporal
+                    or self.edge_weight is not None)
+        if needs_tw:
+            seed_time = self._seed_time(inputs, seeds)
+            if WITH_NATIVE_SAMPLER:
+                return self._sample_native_tw(seeds, bs, seed_time)
+            return self._sample_tw_python(seeds, bs, seed_time)
         if WITH_NATIVE_SAMPLER:
             return self._sample_native(seeds, bs)
         node_caps = self.num_neighbors.node_budget(bs)
@@ -214,35 +440,81 @@ class NeighborSampler(BaseSampler):
     def sample_from_edges(self, inputs: EdgeSamplerInput,
                           neg_sampling: Optional[NegativeSampling] = None
                           ) -> SamplerOutput:
-        """Link sampling (reference ``neighbor_sampler.py`` edge path):
-        seeds = src+dst (+ sampled negatives), binary mode."""
+        """Link sampling (reference ``neighbor_sampler.py`` edge path +
+        ``base.py:849``): seeds = src+dst (+ sampled negatives).
+
+        binary  -> metadata {edge_label, edge_label_index}
+        triplet -> metadata {src_index, dst_pos_index, dst_neg_index}
+        """
         row = np.asarray(inputs.row, np.int64)
         col = np.asarray(inputs.col, np.int64)
         k = len(row)
+        triplet = neg_sampling is not None and neg_sampling.is_triplet()
         neg = 0
-        if neg_sampling is not None and neg_sampling.is_binary():
-            neg = int(k * neg_sampling.amount)
-        neg_row = self.rng.integers(0, self.num_nodes, neg)
-        neg_col = self.rng.integers(0, self.num_nodes, neg)
+        if neg_sampling is not None:
+            neg = int(math.ceil(k * neg_sampling.amount))
+        if triplet:
+            # per-source negative destinations only (reference
+            # base.py:879: triplet draws dst negatives per input edge)
+            neg_row = np.zeros(0, np.int64)
+            neg_col = self.rng.integers(0, self.num_nodes, neg)
+        else:
+            neg_row = self.rng.integers(0, self.num_nodes, neg)
+            neg_col = self.rng.integers(0, self.num_nodes, neg)
         seeds = np.concatenate([row, col, neg_row, neg_col])
+        time = None
+        if inputs.time is not None:
+            t = np.asarray(inputs.time, np.float64)
+            reps = [t, t]
+            if len(neg_row):
+                reps.append(np.resize(t, len(neg_row)))
+            if len(neg_col):
+                reps.append(np.resize(t, len(neg_col)))
+            time = np.concatenate(reps)
         self_bs, self.batch_size = self.batch_size, len(seeds)
         try:
-            out = self.sample_from_nodes(NodeSamplerInput(node=seeds))
+            out = self.sample_from_nodes(
+                NodeSamplerInput(node=seeds, time=time))
         finally:
             self.batch_size = self_bs
-        label = np.concatenate([
-            (np.asarray(inputs.label) if inputs.label is not None
-             else np.ones(k, np.float32)),
-            np.zeros(neg, np.float32)])
-        # local positions of the seed pairs inside out.node
-        loc = {int(g): i for i, g in enumerate(
-            out.node[:out.num_sampled_nodes[0]])}
-        src_idx = np.array([loc[int(g)] for g in
-                            np.concatenate([row, neg_row])], np.int64)
-        dst_idx = np.array([loc[int(g)] for g in
-                            np.concatenate([col, neg_col])], np.int64)
-        out.metadata = {'edge_label': label,
-                        'edge_label_index': np.stack([src_idx, dst_idx])}
+
+        # vectorized first-occurrence localization (replaces the
+        # per-batch python dict): seeds-first prefix of out.node holds
+        # each seed's local id; disjoint mode is positional by design
+        if self.disjoint:
+            pos = np.arange(len(seeds), dtype=np.int64)
+            src_loc = pos[:k]
+            dst_loc = pos[k:2 * k]
+            nr_loc = pos[2 * k:2 * k + len(neg_row)]
+            nc_loc = pos[2 * k + len(neg_row):]
+        else:
+            prefix = out.node[:out.num_sampled_nodes[0]]
+            order = np.argsort(prefix, kind='stable')
+            sorted_prefix = prefix[order]
+
+            def loc(q):
+                if len(q) == 0:
+                    return np.zeros(0, np.int64)
+                p = np.searchsorted(sorted_prefix, q)
+                return order[np.minimum(p, len(order) - 1)]
+
+            src_loc, dst_loc = loc(row), loc(col)
+            nr_loc, nc_loc = loc(neg_row), loc(neg_col)
+
+        if triplet:
+            out.metadata = {'src_index': src_loc,
+                            'dst_pos_index': dst_loc,
+                            'dst_neg_index': nc_loc}
+        else:
+            label = np.concatenate([
+                (np.asarray(inputs.label) if inputs.label is not None
+                 else np.ones(k, np.float32)),
+                np.zeros(neg, np.float32)])
+            src_idx = np.concatenate([src_loc, nr_loc])
+            dst_idx = np.concatenate([dst_loc, nc_loc])
+            out.metadata = {'edge_label': label,
+                            'edge_label_index': np.stack([src_idx,
+                                                          dst_idx])}
         return out
 
 
