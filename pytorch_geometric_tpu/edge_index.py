@@ -264,9 +264,12 @@ def _link_blocked_pair(blk: BlockedCSC, blk_t: BlockedCSC,
     same edge in the other layout)."""
     perm = np.asarray(blk.perm)
     perm_t = np.asarray(blk_t.perm)
-    inv = np.zeros(num_edges + 1, np.int64)
+    # COO pad edges are EXCLUDED from the blocked layout; their inverse
+    # position is the out-of-range sentinel len(perm) so the slot-gather
+    # backward drops (not aliases) their gradient.
+    inv = np.full(num_edges + 1, len(perm), np.int64)
     inv[np.minimum(perm, num_edges)] = np.arange(len(perm))
-    inv_t = np.zeros(num_edges + 1, np.int64)
+    inv_t = np.full(num_edges + 1, len(perm_t), np.int64)
     inv_t[np.minimum(perm_t, num_edges)] = np.arange(len(perm_t))
     t_pos = inv_t[np.minimum(perm, num_edges)]
     t_pos[perm >= num_edges] = 0

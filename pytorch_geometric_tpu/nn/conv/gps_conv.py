@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..message_passing import MessagePassing
 from ...ops import scatter, softmax as segment_softmax
+from ...ops.sddmm import edge_softmax_aggregate, fused_softmax_available
 
 
 class GPSConv(fnn.Module):
@@ -105,10 +106,17 @@ class RGATConv(MessagePassing):
         a_e = a[et]                            # [E, H, 2C]
         alpha = (jnp.concatenate([h_i, h_j], -1) * a_e).sum(-1)
         alpha = fnn.leaky_relu(alpha, self.negative_slope)
-        alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
-        msg = h_j * alpha[..., None]
-        out = scatter(msg.reshape(-1, H * C), dst, n, 'sum',
-                      mask=edge_mask)
+        if fused_softmax_available(edge_index):
+            # per-edge values (relation-dependent message) -> fused
+            # MXU softmax-aggregation (ops/sddmm.py)
+            out = edge_softmax_aggregate(edge_index, alpha, h_j,
+                                         edge_mask=edge_mask)
+            out = out.reshape(n, H * C)
+        else:
+            alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
+            msg = h_j * alpha[..., None]
+            out = scatter(msg.reshape(-1, H * C), dst, n, 'sum',
+                          mask=edge_mask)
         if self.concat:
             return out
         return out.reshape(n, H, C).mean(1)
@@ -145,10 +153,16 @@ class SuperGATConv(MessagePassing):
         dot = (h[src] * h[dst]).sum(-1) / jnp.sqrt(C)
         alpha = fnn.leaky_relu(logits, self.negative_slope) \
             * jax.nn.sigmoid(dot)
-        alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
-        msg = h[src] * alpha[..., None]
-        out = scatter(msg.reshape(-1, H * C), dst, n, 'sum',
-                      mask=edge_mask)
+        if fused_softmax_available(edge_index):
+            from ...ops.gat_fused import gat_aggregate
+            out = gat_aggregate(edge_index, alpha, h,
+                                edge_mask=edge_mask)
+            out = out.reshape(n, H * C)
+        else:
+            alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
+            msg = h[src] * alpha[..., None]
+            out = scatter(msg.reshape(-1, H * C), dst, n, 'sum',
+                          mask=edge_mask)
         if self.concat:
             return out
         return out.reshape(n, H, C).mean(1)
@@ -185,9 +199,13 @@ class HEATConv(MessagePassing):
         feat = jnp.concatenate([h[src], h[dst], eae, ete], -1)
         alpha = fnn.Dense(H, name='att')(feat)
         alpha = fnn.leaky_relu(alpha, 0.2)
-        alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
         v = fnn.Dense(H * C, use_bias=False, name='lin_v')(
             jnp.concatenate([h[src], eae], -1)).reshape(-1, H, C)
+        if fused_softmax_available(edge_index):
+            out = edge_softmax_aggregate(edge_index, alpha, v,
+                                         edge_mask=edge_mask)
+            return out.reshape(n, H * C)
+        alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
         msg = v * alpha[..., None]
         return scatter(msg.reshape(-1, H * C), dst, n, 'sum',
                        mask=edge_mask)

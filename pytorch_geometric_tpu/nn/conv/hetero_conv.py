@@ -122,7 +122,7 @@ class HGTConv(fnn.Module):
             q = q_dict[dst][d]
             logit = (q * k).sum(-1) * p_rel / jnp.sqrt(D)   # [E, H]
             valid = (coo[0] < n_src) & (coo[1] < n_dst)
-            per_dst.setdefault(dst, []).append((d, logit, v, valid))
+            per_dst.setdefault(dst, []).append((d, logit, v, valid, ei))
 
         out_dict = {}
         for t in node_types:
@@ -132,14 +132,24 @@ class HGTConv(fnn.Module):
             if t not in per_dst:
                 out_dict[t] = x_dict[t]
                 continue
-            ds = jnp.concatenate([p[0] for p in per_dst[t]])
-            logits = jnp.concatenate([p[1] for p in per_dst[t]])
-            vs = jnp.concatenate([p[2] for p in per_dst[t]])
-            valid = jnp.concatenate([p[3] for p in per_dst[t]])
-            alpha = segment_softmax(logits, ds, n, mask=valid)
-            msg = vs * alpha[..., None]
-            agg = scatter(msg.reshape(msg.shape[0], -1), ds, n, 'sum',
-                          mask=valid)
+            from ...ops.sddmm import (fused_softmax_available,
+                                      multi_relation_softmax_aggregate)
+            rels = per_dst[t]
+            if all(fused_softmax_available(p[4]) for p in rels):
+                # union softmax across relations through the blocked MXU
+                # kernel (shared stabilizer; see ops/sddmm.py)
+                agg = multi_relation_softmax_aggregate(
+                    [(p[4], p[1], p[2], p[3]) for p in rels], n)
+                agg = agg.reshape(n, -1)
+            else:
+                ds = jnp.concatenate([p[0] for p in rels])
+                logits = jnp.concatenate([p[1] for p in rels])
+                vs = jnp.concatenate([p[2] for p in rels])
+                valid = jnp.concatenate([p[3] for p in rels])
+                alpha = segment_softmax(logits, ds, n, mask=valid)
+                msg = vs * alpha[..., None]
+                agg = scatter(msg.reshape(msg.shape[0], -1), ds, n,
+                              'sum', mask=valid)
             out = fnn.gelu(agg)
             out = fnn.Dense(self.out_channels, name=f'out_{t}')(out)
             # gated skip (reference hgt_conv.py skip param)

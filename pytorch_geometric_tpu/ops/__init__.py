@@ -8,6 +8,11 @@ __all__ = [
     'scatter', 'scatter_argmax', 'group_argsort',
     'segment', 'segment_logsumexp', 'ptr2index', 'index2ptr',
     'softmax', 'spmm',
+    'sddmm', 'edge_softmax', 'edge_softmax_aggregate',
+    'multi_relation_softmax_aggregate', 'fused_softmax_available',
 ]
 from .grouped import (TypedLayout, build_typed_layout, typed_matmul,
                       grouped_matmul)
+from .sddmm import (sddmm, edge_softmax, edge_softmax_aggregate,
+                    multi_relation_softmax_aggregate,
+                    fused_softmax_available)

@@ -43,7 +43,12 @@ def _slot_gather_fwd(x, fill_row, slots, inv_pos, e):
 
 
 def _slot_gather_bwd(e, inv_pos, g):
-    grad_x = g[inv_pos]
+    # inv_pos == len(g) marks COO pad edges excluded from the blocked
+    # layout — their gradient is zero, not slot 0's (edge_index.py
+    # _link_blocked_pair sentinel)
+    in_layout = inv_pos < g.shape[0]
+    grad_x = jnp.where(in_layout[:, None],
+                       g[jnp.minimum(inv_pos, g.shape[0] - 1)], 0)
     zf = jnp.zeros((g.shape[1],), g.dtype)
     zeros_i = np.zeros(inv_pos.shape, jax.dtypes.float0)
     return grad_x, zf, np.zeros(g.shape[:1], jax.dtypes.float0), zeros_i

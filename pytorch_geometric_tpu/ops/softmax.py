@@ -16,15 +16,31 @@ import jax.numpy as jnp
 from .scatter import _broadcast
 
 
-@partial(jax.jit, static_argnames=('num_segments',))
 def softmax(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
-            mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            mask: Optional[jnp.ndarray] = None,
+            edge_index=None) -> jnp.ndarray:
     """Softmax of ``src`` grouped by ``index`` (e.g. GAT attention over
     incoming edges). ``src`` may be ``[E]`` or ``[E, H]`` (per-head).
 
     Padded edges (``mask == False``) receive weight 0 and do not
     contribute to their segment's normalisation.
+
+    When ``edge_index`` (an :class:`EdgeIndex` with a blocked cache whose
+    destinations are ``index``) is supplied, the denominator runs through
+    the fused blocked MXU kernel (:func:`ops.sddmm.edge_softmax`).
     """
+    if edge_index is not None:
+        from .sddmm import edge_softmax, fused_softmax_available
+        if (fused_softmax_available(edge_index)
+                and src.ndim == 2
+                and src.shape[0] == edge_index.blocked.inv_pos.shape[0]):
+            return edge_softmax(edge_index, src, edge_mask=mask)
+    return _softmax_xla(src, index, num_segments, mask)
+
+
+@partial(jax.jit, static_argnames=('num_segments',))
+def _softmax_xla(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     if mask is not None:
         index = jnp.where(mask, index, num_segments)
         num_segments_eff = num_segments + 1
