@@ -33,12 +33,13 @@ from . import io
 from . import visualization
 from . import testing
 from . import contrib
+from . import distributed
 
 __all__ = [
     'EdgeIndex', 'CSR', 'Index', 'HashTensor', 'Data', 'Batch', 'HeteroData', 'Dataset',
     'InMemoryDataset', 'seed_everything',
     'ops', 'utils', 'nn', 'backend', 'experimental', 'typing_flags', 'transforms', 'datasets', 'sampler', 'loader',
-    'parallel', 'explain', 'metrics', 'profile', 'graphgym', 'io',
+    'parallel', 'distributed', 'explain', 'metrics', 'profile', 'graphgym', 'io',
     'visualization', 'testing', 'contrib', '__version__',
 ]
 from . import checkpoint

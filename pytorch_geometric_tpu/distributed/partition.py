@@ -1,0 +1,48 @@
+"""Offline partitioner entry point for multi-host jobs.
+
+Reference: ``torch_geometric/distributed/partition.py:18`` (Partitioner
+writing per-partition stores + partition books under ``root``). Builds
+on :class:`parallel.partition.Partitioner` (stacked padded arrays +
+sparse halo sets) and persists them via :mod:`partition_io`.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+from ..data.data import Data
+from ..parallel.partition import GraphPartitions
+from ..parallel.partition import Partitioner as _ArrayPartitioner
+from .partition_io import save_partitions
+
+
+class Partitioner:
+    """Partition ``data`` into ``num_parts`` and write per-host dirs.
+
+    Usage (reference ``examples/distributed/pyg/partition_graph.py``):
+
+        Partitioner(data, num_parts=4, root='out/').generate_partition()
+
+    Each host then calls ``load_partition(root, rank)`` and never touches
+    another host's shard.
+    """
+
+    def __init__(self, data: Data, num_parts: int, root: str,
+                 recursive: bool = False, seed: int = 0):
+        self.data = data
+        self.num_parts = num_parts
+        self.root = root
+        self.recursive = recursive  # accepted for API parity (METIS knob)
+        self.seed = seed
+
+    def generate_partition(self) -> GraphPartitions:
+        parts = _ArrayPartitioner(self.data, self.num_parts,
+                                  seed=self.seed).generate_partition()
+        x = np.asarray(self.data.x) if self.data.x is not None else None
+        y = None
+        if self.data.y is not None:
+            yf = np.asarray(self.data.y).reshape(-1)
+            if yf.shape[0] == self.data.num_nodes:
+                y = yf
+        save_partitions(parts, self.root, x=x, y=y)
+        return parts
