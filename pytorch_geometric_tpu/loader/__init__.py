@@ -3,7 +3,7 @@ from .neighbor_loader import NeighborLoader, LinkNeighborLoader
 from .cluster import ClusterData, ClusterLoader, partition_graph, Partition
 from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .temporal import TemporalDataLoader
-from .ibmb import IBMBNodeLoader
+from .ibmb import IBMBNodeLoader, IBMBBatchLoader
 from .prefetch import PrefetchLoader, CachedLoader
 from .list_loader import ZipLoader, AffinityMixin, MultithreadingMixin, LogMemoryMixin, DataListLoader, DenseDataLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
@@ -15,7 +15,7 @@ from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
 __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
     'HeteroNeighborLoader', 'HGTLoader', 'TemporalDataLoader',
-    'IBMBNodeLoader', 'PrefetchLoader', 'CachedLoader', 'DataListLoader',
+    'IBMBNodeLoader', 'IBMBBatchLoader', 'PrefetchLoader', 'CachedLoader', 'DataListLoader',
     'DenseDataLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',

@@ -42,6 +42,41 @@ def _endpoints(edge_index, flow: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return coo[1], coo[0]
 
 
+def _debug_check_bounds(j_idx, i_idx, num_src: int, num_dst: int) -> None:
+    """Debug-mode bounds check (reference ``message_passing.py:269-290``
+    ``_index_select_safe``). The production kernels clamp out-of-range
+    indices for padding safety — index ``== n`` is the pad sentinel — so
+    a *corrupt* edge_index (negative, or past the sentinel) would
+    otherwise be silently aggregated into the last row. Under
+    ``pytorch_geometric_tpu.experimental.debug()`` (host-side, concrete
+    arrays only — tracers can't be validated) it raises instead."""
+    from ..experimental import is_debug_enabled
+    if not is_debug_enabled():
+        return
+    import jax
+    import numpy as np
+    for idx, n, which in ((j_idx, num_src, 'source'),
+                          (i_idx, num_dst, 'destination')):
+        if isinstance(idx, jax.core.Tracer):
+            continue  # tracer inside jit — cannot be checked on host
+        arr = np.asarray(idx)
+        if arr.size == 0:
+            continue
+        lo, hi = int(arr.min()), int(arr.max())
+        if lo < 0:
+            raise IndexError(
+                f"Found negative {which} indices in 'edge_index' (got "
+                f"{lo}). Please ensure that all indices point to valid "
+                f"node indices in the interval [0, {n}) (index == {n} "
+                f"is reserved for padding) and try again.")
+        if hi > n:
+            raise IndexError(
+                f"Found {which} indices in 'edge_index' that are larger "
+                f"than {n} (got {hi}). Please ensure that all indices "
+                f"point to valid node indices in the interval [0, {n}) "
+                f"(index == {n} is reserved for padding) and try again.")
+
+
 def _pair(x) -> Tuple[Any, Any]:
     if isinstance(x, tuple):
         return x
@@ -107,6 +142,7 @@ class MessagePassing(fnn.Module):
         size = self._infer_size(edge_index, size, kwargs)
         num_src, num_dst = size
         j_idx, i_idx = _endpoints(edge_index, self._flow())
+        _debug_check_bounds(j_idx, i_idx, num_src, num_dst)
 
         # Fused SpMM path (reference message_passing.py:479-497).
         if (hasattr(self, 'message_and_aggregate')
@@ -133,6 +169,7 @@ class MessagePassing(fnn.Module):
         """Edge-level pass -> per-edge outputs (reference ``:620-676``)."""
         size = self._infer_size(edge_index, size, kwargs)
         j_idx, i_idx = _endpoints(edge_index, self._flow())
+        _debug_check_bounds(j_idx, i_idx, size[0], size[1])
         fn = getattr(self, 'edge_update')
         ekwargs = self._collect(fn, j_idx, i_idx, size[0], size[1],
                                 edge_mask, kwargs)

@@ -10,9 +10,13 @@ __all__ = [
     'softmax', 'spmm',
     'sddmm', 'edge_softmax', 'edge_softmax_aggregate',
     'multi_relation_softmax_aggregate', 'fused_softmax_available',
+    'sampled_op', 'sampled_add', 'sampled_sub', 'sampled_mul',
+    'sampled_div',
 ]
 from .grouped import (TypedLayout, build_typed_layout, typed_matmul,
                       grouped_matmul)
 from .sddmm import (sddmm, edge_softmax, edge_softmax_aggregate,
                     multi_relation_softmax_aggregate,
                     fused_softmax_available)
+from .sampled import (sampled_op, sampled_add, sampled_sub,
+                      sampled_mul, sampled_div)

@@ -14,6 +14,8 @@ from .geometric import (Center, NormalizeScale, KNNGraph, RadiusGraph,
 from .splits import (RandomNodeSplit, RandomLinkSplit, IndexToMask,
                      MaskToIndex)
 from .diffusion import GDC, AddMetaPaths, RootedEgoNets, HalfHop
+# AddGPSE lives beside its GPSE model (reference transforms/add_gpse.py)
+from ..nn.models.gpse import AddGPSE
 
 from .misc import (ComposeFilters, AddRemainingSelfLoops, Delaunay,
                    FixedPoints, GenerateMeshNormals, LaplacianLambdaMax,
@@ -33,6 +35,7 @@ __all__ = [
     'BaseTransform', 'Compose',
     'ToUndirected', 'AddSelfLoops', 'RemoveSelfLoops',
     'RemoveDuplicatedEdges', 'RemoveIsolatedNodes', 'TwoHop', 'VirtualNode',
+    'AddGPSE',
     'LineGraph', 'GCNNorm', 'SIGN', 'FaceToEdge', 'ToSparseTensor', 'Pad',
     'NormalizeFeatures', 'SVDFeatureReduction', 'Constant', 'OneHotDegree',
     'TargetIndegree', 'LocalDegreeProfile', 'AddLaplacianEigenvectorPE',

@@ -53,3 +53,38 @@ def test_model_hub_roundtrip(tmp_path):
     params, cfg = PyGModelHubMixin.from_pretrained(str(tmp_path))
     assert cfg['hidden'] == 4
     np.testing.assert_allclose(params['w'], 1.0)
+
+
+def test_ibmb_batch_loader_partitions_cover_inputs():
+    n = 60
+    coo = np.stack([rng.integers(0, n, 240),
+                    rng.integers(0, n, 240)]).astype(np.int32)
+    data = Data(x=rng.standard_normal((n, 4)).astype(np.float32),
+                edge_index=coo, y=rng.integers(0, 3, n), num_nodes=n)
+    from pytorch_geometric_tpu.loader import IBMBBatchLoader
+    loader = IBMBBatchLoader(data, num_partitions=4,
+                             input_nodes=np.arange(40),
+                             batch_expand_ratio=1.5)
+    outs = []
+    for b in loader:
+        m = np.asarray(b.output_node_mask)
+        outs.extend(np.asarray(b.n_id)[m].tolist())
+        assert b.num_nodes >= m.sum()  # aux expansion present
+    assert sorted(outs) == list(range(40))
+
+
+def test_add_gpse_transform():
+    import jax
+    from pytorch_geometric_tpu.nn.models.gpse import GPSE
+    from pytorch_geometric_tpu.transforms import AddGPSE
+    n = 12
+    coo = np.stack([rng.integers(0, n, 40),
+                    rng.integers(0, n, 40)]).astype(np.int32)
+    data = Data(x=rng.standard_normal((n, 4)).astype(np.float32),
+                edge_index=coo, num_nodes=n)
+    model = GPSE(dim_in=8, dim_out=6, dim_hidden=16, num_layers=2)
+    x0 = np.zeros((n, 8), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, data.edge_index)
+    out = AddGPSE(model, params)(data)
+    assert out.pestat_GPSE.shape == (n, 6)
+    assert np.all(np.isfinite(np.asarray(out.pestat_GPSE)))
