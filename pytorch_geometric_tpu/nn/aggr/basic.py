@@ -58,7 +58,11 @@ class VarAggregation(Aggregation):
 class StdAggregation(VarAggregation):
     @fnn.compact
     def forward(self, x, index, dim_size, mask, max_num_elements):
-        return jnp.sqrt(self._var(x, index, dim_size, mask) + 1e-5)
+        # reference basic.py:137-138: clamp for sqrt-at-0 grad, then
+        # zero out the "undefined" (var ~ 0) entries
+        out = jnp.sqrt(jnp.maximum(self._var(x, index, dim_size, mask),
+                                   1e-5))
+        return jnp.where(out <= jnp.sqrt(1e-5), 0.0, out)
 
 
 class SoftmaxAggregation(Aggregation):

@@ -86,6 +86,7 @@ class DegreeScalerAggregation(Aggregation):
     aggr: Any = ('mean', 'min', 'max', 'std')
     scaler: Sequence[str] = ('identity', 'amplification', 'attenuation')
     avg_deg_log: float = 1.0
+    avg_deg_lin: float = 1.0
     train_norm: bool = False
 
     @fnn.compact
@@ -105,12 +106,14 @@ class DegreeScalerAggregation(Aggregation):
             elif s == 'amplification':
                 outs.append(out * (log_deg / avg))
             elif s == 'attenuation':
-                outs.append(out * (avg / jnp.maximum(log_deg, 1e-6)))
+                # reference scaler.py:164: avg / log(clamp(deg,1)+1)
+                outs.append(out * (avg / jnp.log(
+                    jnp.maximum(deg, 1.0) + 1)[:, None]))
             elif s == 'linear':
-                outs.append(out * (deg[:, None] / jnp.exp(avg)))
+                outs.append(out * (deg[:, None] / self.avg_deg_lin))
             elif s == 'inverse_linear':
-                outs.append(out * (jnp.exp(avg) / jnp.maximum(deg[:, None],
-                                                              1.0)))
+                outs.append(out * (self.avg_deg_lin
+                                   / jnp.maximum(deg[:, None], 1.0)))
             else:
                 raise ValueError(f"Unknown scaler '{s}'")
         return jnp.concatenate(outs, axis=-1)

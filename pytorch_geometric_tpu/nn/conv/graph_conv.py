@@ -113,8 +113,8 @@ class GatedGraphConv(MessagePassing):
 
 
 class LEConv(MessagePassing):
-    """Local extremum conv: x' = W1 x_i + sum_j w_ji (W2 x_i - W3 x_j)
-    (reference ``le_conv.py``)."""
+    """Local extremum conv (reference ``le_conv.py:58-76``):
+    x'_i = W3 x_i + sum_j w_ji (W1 x_j - W2 x_i)."""
     out_channels: int
     use_bias: bool = True
 
@@ -124,16 +124,16 @@ class LEConv(MessagePassing):
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
         a = fnn.Dense(self.out_channels, use_bias=self.use_bias,
-                      name='lin1')(x_dst)
-        b = fnn.Dense(self.out_channels, use_bias=False, name='lin2')(x_src)
+                      name='lin1')(x_src)
+        b = fnn.Dense(self.out_channels, use_bias=False, name='lin2')(x_dst)
         out = self.propagate(edge_index, a=a, b=b, edge_weight=edge_weight,
                              size=(x_src.shape[0], x_dst.shape[0]),
                              edge_mask=edge_mask)
         return out + fnn.Dense(self.out_channels, use_bias=self.use_bias,
                                name='lin3')(x_dst)
 
-    def message(self, a_i, b_j, edge_weight=None):
-        m = a_i - b_j
+    def message(self, a_j, b_i, edge_weight=None):
+        m = a_j - b_i
         return m if edge_weight is None else edge_weight[:, None] * m
 
 
@@ -168,32 +168,49 @@ class MFConv(MessagePassing):
 
 
 class FAConv(MessagePassing):
-    """Frequency-adaptive conv (reference ``fa_conv.py``):
-    alpha_ij = tanh(gl^T x_i + gr^T x_j), x' = eps*x0 + sum alpha/sqrt(didj) x_j."""
+    """Frequency-adaptive conv (reference ``fa_conv.py:205-217``):
+    alpha_ij = tanh(gl^T x_j + gr^T x_i),
+    x' = eps*x0 + sum_j alpha_ij/sqrt(d_i d_j) x_j with GCN-style
+    self-loop-augmented degrees."""
     eps: float = 0.1
-    use_bias: bool = True
+    add_self_loops: bool = True
+    normalize: bool = True
 
     @fnn.compact
-    def __call__(self, x, x_0, edge_index,
+    def __call__(self, x, edge_index,
+                 x_0: Optional[jnp.ndarray] = None,
+                 edge_weight: Optional[jnp.ndarray] = None,
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        n, f = x.shape
+        from .gcn_conv import gcn_norm
+        if x_0 is None:
+            x_0 = x
+        n = x.shape[0]
         coo = _coo(edge_index)
-        d = degree(coo[1], n, mask=edge_mask) + 1.0
-        dis = jax.lax.rsqrt(d)
+        if self.normalize:
+            coo, edge_weight = gcn_norm(coo, None, n,
+                                        add_self_loops=self.add_self_loops)
+            if edge_mask is not None and self.add_self_loops:
+                edge_mask = jnp.concatenate([edge_mask,
+                                             jnp.ones((n,), bool)])
         al = fnn.Dense(1, use_bias=False, name='att_l')(x)[:, 0]
         ar = fnn.Dense(1, use_bias=False, name='att_r')(x)[:, 0]
-        out = self.propagate(edge_index, x=x, al=al, ar=ar, dis=dis,
+        out = self.propagate(coo, x=x, al=al, ar=ar,
+                             edge_weight=edge_weight,
                              size=(n, n), edge_mask=edge_mask)
-        return self.eps * x_0 + out
+        return out + self.eps * x_0
 
-    def message(self, x_j, al_i, ar_j, dis_i, dis_j):
-        alpha = jnp.tanh(al_i + ar_j) * dis_i * dis_j
+    def message(self, x_j, al_j, ar_i, edge_weight=None):
+        alpha = jnp.tanh(al_j + ar_i)
+        if edge_weight is not None:
+            alpha = alpha * edge_weight
         return alpha[:, None] * x_j
 
 
 class AGNNConv(MessagePassing):
-    """Attention over cosine similarity (reference ``agnn_conv.py``)."""
+    """Attention over cosine similarity (reference ``agnn_conv.py``).
+    Self-loops are (re-)added by default (reference ``:66-72``)."""
     requires_grad_beta: bool = True
+    add_self_loops: bool = True
 
     @fnn.compact
     def __call__(self, x, edge_index,
@@ -203,12 +220,23 @@ class AGNNConv(MessagePassing):
             beta = self.param('beta', fnn.initializers.ones, (1,))
         else:
             beta = jnp.ones((1,))
-        xn = x * jax.lax.rsqrt(
-            jnp.maximum((x * x).sum(-1, keepdims=True), 1e-12))
         coo = _coo(edge_index)
-        cos = (xn[coo[0]] * xn[coo[1]]).sum(-1)
-        alpha = self.edge_softmax(beta * cos, coo[1], n, edge_mask)
-        return self.propagate(edge_index, x=x, alpha=alpha, size=(n, n),
+        if self.add_self_loops:
+            # drop existing loops (zero their mask), then append fresh ones
+            loop_free = coo[0] != coo[1]
+            edge_mask = (loop_free if edge_mask is None
+                         else edge_mask & loop_free)
+            loops = jnp.arange(n, dtype=coo.dtype)
+            coo = jnp.concatenate(
+                [coo, jnp.stack([loops, loops])], axis=1)
+            edge_mask = jnp.concatenate([edge_mask, jnp.ones((n,), bool)])
+        xn = x * jax.lax.rsqrt(
+            jnp.maximum((x * x).sum(-1, keepdims=True), 1e-24))
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        cos = (xn[src] * xn[dst]).sum(-1)
+        alpha = self.edge_softmax(beta * cos, dst, n, edge_mask)
+        return self.propagate(coo, x=x, alpha=alpha, size=(n, n),
                               edge_mask=edge_mask)
 
     def message(self, x_j, alpha):
@@ -232,6 +260,8 @@ class ClusterGCNConv(MessagePassing):
         w = (jnp.ones((coo.shape[1],), x.dtype) if edge_mask is None
              else edge_mask.astype(x.dtype))
         if self.add_self_loops:
+            # reference :100-102: remove existing loops, then add fresh
+            w = jnp.where(coo[0] == coo[1], 0.0, w)
             coo, w = _asl(coo, w, num_nodes=n)
         dst = jnp.minimum(coo[1], n - 1)
         deg = scatter(w, dst, n, 'sum')
@@ -240,26 +270,41 @@ class ClusterGCNConv(MessagePassing):
         diag = scatter(jnp.where(coo[0] == coo[1], ew, 0.0), dst, n, 'sum')
         out = self.propagate(coo, x=x, edge_weight=ew, size=(n, n))
         out = out + self.diag_lambda * diag[:, None] * x
-        return fnn.Dense(self.out_channels, use_bias=self.use_bias,
-                         name='lin_out')(out)
+        # reference cluster_gcn_conv.py:61-63: lin_out + root skip
+        return (fnn.Dense(self.out_channels, use_bias=self.use_bias,
+                          name='lin_out')(out)
+                + fnn.Dense(self.out_channels, use_bias=False,
+                            name='lin_root')(x))
 
     def message(self, x_j, edge_weight):
         return edge_weight[:, None] * x_j
 
 
 class WLConvContinuous(MessagePassing):
-    """1-WL continuous: x' = 0.5 * (x_i + mean_j w_ij x_j)
-    (reference ``wl_conv_continuous.py``)."""
+    """1-WL continuous: x' = 0.5 * (x_i + mean_j w_ij x_j), where the
+    mean is edge-weight-weighted (sum w x / sum w) when weights are
+    given (reference ``wl_conv_continuous.py``)."""
     aggr: str = 'mean'
 
     def __call__(self, x, edge_index,
                  edge_weight: Optional[jnp.ndarray] = None,
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
-        out = self.propagate(edge_index, x=(x_src, x_dst),
-                             edge_weight=edge_weight,
-                             size=(x_src.shape[0], x_dst.shape[0]),
-                             edge_mask=edge_mask)
+        n_dst = x_dst.shape[0]
+        if edge_weight is not None:
+            coo = _coo(edge_index)
+            src = jnp.minimum(coo[0], x_src.shape[0] - 1)
+            dst = jnp.minimum(coo[1], n_dst - 1)
+            w = edge_weight if edge_mask is None else jnp.where(
+                edge_mask, edge_weight, 0.0)
+            num = scatter(w[:, None] * x_src[src], dst, n_dst, 'sum',
+                          mask=edge_mask)
+            den = scatter(w, dst, n_dst, 'sum', mask=edge_mask)
+            out = num / jnp.maximum(den, 1e-12)[:, None]
+        else:
+            out = self.propagate(edge_index, x=(x_src, x_dst),
+                                 size=(x_src.shape[0], n_dst),
+                                 edge_mask=edge_mask)
         return 0.5 * (x_dst + out)
 
     def message(self, x_j, edge_weight=None):

@@ -266,7 +266,13 @@ class MixHopConv(_PropMixin, MessagePassing):
                 h = self.propagate(coo, x=h, edge_weight=ew, size=(n, n),
                                    edge_mask=edge_mask)
             if p in self.powers:
-                outs.append(fnn.Dense(self.out_channels,
-                                      use_bias=self.use_bias,
+                # reference mixhop_conv.py:71: per-power lins are
+                # bias-free; one shared bias over the concat output
+                outs.append(fnn.Dense(self.out_channels, use_bias=False,
                                       name=f'lin_{p}')(h))
-        return jnp.concatenate(outs, axis=-1)
+        out = jnp.concatenate(outs, axis=-1)
+        if self.use_bias:
+            out = out + self.param(
+                'bias', fnn.initializers.zeros,
+                (len(self.powers) * self.out_channels,))
+        return out

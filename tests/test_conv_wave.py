@@ -73,7 +73,7 @@ def test_gated_graph_conv():
 
 
 def test_fa_conv():
-    out = run(pgnn.FAConv(eps=0.2), X, X, COO)
+    out = run(pgnn.FAConv(eps=0.2), X, COO)
     assert out.shape == X.shape
 
 
