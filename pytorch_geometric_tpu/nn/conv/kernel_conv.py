@@ -25,12 +25,14 @@ class GMMConv(MessagePassing):
     dim: int = 2
     kernel_size: int = 3
     aggr: str = 'mean'
+    root_weight: bool = True
+    use_bias: bool = True
 
     @fnn.compact
     def __call__(self, x, edge_index, edge_attr: jnp.ndarray,
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        n = x.shape[0] if not isinstance(x, tuple) else x[0].shape[0]
-        x_src = x[0] if isinstance(x, tuple) else x
+        x_src, x_dst = x if isinstance(x, tuple) else (x, x)
+        n = x_dst.shape[0]
         K = self.kernel_size
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         src = jnp.minimum(coo[0], x_src.shape[0] - 1)
@@ -42,13 +44,18 @@ class GMMConv(MessagePassing):
         h = fnn.Dense(K * self.out_channels, use_bias=False,
                       name='lin')(x_src).reshape(-1, K, self.out_channels)
         d = edge_attr[:, None, :] - mu[None]              # [E, K, dim]
-        w = jnp.exp(-0.5 * ((d / jnp.maximum(sigma[None], 1e-6)) ** 2
-                            ).sum(-1))                     # [E, K]
+        # reference gmm_conv.py: exp(-0.5 sum d^2 / (EPS + sigma^2))
+        w = jnp.exp((-0.5 * d ** 2
+                     / (1e-15 + sigma[None] ** 2)).sum(-1))  # [E, K]
         msg = (h[src] * w[..., None]).sum(1)               # [E, C]
         out = scatter(msg, dst, n, self._aggr(), mask=edge_mask)
-        b = self.param('bias', fnn.initializers.zeros,
-                       (self.out_channels,))
-        return out + b
+        if self.root_weight:
+            out = out + fnn.Dense(self.out_channels, use_bias=False,
+                                  name='root')(x_dst)
+        if self.use_bias:
+            out = out + self.param('bias', fnn.initializers.zeros,
+                                   (self.out_channels,))
+        return out
 
 
 def _bspline_basis(pseudo: jnp.ndarray, kernel_size: int,
@@ -164,16 +171,23 @@ class CGConv(MessagePassing):
 
 class FeaStConv(MessagePassing):
     """Feature-steered conv (reference ``feast_conv.py``):
-    attention over H weight heads from feature differences."""
+    attention over H weight heads from feature differences.
+    Self-loops are removed then re-added and messages MEAN-aggregated
+    (reference ``feast_conv.py:55`` sets ``aggr='mean'``)."""
     out_channels: int
     heads: int = 1
+    add_self_loops: bool = True
 
     @fnn.compact
     def __call__(self, x, edge_index,
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from .point_conv import _with_self_loops
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
         n = x_dst.shape[0]
         H = self.heads
+        if self.add_self_loops:
+            edge_index, edge_mask = _with_self_loops(edge_index,
+                                                     edge_mask, n)
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         src = jnp.minimum(coo[0], x_src.shape[0] - 1)
         dst = jnp.minimum(coo[1], n - 1)
@@ -183,6 +197,7 @@ class FeaStConv(MessagePassing):
                       name='lin')(x_src[src]).reshape(
             -1, H, self.out_channels)
         msg = (h * q[..., None]).sum(1)
+        # reference feast_conv.py:55 sets aggr='mean'
         out = scatter(msg, dst, n, 'mean', mask=edge_mask)
         return out + self.param('bias', fnn.initializers.zeros,
                                 (self.out_channels,))

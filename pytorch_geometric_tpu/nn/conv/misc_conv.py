@@ -50,8 +50,10 @@ class SignedConv(MessagePassing):
                                  edge_mask=neg_mask)
         out_pos = fnn.Dense(self.out_channels, name='lin_pos')(
             jnp.concatenate([pos_pos, neg_neg, x_pos], -1))
+        # reference signed_conv.py deep layer: out_neg concatenates
+        # [prop(pos_edges, x_neg), prop(neg_edges, x_pos)] in THAT order
         out_neg = fnn.Dense(self.out_channels, name='lin_neg')(
-            jnp.concatenate([pos_neg, neg_pos, x_neg], -1))
+            jnp.concatenate([neg_pos, pos_neg, x_neg], -1))
         return jnp.concatenate([out_pos, out_neg], -1)
 
     aggr: str = 'mean'
@@ -75,11 +77,20 @@ class DirGNNConv(fnn.Module):
         fields = {f.name: getattr(self.conv, f.name)
                   for f in dataclasses.fields(type(self.conv))
                   if f.name not in ('parent', 'name')}
+        # reference dir_gnn_conv.py:15-20: the directional sub-convs run
+        # WITHOUT self-loops and WITHOUT their own root weight
+        for k in ('add_self_loops',):
+            if k in fields:
+                fields[k] = False
+        for k in ('root_weight',):
+            if k in fields:
+                fields[k] = False
         conv_in = type(self.conv)(**fields, name='conv_in')
         conv_out = type(self.conv)(**fields, name='conv_out')
         out_in = conv_in(x, coo, **kwargs)
         out_out = conv_out(x, coo[::-1], **kwargs)
-        out = self.alpha * out_in + (1 - self.alpha) * out_out
+        # reference dir_gnn_conv.py:61: alpha weights the REVERSED pass
+        out = self.alpha * out_out + (1 - self.alpha) * out_in
         if self.root_weight:
             out = out + fnn.Dense(out.shape[-1], name='lin')(x)
         return out
@@ -88,20 +99,28 @@ class DirGNNConv(fnn.Module):
 class AntiSymmetricConv(fnn.Module):
     """Anti-symmetric ODE conv (reference ``antisymmetric_conv.py``):
     x <- x + eps * tanh((W - W^T - gamma I) x + Phi(x, A) + b), iterated."""
-    phi: MessagePassing
+    phi: Optional[MessagePassing] = None
     num_iters: int = 1
     epsilon: float = 0.1
     gamma: float = 0.1
+    act: str = 'tanh'
 
     @fnn.compact
     def __call__(self, x, edge_index, **kwargs) -> jnp.ndarray:
         f = x.shape[-1]
-        W = self.param('weight', fnn.initializers.glorot_uniform(), (f, f))
+        W = self.param('W', fnn.initializers.glorot_uniform(), (f, f))
         b = self.param('bias', fnn.initializers.zeros, (f,))
+        phi = self.phi
+        if phi is None:
+            # reference antisymmetric_conv.py:21 default
+            from .gcn_conv import GCNConv
+            phi = GCNConv(out_channels=f, use_bias=False, name='phi')
+        # reference :forward: h = x @ (W - W^T - gamma I)^T + phi(x)
         A = W - W.T - self.gamma * jnp.eye(f, dtype=x.dtype)
+        act = getattr(jax.nn, self.act)
         for _ in range(self.num_iters):
-            h = self.phi(x, edge_index, **kwargs)
-            x = x + self.epsilon * jnp.tanh(x @ A + h + b)
+            h = phi(x, edge_index, **kwargs)
+            x = x + self.epsilon * act(x @ A.T + h + b)
         return x
 
 
@@ -132,13 +151,16 @@ class HypergraphConv(MessagePassing):
         deg = scatter(w[edge], node, n, 'sum', mask=mask)
         edeg = scatter(jnp.ones_like(edge, x.dtype), edge, m, 'sum',
                        mask=mask)
-        dinv = 1.0 / jnp.maximum(deg, 1.0)
-        binv = 1.0 / jnp.maximum(edeg, 1.0)
+        dinv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
+        binv = jnp.where(edeg > 0, 1.0 / jnp.maximum(edeg, 1e-12), 0.0)
         # edge features: B^-1 H^T X
         he = scatter(x[node] * binv[edge][:, None], edge, m, 'sum',
                      mask=mask)
-        # back to nodes: D^-1 H W he
-        msg = he[edge] * (w[edge] * dinv[node])[:, None]
+        # back to nodes: D^-1 H he. NOTE the reference implementation
+        # (hypergraph_conv.py:message) applies the hyperedge weight W
+        # only through the D normalisation, not as a message factor —
+        # matched here for parity.
+        msg = he[edge] * dinv[node][:, None]
         out = scatter(msg, node, n, 'sum', mask=mask)
         if self.use_bias:
             out = out + self.param('bias', fnn.initializers.zeros,

@@ -16,17 +16,35 @@ import jax.numpy as jnp
 from ..message_passing import MessagePassing
 
 
+def _with_self_loops(edge_index, edge_mask, n: int):
+    """remove_self_loops + add_self_loops, static-shape: existing loop
+    edges are masked out and N fresh loops appended (reference
+    ``point_conv.py:94-99`` and friends)."""
+    coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+    coo = jnp.asarray(coo)
+    loop_free = coo[0] != coo[1]
+    edge_mask = loop_free if edge_mask is None else (edge_mask & loop_free)
+    loops = jnp.arange(n, dtype=coo.dtype)
+    coo = jnp.concatenate([coo, jnp.stack([loops, loops])], axis=1)
+    edge_mask = jnp.concatenate([edge_mask, jnp.ones((n,), bool)])
+    return coo, edge_mask
+
+
 class PointNetConv(MessagePassing):
     """h = local_nn([x_j, pos_j - pos_i]); out = global_nn(max_j h)
     (reference ``point_conv.py``)."""
     local_nn: Optional[fnn.Module] = None
     global_nn: Optional[fnn.Module] = None
-    add_self_loops_flag: bool = False
+    add_self_loops: bool = True      # reference point_conv.py:66
     aggr: str = 'max'
 
     def __call__(self, x, pos, edge_index,
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         pos_src, pos_dst = pos if isinstance(pos, tuple) else (pos, pos)
+        if self.add_self_loops:
+            n = min(pos_src.shape[0], pos_dst.shape[0])
+            edge_index, edge_mask = _with_self_loops(edge_index,
+                                                     edge_mask, n)
         out = self.propagate(edge_index, x=x, pos=(pos_src, pos_dst),
                              size=(pos_src.shape[0], pos_dst.shape[0]),
                              edge_mask=edge_mask)
@@ -84,6 +102,7 @@ class PPFConv(MessagePassing):
     invariant [d, angle(n_i,d), angle(n_j,d), angle(n_i,n_j)] features."""
     local_nn: Optional[fnn.Module] = None
     global_nn: Optional[fnn.Module] = None
+    add_self_loops: bool = True      # reference ppf_conv.py:84
     aggr: str = 'max'
 
     def __call__(self, x, pos, normal, edge_index,
@@ -91,6 +110,10 @@ class PPFConv(MessagePassing):
         pos_src, pos_dst = pos if isinstance(pos, tuple) else (pos, pos)
         nrm_src, nrm_dst = (normal if isinstance(normal, tuple)
                             else (normal, normal))
+        if self.add_self_loops:
+            n = min(pos_src.shape[0], pos_dst.shape[0])
+            edge_index, edge_mask = _with_self_loops(edge_index,
+                                                     edge_mask, n)
         out = self.propagate(edge_index, x=x, pos=(pos_src, pos_dst),
                              normal=(nrm_src, nrm_dst),
                              size=(pos_src.shape[0], pos_dst.shape[0]),
@@ -128,6 +151,7 @@ class PointTransformerConv(MessagePassing):
     out_channels: int
     pos_nn: Optional[fnn.Module] = None
     attn_nn: Optional[fnn.Module] = None
+    add_self_loops: bool = True      # reference :63
 
     @fnn.compact
     def __call__(self, x, pos, edge_index,
@@ -136,21 +160,32 @@ class PointTransformerConv(MessagePassing):
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
         pos_src, pos_dst = pos if isinstance(pos, tuple) else (pos, pos)
         n_src, n_dst = pos_src.shape[0], pos_dst.shape[0]
-        q = fnn.Dense(self.out_channels, name='lin_q')(x_dst)
-        k = fnn.Dense(self.out_channels, name='lin_k')(x_src)
-        v = fnn.Dense(self.out_channels, name='lin_v')(x_src)
+        # reference point_transformer_conv.py:20-22: all three
+        # projections are bias-free
+        q = fnn.Dense(self.out_channels, use_bias=False,
+                      name='lin_dst')(x_dst)
+        k = fnn.Dense(self.out_channels, use_bias=False,
+                      name='lin_src')(x_src)
+        v = fnn.Dense(self.out_channels, use_bias=False,
+                      name='lin')(x_src)
+        if self.add_self_loops:
+            edge_index, edge_mask = _with_self_loops(
+                edge_index, edge_mask, min(n_src, n_dst))
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         src = jnp.minimum(coo[0], n_src - 1)
         dst = jnp.minimum(coo[1], n_dst - 1)
-        delta = pos_src[src] - pos_dst[dst]
+        # reference message: delta = pos_nn(pos_i - pos_j)
+        delta = pos_dst[dst] - pos_src[src]
         if self.pos_nn is not None:
             delta = self.pos_nn(delta)
         else:
-            delta = fnn.Dense(self.out_channels, name='pos_enc')(delta)
+            delta = fnn.Dense(self.out_channels, name='pos_nn')(delta)
         alpha = q[dst] - k[src] + delta
         if self.attn_nn is not None:
             alpha = self.attn_nn(alpha)
         alpha = segment_softmax(alpha, dst, n_dst, mask=edge_mask)
+        if edge_mask is not None:
+            alpha = jnp.where(edge_mask[:, None], alpha, 0.0)
         msg = alpha * (v[src] + delta)
         return scatter(msg, dst, n_dst, 'sum', mask=edge_mask)
 
@@ -166,18 +201,24 @@ class GravNetConv(MessagePassing):
     @fnn.compact
     def __call__(self, x, batch: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        from ..pool.point import knn_graph
+        from ..pool.point import knn
         from ...ops import scatter
         n = x.shape[0]
         s = fnn.Dense(self.space_dimensions, name='lin_s')(x)
         h = fnn.Dense(self.propagate_dimensions, name='lin_h')(x)
-        coo, valid = knn_graph(s, self.k, batch=batch, mask=mask,
-                               flow='source_to_target')
-        src, dst = coo[0], coo[1]
+        # reference gravnet_conv.py:96: raw knn (self-match INCLUDED),
+        # then flip -> (src=x-space neighbor, dst=query)
+        qk, valid = knn(s, s, self.k, batch_x=batch, batch_y=batch,
+                        mask_x=mask, mask_y=mask)
+        dst, src = qk[0], qk[1]
         d2 = ((s[src] - s[dst]) ** 2).sum(-1)
         w = jnp.exp(-10.0 * d2)[:, None]
         msg = h[src] * w
         mean = scatter(msg, dst, n, 'mean', mask=valid)
         mx = scatter(msg, dst, n, 'max', mask=valid)
-        out = jnp.concatenate([x, mean, mx], -1)
-        return fnn.Dense(self.out_channels, name='lin_out')(out)
+        # reference :103: lin_out1(x) (bias-free) + lin_out2([mean|max])
+        return (fnn.Dense(self.out_channels, use_bias=False,
+                          name='lin_out1')(x)
+                + fnn.Dense(self.out_channels,
+                            name='lin_out2')(
+                                jnp.concatenate([mean, mx], -1)))

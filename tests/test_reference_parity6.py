@@ -1,0 +1,293 @@
+"""Parity wave 6 vs the reference PyG oracle: point-cloud / kernel /
+misc conv families. Convs whose reference requires torch_cluster /
+torch_sparse / torch_spline_conv (absent here) get hand-rolled numpy
+oracles replicating the reference math instead."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, '/root/reference')
+
+torch = pytest.importorskip('torch')
+tg = pytest.importorskip('torch_geometric')
+
+import jax
+import jax.numpy as jnp
+
+import pytorch_geometric_tpu.nn as pgnn
+from pytorch_geometric_tpu.nn.models.mlp import MLP
+from pytorch_geometric_tpu.testing.oracle import transplant
+
+rng = np.random.default_rng(6)
+N, E, F_IN, F_OUT = 16, 44, 8, 12
+X = rng.standard_normal((N, F_IN)).astype(np.float32)
+POS = rng.standard_normal((N, 3)).astype(np.float32)
+NRM_ = rng.standard_normal((N, 3)).astype(np.float32)
+NRM = (NRM_ / np.linalg.norm(NRM_, axis=1, keepdims=True)).astype(
+    np.float32)
+COO = np.stack([rng.integers(0, N, E),
+                rng.integers(0, N, E)]).astype(np.int64)
+jX = jnp.asarray(X)
+jPOS = jnp.asarray(POS)
+jNRM = jnp.asarray(NRM)
+jCOO = jnp.asarray(COO.astype(np.int32))
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def mlp_overrides(prefix_flax, prefix_ref, n_layers):
+    out = {}
+    for i in range(n_layers):
+        j = 2 * i
+        out[f'{prefix_flax}.lin_{i}.kernel'] = \
+            (lambda j: lambda sd: sd[f'{prefix_ref}.{j}.weight'].T)(j)
+        out[f'{prefix_flax}.lin_{i}.bias'] = \
+            (lambda j: lambda sd: sd[f'{prefix_ref}.{j}.bias'])(j)
+    return out
+
+
+def check(ours, ref, ref_out, *args, overrides=None, atol=1e-4,
+          rtol=1e-4, **kwargs):
+    params = ours.init(jax.random.PRNGKey(0), *args, **kwargs)
+    params = transplant(ref, params, overrides)
+    got = np.asarray(ours.apply(params, *args, **kwargs))
+    np.testing.assert_allclose(got, ref_out, rtol=rtol, atol=atol)
+
+
+def run_ref(ref, *args, **kwargs):
+    ref = ref.eval()
+    with torch.no_grad():
+        out = ref(*args, **kwargs)
+    return out.numpy()
+
+
+def test_edge_conv():
+    nn_ref = torch.nn.Sequential(torch.nn.Linear(2 * F_IN, 20),
+                                 torch.nn.ReLU(),
+                                 torch.nn.Linear(20, F_OUT))
+    ref = tg.nn.EdgeConv(nn_ref)
+    ref_out = run_ref(ref, t(X), t(COO))
+    ours = pgnn.EdgeConv(nn=MLP(channel_list=[20, F_OUT]))
+    check(ours, ref, ref_out, jX, jCOO,
+          overrides=mlp_overrides('nn', 'nn', 2))
+
+
+def test_point_net_conv():
+    local = torch.nn.Sequential(torch.nn.Linear(F_IN + 3, 20),
+                                torch.nn.ReLU(), torch.nn.Linear(20, 14))
+    glob = torch.nn.Sequential(torch.nn.Linear(14, F_OUT))
+    ref = tg.nn.PointNetConv(local_nn=local, global_nn=glob)
+    ref_out = run_ref(ref, t(X), t(POS), t(COO))
+    ours = pgnn.PointNetConv(local_nn=MLP(channel_list=[20, 14]),
+                             global_nn=MLP(channel_list=[F_OUT]))
+    ov = mlp_overrides('local_nn', 'local_nn', 2)
+    ov.update(mlp_overrides('global_nn', 'global_nn', 1))
+    check(ours, ref, ref_out, jX, jPOS, jCOO, overrides=ov)
+
+
+def test_ppf_conv():
+    local = torch.nn.Sequential(torch.nn.Linear(F_IN + 4, 20),
+                                torch.nn.ReLU(), torch.nn.Linear(20, 14))
+    ref = tg.nn.PPFConv(local_nn=local)
+    ref_out = run_ref(ref, t(X), t(POS), t(NRM), t(COO))
+    ours = pgnn.PPFConv(local_nn=MLP(channel_list=[20, 14]))
+    check(ours, ref, ref_out, jX, jPOS, jNRM, jCOO,
+          overrides=mlp_overrides('local_nn', 'local_nn', 2), atol=2e-4)
+
+
+def test_point_transformer_conv():
+    ref = tg.nn.PointTransformerConv(F_IN, F_OUT)
+    ref_out = run_ref(ref, t(X), t(POS), t(COO))
+    ours = pgnn.PointTransformerConv(out_channels=F_OUT)
+    check(ours, ref, ref_out, jX, jPOS, jCOO)
+
+
+def test_gmm_conv():
+    D = 3
+    ea = rng.random((E, D)).astype(np.float32)
+    ref = tg.nn.GMMConv(F_IN, F_OUT, dim=D, kernel_size=4)
+    ref_out = run_ref(ref, t(X), t(COO), t(ea))
+    ours = pgnn.GMMConv(out_channels=F_OUT, dim=D, kernel_size=4)
+    check(ours, ref, ref_out, jX, jCOO, jnp.asarray(ea),
+          overrides={'lin.kernel': lambda sd: sd['g']})
+
+
+def test_feast_conv():
+    ref = tg.nn.FeaStConv(F_IN, F_OUT, heads=3)
+    ref_out = run_ref(ref, t(X), t(COO))
+    ours = pgnn.FeaStConv(out_channels=F_OUT, heads=3)
+    check(ours, ref, ref_out, jX, jCOO,
+          overrides={'u.bias': lambda sd: sd['c']})
+
+
+def test_cg_conv():
+    D = 4
+    ea = rng.standard_normal((E, D)).astype(np.float32)
+    ref = tg.nn.CGConv(F_IN, dim=D)
+    ref_out = run_ref(ref, t(X), t(COO), t(ea))
+    ours = pgnn.CGConv(channels=F_IN, dim=D)
+    check(ours, ref, ref_out, jX, jCOO, edge_attr=jnp.asarray(ea))
+
+
+def test_dna_conv():
+    L = 3
+    XL = rng.standard_normal((N, L, 16)).astype(np.float32)
+    ref = tg.nn.DNAConv(16, heads=4, groups=2)
+    ref_out = run_ref(ref, t(XL), t(COO))
+    ours = pgnn.DNAConv(channels=16, heads=4, groups=2)
+    ov = {}
+    for p in ('q', 'k', 'v'):
+        ov[f'multi_head_lin_{p}.weight'] = \
+            (lambda p: lambda sd: sd[f'multi_head.lin_{p}.weight'])(p)
+        ov[f'multi_head_lin_{p}.bias'] = \
+            (lambda p: lambda sd: sd[f'multi_head.lin_{p}.bias'])(p)
+    check(ours, ref, ref_out, jnp.asarray(XL), jCOO, overrides=ov)
+
+
+def test_signed_conv():
+    NEG = np.stack([rng.integers(0, N, 30),
+                    rng.integers(0, N, 30)]).astype(np.int64)
+    ref = tg.nn.SignedConv(F_IN, F_OUT, first_aggr=True)
+    ref_out = run_ref(ref, t(X), t(COO), t(NEG))
+    ours = pgnn.SignedConv(out_channels=F_OUT, first_aggr=True)
+    ov = {}
+    for s in ('pos', 'neg'):
+        ov[f'lin_{s}.kernel'] = (lambda s: lambda sd: np.concatenate(
+            [sd[f'lin_{s}_l.weight'].T, sd[f'lin_{s}_r.weight'].T],
+            axis=0))(s)
+        ov[f'lin_{s}.bias'] = \
+            (lambda s: lambda sd: sd[f'lin_{s}_r.bias'])(s)
+    check(ours, ref, ref_out, jX, jnp.asarray(COO.astype(np.int32)),
+          jnp.asarray(NEG.astype(np.int32)), overrides=ov)
+
+    # deep layer
+    X2 = rng.standard_normal((N, 2 * F_IN)).astype(np.float32)
+    ref = tg.nn.SignedConv(F_IN, F_OUT, first_aggr=False)
+    ref_out = run_ref(ref, t(X2), t(COO), t(NEG))
+    ours = pgnn.SignedConv(out_channels=F_OUT, first_aggr=False)
+    ov = {}
+    for s in ('pos', 'neg'):
+        ov[f'lin_{s}.kernel'] = (lambda s: lambda sd: np.concatenate(
+            [sd[f'lin_{s}_l.weight'].T, sd[f'lin_{s}_r.weight'].T],
+            axis=0))(s)
+        ov[f'lin_{s}.bias'] = \
+            (lambda s: lambda sd: sd[f'lin_{s}_r.bias'])(s)
+    check(ours, ref, ref_out, jnp.asarray(X2),
+          jnp.asarray(COO.astype(np.int32)),
+          jnp.asarray(NEG.astype(np.int32)), overrides=ov)
+
+
+def test_dir_gnn_conv():
+    ref = tg.nn.DirGNNConv(tg.nn.SAGEConv(F_IN, F_OUT), alpha=0.3,
+                           root_weight=True)
+    ref_out = run_ref(ref, t(X), t(COO))
+    ours = pgnn.DirGNNConv(conv=pgnn.SAGEConv(out_channels=F_OUT),
+                           alpha=0.3)
+    check(ours, ref, ref_out, jX, jCOO)
+
+
+def test_antisymmetric_conv():
+    ref = tg.nn.AntiSymmetricConv(F_IN, num_iters=3, epsilon=0.2,
+                                  gamma=0.15)
+    ref_out = run_ref(ref, t(X), t(COO))
+    ours = pgnn.AntiSymmetricConv(num_iters=3, epsilon=0.2, gamma=0.15)
+    check(ours, ref, ref_out, jX, jCOO)
+
+
+def test_hypergraph_conv():
+    M = 6
+    HEI = np.stack([rng.integers(0, N, 30),
+                    rng.integers(0, M, 30)]).astype(np.int64)
+    hw = rng.random(M).astype(np.float32)
+    ref = tg.nn.HypergraphConv(F_IN, F_OUT)
+    ref_out = run_ref(ref, t(X), t(HEI), hyperedge_weight=t(hw),
+                      num_edges=M)
+    ours = pgnn.HypergraphConv(out_channels=F_OUT)
+    check(ours, ref, ref_out, jX, jnp.asarray(HEI.astype(np.int32)),
+          hyperedge_weight=jnp.asarray(hw), num_edges=M)
+
+
+def test_wl_conv_partition():
+    ref = tg.nn.WLConv()
+    col = torch.zeros(N, dtype=torch.long)
+    with torch.no_grad():
+        for _ in range(3):
+            col = ref(col, t(COO))
+    ours = pgnn.WLConv()
+    c = np.zeros(N, np.int64)
+    for _ in range(3):
+        c = ours(c, COO)
+    # same partition up to color relabeling
+    ref_ids = {}
+    our_ids = {}
+    for i in range(N):
+        ref_ids.setdefault(int(col[i]), set()).add(i)
+        our_ids.setdefault(int(c[i]), set()).add(i)
+    assert sorted(map(sorted, ref_ids.values())) == \
+        sorted(map(sorted, our_ids.values()))
+
+
+def _np_gravnet_oracle(ref, x, k):
+    """Numpy re-implementation of reference gravnet_conv.py forward
+    (torch_cluster absent): knn in learned space INCLUDING self."""
+    sd = {k2: v.detach().numpy() for k2, v in ref.state_dict().items()}
+    s = x @ sd['lin_s.weight'].T + sd['lin_s.bias']
+    h = x @ sd['lin_h.weight'].T + sd['lin_h.bias']
+    n = x.shape[0]
+    d = ((s[:, None, :] - s[None, :, :]) ** 2).sum(-1)
+    nbr = np.argsort(d, axis=1, kind='stable')[:, :k]   # self included
+    mean = np.zeros((n, h.shape[1]), np.float32)
+    mx = np.full((n, h.shape[1]), -np.inf, np.float32)
+    for i in range(n):
+        w = np.exp(-10.0 * d[i, nbr[i]])[:, None]
+        msgs = h[nbr[i]] * w
+        mean[i] = msgs.mean(0)
+        mx[i] = msgs.max(0)
+    out = np.concatenate([mean, mx], -1)
+    return (x @ sd['lin_out1.weight'].T
+            + out @ sd['lin_out2.weight'].T + sd['lin_out2.bias'])
+
+
+def test_gravnet_conv_numpy_oracle():
+    K = 5
+    # reference __init__ refuses to construct without torch_cluster
+    # (gravnet_conv.py:60); we only need its state_dict for the numpy
+    # oracle, so satisfy the guard with a sentinel.
+    import torch_geometric.nn.conv.gravnet_conv as _gm
+    if _gm.knn is None:
+        _gm.knn = lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError('knn sentinel called'))
+    ref = tg.nn.GravNetConv(F_IN, F_OUT, space_dimensions=4,
+                            propagate_dimensions=6, k=K).eval()
+    want = _np_gravnet_oracle(ref, X, K)
+    ours = pgnn.GravNetConv(out_channels=F_OUT, space_dimensions=4,
+                            propagate_dimensions=6, k=K)
+    params = ours.init(jax.random.PRNGKey(0), jX)
+    params = transplant(ref, params)
+    got = np.asarray(ours.apply(params, jX))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_dynamic_edge_conv_numpy_oracle():
+    """torch_cluster absent: oracle = EdgeConv reference over the same
+    knn graph our DynamicEdgeConv builds internally (k nearest by
+    feature distance, self excluded)."""
+    K = 4
+    nn_ref = torch.nn.Sequential(torch.nn.Linear(2 * F_IN, F_OUT))
+    ref = tg.nn.EdgeConv(nn_ref, aggr='max').eval()
+    d = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nbr = np.argsort(d, axis=1, kind='stable')[:, :K]
+    src = nbr.reshape(-1)
+    dst = np.repeat(np.arange(N), K)
+    coo = np.stack([src, dst]).astype(np.int64)
+    want = run_ref(ref, t(X), t(coo))
+    ours = pgnn.DynamicEdgeConv(nn=MLP(channel_list=[F_OUT]), k=K)
+    params = ours.init(jax.random.PRNGKey(0), jX)
+    params = transplant(ref, params,
+                        overrides=mlp_overrides('nn', 'nn', 1))
+    got = np.asarray(ours.apply(params, jX))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

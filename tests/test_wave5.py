@@ -32,8 +32,9 @@ def test_dna_pan():
     x2 = jnp.asarray(rng.standard_normal((n, F)).astype(np.float32))
     mod = pgnn.PANConv(out_channels=8, filter_size=3)
     params = mod.init(jax.random.PRNGKey(0), x2, coo)
-    out = mod.apply(params, x2, coo)
+    out, M = mod.apply(params, x2, coo)
     assert out.shape == (n, 8)
+    assert M.shape == (n, n)
 
 
 def test_layerwise_inference_matches_full():
