@@ -35,6 +35,91 @@ def _masked_dist(x, y, batch_x, batch_y, mask_x, mask_y):
     return d
 
 
+# Above this many distance-matrix entries the dense [M, N] expansion is
+# tiled: query tiles of _QT scan over x tiles of _XT with a running
+# top-k merge, so peak memory is O(_QT * _XT) instead of O(M * N)
+# (100k x 100k f32 would be 40 GB). Each tile's distances still come
+# from one MXU matmul.
+_DENSE_LIMIT = 1 << 24
+_QT = 1024
+_XT = 8192
+
+
+def _knn_indices(y, x, k, batch_y, batch_x, mask_y, mask_x,
+                 exclude_self: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k nearest x-rows per y-row -> (idx [M, k], valid [M, k])."""
+    m, n = y.shape[0], x.shape[0]
+    if m * n <= _DENSE_LIMIT:
+        d = _masked_dist(y, x, batch_y, batch_x, mask_y, mask_x)
+        if exclude_self:
+            iy = jnp.arange(m)[:, None]
+            ix = jnp.arange(n)[None, :]
+            d = jnp.where(iy == ix, jnp.inf, d)
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32), jnp.isfinite(-neg)
+    return _knn_tiled(y, x, k, batch_y, batch_x, mask_y, mask_x,
+                      exclude_self)
+
+
+def _knn_tiled(y, x, k, batch_y, batch_x, mask_y, mask_x, exclude_self):
+    m, n, dim = y.shape[0], x.shape[0], y.shape[-1]
+    xt = max(_XT, k)
+    m_pad = -(-m // _QT) * _QT
+    n_pad = -(-n // xt) * xt
+    big = jnp.float32(3.4e38)
+
+    yp = jnp.pad(y.astype(jnp.float32), ((0, m_pad - m), (0, 0)))
+    xp = jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    # fold every per-point exclusion into one int "group" per point:
+    # out-of-batch / masked-out / padded points can never match.
+    gy = jnp.zeros((m,), jnp.int32) if batch_y is None \
+        else batch_y.astype(jnp.int32)
+    gx = jnp.zeros((n,), jnp.int32) if batch_x is None \
+        else batch_x.astype(jnp.int32)
+    if mask_y is not None:
+        gy = jnp.where(mask_y, gy, -1)
+    if mask_x is not None:
+        gx = jnp.where(mask_x, gx, -2)
+    gy = jnp.pad(gy, (0, m_pad - m), constant_values=-1)
+    gx = jnp.pad(gx, (0, n_pad - n), constant_values=-2)
+
+    n_xtiles = n_pad // xt
+
+    def q_tile(_, qi):
+        yq = jax.lax.dynamic_slice(yp, (qi * _QT, 0), (_QT, dim))
+        gq = jax.lax.dynamic_slice(gy, (qi * _QT,), (_QT,))
+        y2 = (yq * yq).sum(-1)[:, None]
+
+        def body(j, state):
+            vals, idxs = state
+            xb = jax.lax.dynamic_slice(xp, (j * xt, 0), (xt, dim))
+            gb = jax.lax.dynamic_slice(gx, (j * xt,), (xt,))
+            x2 = (xb * xb).sum(-1)[None, :]
+            d = jnp.maximum(y2 + x2 - 2 * (yq @ xb.T), 0)
+            d = jnp.where(gq[:, None] == gb[None, :], d, big)
+            if exclude_self:
+                iy = qi * _QT + jnp.arange(_QT)[:, None]
+                ix = j * xt + jnp.arange(xt)[None, :]
+                d = jnp.where(iy == ix, big, d)
+            nv, ni = jax.lax.top_k(-d, k)
+            cand = (ni + j * xt).astype(jnp.int32)
+            allv = jnp.concatenate([vals, nv], axis=1)
+            alli = jnp.concatenate([idxs, cand], axis=1)
+            bv, sel = jax.lax.top_k(allv, k)
+            return bv, jnp.take_along_axis(alli, sel, axis=1)
+
+        v0 = jnp.full((_QT, k), -big)
+        i0 = jnp.zeros((_QT, k), jnp.int32)
+        vals, idxs = jax.lax.fori_loop(0, n_xtiles, body, (v0, i0))
+        return None, (vals, idxs)
+
+    _, (vals, idxs) = jax.lax.scan(q_tile, None,
+                                   jnp.arange(m_pad // _QT))
+    vals = vals.reshape(m_pad, k)[:m]
+    idxs = idxs.reshape(m_pad, k)[:m]
+    return idxs, vals > -big / 2
+
+
 def knn(x: jnp.ndarray, y: jnp.ndarray, k: int,
         batch_x: Optional[jnp.ndarray] = None,
         batch_y: Optional[jnp.ndarray] = None,
@@ -46,9 +131,8 @@ def knn(x: jnp.ndarray, y: jnp.ndarray, k: int,
     ``edge_index [2, M*k]`` with row 0 = y-index (query), row 1 = x-index,
     plus a validity mask (False where fewer than k in-batch points exist).
     """
-    d = _masked_dist(y, x, batch_y, batch_x, mask_y, mask_x)  # [M, N]
-    neg, idx = jax.lax.top_k(-d, k)                           # [M, k]
-    valid = jnp.isfinite(-neg)
+    idx, valid = _knn_indices(y, x, k, batch_y, batch_x, mask_y, mask_x,
+                              exclude_self=False)
     m = y.shape[0]
     row = jnp.repeat(jnp.arange(m, dtype=jnp.int32), k)
     col = idx.reshape(-1).astype(jnp.int32)
@@ -63,12 +147,8 @@ def knn_graph(x: jnp.ndarray, k: int,
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN graph over a point set (reference ``knn_graph``).
     Returns (edge_index [2, N*k], edge_mask)."""
-    d = _masked_dist(x, x, batch, batch, mask, mask)
-    if not loop:
-        n = x.shape[0]
-        d = d + jnp.where(jnp.eye(n, dtype=bool), jnp.inf, 0)
-    neg, idx = jax.lax.top_k(-d, k)
-    valid = jnp.isfinite(-neg)
+    idx, valid = _knn_indices(x, x, k, batch, batch, mask, mask,
+                              exclude_self=not loop)
     n = x.shape[0]
     center = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     neighbor = idx.reshape(-1).astype(jnp.int32)
@@ -143,8 +223,9 @@ def nearest(x: jnp.ndarray, y: jnp.ndarray,
             batch_x: Optional[jnp.ndarray] = None,
             batch_y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Index of the nearest y-row for every x-row (reference ``nearest``)."""
-    d = _masked_dist(x, y, batch_x, batch_y, None, None)
-    return jnp.argmin(d, axis=1).astype(jnp.int32)
+    idx, _ = _knn_indices(x, y, 1, batch_x, batch_y, None, None,
+                          exclude_self=False)
+    return idx[:, 0].astype(jnp.int32)
 
 
 def voxel_grid(pos: jnp.ndarray, size, batch: Optional[jnp.ndarray] = None,
