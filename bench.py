@@ -40,17 +40,32 @@ def _ensure_backend():
     jax.devices()
 
 
+def _gcn_norm_np(coo: np.ndarray, n: int):
+    """Host-side D^-1/2 (A+I) D^-1/2 (same math as nn.gcn_norm) so the
+    graph + blocked layout are built without any device round-trips —
+    a device->host COO pull over the remote-TPU tunnel can cost
+    minutes."""
+    loops = np.arange(n, dtype=coo.dtype)
+    row = np.concatenate([coo[0], loops])
+    col = np.concatenate([coo[1], loops])
+    w = np.ones(row.shape[0], np.float32)
+    deg = np.bincount(col, weights=w, minlength=n)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    return np.stack([row, col]), (dinv[row] * w * dinv[col]).astype(
+        np.float32)
+
+
 def main():
     _ensure_backend()
-    from pytorch_geometric_tpu.nn import gcn_norm
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
-    coo = jnp.asarray(rng.integers(0, N, (2, E)).astype(np.int32))
+    coo_np = rng.integers(0, N, (2, E)).astype(np.int32)
     y = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
     # cached normalisation (reference GCNConv(cached=True) protocol):
     # precompute D^-1/2(A+I)D^-1/2 once; the conv then runs the fused
     # SpMM path (Pallas MXU kernel on TPU).
-    coo_n, w = gcn_norm(coo, None, N)
+    coo_n, w_np = _gcn_norm_np(coo_np, N)
+    w = jnp.asarray(w_np)
     edge_index = EdgeIndex(coo_n, (N, N)).fill_cache()
 
     model = GCN(hidden_channels=H, num_layers=3, out_channels=C,

@@ -2,9 +2,14 @@
 
 Times each piece with K iterations inside one jitted fori_loop so
 tunnel dispatch overhead is amortised; prints one JSON line per probe.
+All tensors are passed as jit ARGUMENTS (closure-captured constants get
+serialised into the remote-compile request body and 413 the tunnel).
 """
 import json
+import sys
 import time
+
+sys.path.insert(0, '/root/repo')
 
 import jax
 import jax.numpy as jnp
@@ -12,18 +17,19 @@ import numpy as np
 import optax
 
 from pytorch_geometric_tpu import EdgeIndex
-from pytorch_geometric_tpu.nn import gcn_norm
 from pytorch_geometric_tpu.nn.models import GCN
+from bench import _gcn_norm_np  # noqa: E402
 
 N, E, F, H, C = 10_000, 200_000, 64, 64, 10
 K = 100
 
 
 def timed(name, fn, *args):
-    out = fn(*args)
+    f = jax.jit(fn)
+    out = f(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = fn(*args)
+    out = f(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / K
     print(json.dumps({'probe': name, 'ms_per_iter': round(dt * 1e3, 4)}),
@@ -31,12 +37,11 @@ def timed(name, fn, *args):
     return dt
 
 
-def loop(body):
-    """K-iteration loop with a data dependence to defeat CSE."""
-    @jax.jit
-    def run(x0):
+def kloop(body):
+    """K-iteration fori_loop with a data dependence to defeat CSE."""
+    def run(x0, *rest):
         def step(i, acc):
-            return acc + body(acc)[: x0.shape[0]] * 1e-9
+            return acc + body(acc, *rest)[: x0.shape[0]] * 1e-9
         return jax.lax.fori_loop(0, K, step, x0)
     return run
 
@@ -45,60 +50,56 @@ def main():
     print(json.dumps({'backend': jax.default_backend()}), flush=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
-    coo = jnp.asarray(rng.integers(0, N, (2, E)).astype(np.int32))
+    coo_np = rng.integers(0, N, (2, E)).astype(np.int32)
     y = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
-    coo_n, w = gcn_norm(coo, None, N)
+    t0 = time.perf_counter()
+    coo_n, w_np = _gcn_norm_np(coo_np, N)
+    w = jnp.asarray(w_np)
     ei = EdgeIndex(coo_n, (N, N)).fill_cache()
-    blk, blk_t = ei.blocked, ei.blocked_t
+    print(json.dumps({'probe': 'fill_cache_s',
+                      'seconds': round(time.perf_counter() - t0, 2)}),
+          flush=True)
+    blk = ei.blocked
     e_pad = blk.src.shape[0]
     print(json.dumps({'e_pad': int(e_pad), 'chunks': int(e_pad // 1024)}),
           flush=True)
 
     from pytorch_geometric_tpu.ops.pallas_spmm import (
-        segment_sum_blocked, spmm_pallas, _spmm_blocked)
+        segment_sum_blocked, spmm_pallas)
 
-    # 1. dense matmul reference point: A[10k,10k] @ X
-    A = jnp.zeros((N, N), jnp.float32).at[coo_n[1], coo_n[0]].add(
-        jnp.asarray(w))
-    timed('dense_AX', loop(lambda acc: A @ acc), x)
+    # 1. dense matmul reference point: A[10k,10k] @ X (A built on host)
+    A_np = np.zeros((N, N), np.float32)
+    np.add.at(A_np, (coo_n[1], coo_n[0]), w_np)
+    A = jnp.asarray(A_np)
+    timed('dense_AX', kloop(lambda acc, A_: A_ @ acc), x, A)
+    del A, A_np
 
     # 2. gather only (blocked src order)
-    src = blk.src
-    timed('gather_x_src', loop(lambda acc: jnp.sum(
-        acc[src], axis=0, keepdims=True).repeat(N, 0)), x)
+    timed('gather_x_src', kloop(
+        lambda acc, src: acc[src].sum(0, keepdims=True).repeat(N, 0)),
+        x, blk.src)
 
     # 3. blocked kernel only (pre-gathered msg)
-    msg = x[src] * jnp.ones((e_pad, 1), jnp.float32)
-    meta = (blk.dst, blk.chunk_base)
+    msg = jnp.zeros((e_pad, F), jnp.float32) + 0.5
 
-    @jax.jit
-    def kern_loop(m):
-        def step(i, acc):
-            out = segment_sum_blocked(m + acc[:1, :1] * 0, meta, N)
-            return acc + out[:1, :1] * 1e-9
-        return jax.lax.fori_loop(0, K, step, jnp.zeros((1, 1)))
-    out = kern_loop(msg)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    jax.block_until_ready(kern_loop(msg))
-    print(json.dumps({'probe': 'kernel_only',
-                      'ms_per_iter': round((time.perf_counter() - t0)
-                                           / K * 1e3, 4)}), flush=True)
+    def kern(acc, m, dst, base):
+        out = segment_sum_blocked(m + acc[:1, :1] * 0, (dst, base), N)
+        return out
+    timed('kernel_only', kloop(kern), jnp.zeros((N, F)), msg,
+          blk.dst, blk.chunk_base)
 
     # 4. full spmm fwd (gather + weight + kernel)
-    timed('spmm_fwd', loop(lambda acc: spmm_pallas(ei, acc)), x)
+    timed('spmm_fwd', kloop(lambda acc, e: spmm_pallas(e, acc)), x, ei)
 
     # 5. spmm fwd+bwd
-    def fb(acc):
-        val, grad = jax.value_and_grad(
-            lambda z: spmm_pallas(ei, z).sum())(acc)
-        return grad
-    timed('spmm_fwd_bwd', loop(fb), x)
+    def fb(acc, e):
+        return jax.grad(lambda z: spmm_pallas(e, z).sum())(acc)
+    timed('spmm_fwd_bwd', kloop(fb), x, ei)
 
-    # 6. XLA segment-sum fwd+bwd A/B
+    # 6. XLA segment-sum fwd+bwd A/B (no blocked cache -> plain path)
     import pytorch_geometric_tpu.backend as backend
     backend.use_pallas_spmm = False
-    timed('spmm_fwd_bwd_xla', loop(fb), x)
+    timed('spmm_fwd_bwd_xla', kloop(fb), x, ei)
     backend.use_pallas_spmm = None
 
     # 7. full train step
@@ -108,23 +109,24 @@ def main():
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 
-    def loss_fn(p):
-        logits = model.apply(p, x, ei, edge_weight=w)
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y).mean()
+    def train_loop(params, opt_state, x, ei, w, y):
+        def loss_fn(p):
+            logits = model.apply(p, x, ei, edge_weight=w)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
 
-    @jax.jit
-    def train_loop(params, opt_state):
         def step(i, carry):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(params, updates), opt_state)
         return jax.lax.fori_loop(0, K, step, (params, opt_state))
-    outp = train_loop(params, opt_state)
+
+    f = jax.jit(train_loop)
+    outp = f(params, opt_state, x, ei, w, y)
     jax.block_until_ready(outp)
     t0 = time.perf_counter()
-    jax.block_until_ready(train_loop(params, opt_state))
+    jax.block_until_ready(f(params, opt_state, x, ei, w, y))
     print(json.dumps({'probe': 'train_step',
                       'ms_per_iter': round((time.perf_counter() - t0)
                                            / K * 1e3, 4)}), flush=True)

@@ -72,6 +72,11 @@ class EdgeIndex:
                  num_real_edges: Optional[int] = None,
                  blocked: Optional[BlockedCSC] = None,
                  blocked_t: Optional[BlockedCSC] = None):
+        # Host copy kept when constructed from numpy: fill_cache's
+        # blocked-layout build is a host pass, and a device->host pull
+        # of the COO can cost minutes over a remote-device tunnel.
+        self._coo_host = (np.asarray(coo)
+                          if isinstance(coo, np.ndarray) else None)
         coo = jnp.asarray(coo)
         if coo.ndim != 2 or coo.shape[0] != 2:
             raise ValueError(f"EdgeIndex expects shape [2, E], got "
@@ -104,6 +109,7 @@ class EdgeIndex:
         (obj.coo, obj.csr, obj.csc, obj.blocked,
          obj.blocked_t) = children
         obj.sparse_size, obj.num_real_edges = aux
+        obj._coo_host = None
         return obj
 
     # -- basic accessors ----------------------------------------------------
@@ -155,7 +161,8 @@ class EdgeIndex:
         blk, blk_t = self.blocked, self.blocked_t
         if blocked and blk is None:
             try:
-                coo_np = np.asarray(self.coo)
+                coo_np = (self._coo_host if self._coo_host is not None
+                          else np.asarray(self.coo))
                 blk = build_blocked_csc(coo_np, self.num_dst_nodes)
                 blk_t = build_blocked_csc(coo_np[::-1],
                                           self.num_src_nodes)
@@ -165,10 +172,19 @@ class EdgeIndex:
                     jax.errors.ConcretizationTypeError):
                 # traced coo inside jit — blocked cache needs host numpy
                 blk = blk_t = None
-        return EdgeIndex(self.coo, self.sparse_size,
-                         csr=self.get_csr(), csc=self.get_csc(),
-                         num_real_edges=self.num_real_edges,
-                         blocked=blk, blocked_t=blk_t)
+        if self._coo_host is not None:
+            csr = self.csr or _build_sorted_np(
+                self._coo_host[0], self._coo_host[1], self.num_src_nodes)
+            csc = self.csc or _build_sorted_np(
+                self._coo_host[1], self._coo_host[0], self.num_dst_nodes)
+        else:
+            csr, csc = self.get_csr(), self.get_csc()
+        out = EdgeIndex(self.coo, self.sparse_size,
+                        csr=csr, csc=csc,
+                        num_real_edges=self.num_real_edges,
+                        blocked=blk, blocked_t=blk_t)
+        out._coo_host = self._coo_host
+        return out
 
     def sort_by(self, order: str = 'row') -> Tuple['EdgeIndex', jnp.ndarray]:
         """Sort edges by 'row' or 'col'; returns (sorted EdgeIndex, perm)
@@ -282,6 +298,18 @@ def _link_blocked_pair(blk: BlockedCSC, blk_t: BlockedCSC,
                            inv_pos=jnp.asarray(
                                inv_t[:num_edges].astype(np.int32)))
     return blk, blk_t
+
+
+def _build_sorted_np(key: np.ndarray, other: np.ndarray, n: int) -> CSR:
+    """Host-side variant of :func:`_build_sorted` (numpy in, device
+    arrays out) — used by fill_cache when a host COO copy exists."""
+    perm = np.argsort(key, kind='stable')
+    sorted_key = key[perm]
+    indptr = np.searchsorted(sorted_key, np.arange(n + 1),
+                             side='left').astype(np.int32)
+    return CSR(indptr=jnp.asarray(indptr),
+               indices=jnp.asarray(other[perm].astype(np.int32)),
+               perm=jnp.asarray(perm.astype(np.int32)))
 
 
 def _build_sorted(key: jnp.ndarray, other: jnp.ndarray, n: int) -> CSR:

@@ -6,7 +6,7 @@ graph (static shapes); gaussian-smeared distances feed the filter MLP;
 interactions are jitted message-passing blocks.
 """
 
-from typing import Optional
+from typing import Callable, Optional
 
 import flax.linen as fnn
 import jax
@@ -34,11 +34,33 @@ class ShiftedSoftplus(fnn.Module):
         return jax.nn.softplus(x) - jnp.log(2.0)
 
 
+# Standard atomic masses for Z in [0, 100) (reference uses
+# ``ase.data.atomic_masses``; values inlined to avoid the dependency).
+ATOMIC_MASSES = jnp.asarray([
+    1.008, 1.008, 4.002602, 6.94, 9.0121831, 10.81, 12.011, 14.007,
+    15.999, 18.998403163, 20.1797, 22.98976928, 24.305, 26.9815385,
+    28.085, 30.973761998, 32.06, 35.45, 39.948, 39.0983, 40.078,
+    44.955908, 47.867, 50.9415, 51.9961, 54.938044, 55.845, 58.933194,
+    58.6934, 63.546, 65.38, 69.723, 72.63, 74.921595, 78.971, 79.904,
+    83.798, 85.4678, 87.62, 88.90584, 91.224, 92.90637, 95.95, 97.90721,
+    101.07, 102.9055, 106.42, 107.8682, 112.414, 114.818, 118.71,
+    121.76, 127.6, 126.90447, 131.293, 132.90545196, 137.327,
+    138.90547, 140.116, 140.90766, 144.242, 144.91276, 150.36,
+    151.964, 157.25, 158.92535, 162.5, 164.93033, 167.259, 168.93422,
+    173.045, 174.9668, 178.49, 180.94788, 183.84, 186.207, 190.23,
+    192.217, 195.084, 196.966569, 200.592, 204.38, 207.2, 208.9804,
+    208.98243, 209.98715, 222.01758, 223.01974, 226.02541, 227.02775,
+    232.0377, 231.03588, 238.02891, 237.04817, 244.06421, 243.06138,
+    247.07035, 247.07031, 251.07959, 252.083, 257.09511,
+], jnp.float32)
+
+
 class InteractionBlock(MessagePassing):
     """cfconv + atom-wise layers (reference ``schnet.py:
     InteractionBlock``)."""
     hidden_channels: int
     num_filters: int
+    cutoff: float = 10.0
 
     @fnn.compact
     def __call__(self, h, edge_index, edge_weight, edge_attr,
@@ -51,8 +73,8 @@ class InteractionBlock(MessagePassing):
         w = fnn.Dense(self.num_filters, name='filter1')(edge_attr)
         w = act(w)
         w = fnn.Dense(self.num_filters, name='filter2')(w)
-        # smooth cutoff (reference cosine cutoff)
-        C = 0.5 * (jnp.cos(edge_weight * jnp.pi / 10.0) + 1.0)
+        # smooth cosine cutoff (reference ``schnet.py:CFConv:419``)
+        C = 0.5 * (jnp.cos(edge_weight * jnp.pi / self.cutoff) + 1.0)
         w = w * C[:, None]
         hj = fnn.Dense(self.num_filters, use_bias=False,
                        name='lin1')(h)[src]
@@ -65,7 +87,11 @@ class InteractionBlock(MessagePassing):
 
 
 class SchNet(fnn.Module):
-    """(reference ``schnet.py:35``)."""
+    """(reference ``schnet.py:35``). Full-feature: dipole-moment
+    prediction (mass-weighted centering + norm readout), mean/std
+    target scaling, per-element ``atomref`` offsets, unit ``scale``,
+    and a pluggable ``interaction_graph`` (defaults to the fixed-k
+    ``radius_graph``, reference ``RadiusInteractionGraph:328``)."""
     hidden_channels: int = 128
     num_filters: int = 128
     num_interactions: int = 6
@@ -73,6 +99,12 @@ class SchNet(fnn.Module):
     cutoff: float = 10.0
     max_num_neighbors: int = 32
     readout: str = 'add'
+    dipole: bool = False
+    mean: Optional[float] = None
+    std: Optional[float] = None
+    atomref: Optional[jnp.ndarray] = None
+    scale: Optional[float] = None
+    interaction_graph: Optional[Callable] = None
 
     @fnn.compact
     def __call__(self, z: jnp.ndarray, pos: jnp.ndarray,
@@ -81,23 +113,56 @@ class SchNet(fnn.Module):
                  node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         from ..pool.point import radius_graph
         n = z.shape[0]
-        h = fnn.Embed(100, self.hidden_channels, name='embedding')(z)
-        coo, valid = radius_graph(pos, self.cutoff, batch=batch,
-                                  max_num_neighbors=self.max_num_neighbors,
-                                  mask=node_mask)
+        if batch is None:
+            batch = jnp.zeros((n,), jnp.int32)
+        # padding_idx=0 semantics (reference :130): Z==0 rows embed to 0
+        emb = fnn.Embed(100, self.hidden_channels, name='embedding')
+        h = jnp.where((z > 0)[:, None], emb(z), 0.0)
+        if self.interaction_graph is not None:
+            coo, dist, valid = self.interaction_graph(pos, batch)
+        else:
+            coo, valid = radius_graph(
+                pos, self.cutoff, batch=batch,
+                max_num_neighbors=self.max_num_neighbors, mask=node_mask)
+            src = jnp.minimum(coo[0], n - 1)
+            dst = jnp.minimum(coo[1], n - 1)
+            dist = jnp.linalg.norm(pos[src] - pos[dst], axis=-1)
         src = jnp.minimum(coo[0], n - 1)
         dst = jnp.minimum(coo[1], n - 1)
-        dist = jnp.linalg.norm(pos[src] - pos[dst], axis=-1)
         edge_attr = GaussianSmearing(
             0.0, self.cutoff, self.num_gaussians)(dist)
         for i in range(self.num_interactions):
             h = InteractionBlock(self.hidden_channels, self.num_filters,
+                                 self.cutoff,
                                  name=f'interaction_{i}')(
                 h, coo, dist, edge_attr, edge_mask=valid)
         h = fnn.Dense(self.hidden_channels // 2, name='lin1')(h)
         h = ShiftedSoftplus()(h)
         h = fnn.Dense(1, name='lin2')(h)
+
+        nm = (node_mask if node_mask is not None
+              else jnp.ones((n,), bool))
+        if self.dipole:
+            # center of mass per molecule (reference :296-300)
+            mass = jnp.where(nm, ATOMIC_MASSES[jnp.clip(z, 0, 99)], 0.0)
+            mass = mass[:, None]
+            M = scatter(mass, batch, batch_size, 'sum')
+            c = scatter(mass * pos, batch, batch_size, 'sum') \
+                / jnp.maximum(M, 1e-9)
+            h = h * (pos - c[batch])
+        if not self.dipole and self.mean is not None \
+                and self.std is not None:
+            h = h * self.std + self.mean
+        if not self.dipole and self.atomref is not None:
+            ref = jnp.asarray(self.atomref).reshape(-1)
+            h = h + ref[jnp.clip(z, 0, ref.shape[0] - 1)][:, None]
+
         from ..pool import global_add_pool, global_mean_pool
-        pool = (global_add_pool if self.readout == 'add'
+        pool = (global_add_pool if (self.readout == 'add' or self.dipole)
                 else global_mean_pool)
-        return pool(h, batch, batch_size, mask=node_mask)
+        out = pool(h, batch, batch_size, mask=node_mask)
+        if self.dipole:
+            out = jnp.linalg.norm(out, axis=-1, keepdims=True)
+        if self.scale is not None:
+            out = self.scale * out
+        return out

@@ -49,6 +49,16 @@ def _knn_indices(y, x, k, batch_y, batch_x, mask_y, mask_x,
                  exclude_self: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k nearest x-rows per y-row -> (idx [M, k], valid [M, k])."""
     m, n = y.shape[0], x.shape[0]
+    if k > n:
+        # fewer candidates than k: take all n, pad the tail as invalid
+        idx, valid = _knn_indices(y, x, n, batch_y, batch_x, mask_y,
+                                  mask_x, exclude_self)
+        pad = k - n
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((m, pad), jnp.int32)], axis=1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((m, pad), bool)], axis=1)
+        return idx, valid
     if m * n <= _DENSE_LIMIT:
         d = _masked_dist(y, x, batch_y, batch_x, mask_y, mask_x)
         if exclude_self:
