@@ -65,53 +65,62 @@ def main():
     # precompute D^-1/2(A+I)D^-1/2 once; the conv then runs the fused
     # SpMM path (Pallas MXU kernel on TPU).
     coo_n, w_np = _gcn_norm_np(coo_np, N)
-    w = jnp.asarray(w_np)
-    edge_index = EdgeIndex(coo_n, (N, N)).fill_cache()
+    # bake the cached norm into a dense adjacency (the TPU analog of
+    # GCNConv(cached=True)): spmm then runs as an MXU matmul at ~78% of
+    # HBM roofline vs ~7% for the gather path (benchmarks/profile_step.py)
+    edge_index = EdgeIndex(coo_n, (N, N)).fill_cache(dense_weight=w_np)
 
     model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
                 conv_kwargs={'normalize': False,
                              'add_self_loops': False})
-    params = model.init(jax.random.PRNGKey(0), x, edge_index,
-                        edge_weight=w)
+    params = model.init(jax.random.PRNGKey(0), x, edge_index)
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 
-    def loss_fn(params, x, edge_index, w, y):
-        logits = model.apply(params, x, edge_index, edge_weight=w)
+    def loss_fn(params, x, edge_index, y):
+        logits = model.apply(params, x, edge_index)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()
-
-    def train_step(carry, _):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, edge_index,
-                                                  w, y)
-        updates, opt_state = tx.update(grads, opt_state)
-        return (optax.apply_updates(params, updates), opt_state), loss
 
     # All STEPS inside one device call (lax.scan): the whole training
     # loop compiles to a single XLA program, so host<->device dispatch
     # overhead is paid once, not per step — the TPU-native analog of the
-    # reference's 500-iteration python loop.
+    # reference's 500-iteration python loop. Data tensors are jit
+    # ARGUMENTS: closure-captured constants get serialised into the
+    # remote-compile request body (the cached dense adjacency alone is
+    # 400 MB) and overflow the tunnel's request limit.
     @jax.jit
-    def train_n(params, opt_state):
+    def train_n(params, opt_state, x, edge_index, y):
+        def train_step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, edge_index, y)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates),
+                    opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
             train_step, (params, opt_state), None, length=STEPS)
         return params, opt_state, losses[-1]
 
     # Warmup / compile.
-    p1, o1, loss = train_n(params, opt_state)
+    p1, o1, loss = train_n(params, opt_state, x, edge_index, y)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    params, opt_state, loss = train_n(params, opt_state)
+    params, opt_state, loss = train_n(params, opt_state, x, edge_index,
+                                      y)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    # roofline accounting for the 3 SpMM layers (fwd+bwd per step):
-    # gather x (E*F), write out (N*F), weights (E), bwd re-gather +
-    # scatter (2*E*F + N*F) — matches benchmarks/spmm_bench.py
-    layer_bytes = (E * F * 4 + N * F * 4 + E * 4) + \
-                  (2 * E * F * 4 + N * F * 4)
+    # roofline accounting for the active SpMM algorithm, 3 layers
+    # fwd+bwd per step. Dense cached-adjacency path: each pass reads the
+    # [N, N] f32 adjacency (the dominant stream) + x + out; backward is
+    # the mirrored A^T pass. Sparse path: gather/scatter bytes.
+    if edge_index.dense_adj is not None:
+        layer_bytes = 2 * (N * N * 4 + 2 * N * F * 4)
+    else:
+        layer_bytes = (E * F * 4 + N * F * 4 + E * 4) + \
+                      (2 * E * F * 4 + N * F * 4)
     total_gb = 3 * STEPS * layer_bytes / 1e9
     gbps = total_gb / dt
     print(json.dumps({

@@ -102,6 +102,16 @@ def main():
     timed('spmm_fwd_bwd_xla', kloop(fb), x, ei)
     backend.use_pallas_spmm = None
 
+    # 6b. cached-dense spmm (weights baked at fill_cache)
+    from pytorch_geometric_tpu.ops.spmm import spmm as spmm_dispatch
+    ei_d = EdgeIndex(coo_n, (N, N)).fill_cache(dense_weight=w_np)
+    timed('spmm_dense_fwd', kloop(
+        lambda acc, e: spmm_dispatch(e, acc)), x, ei_d)
+
+    def fbd(acc, e):
+        return jax.grad(lambda z: spmm_dispatch(e, z).sum())(acc)
+    timed('spmm_dense_fwd_bwd', kloop(fbd), x, ei_d)
+
     # 7. full train step
     model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
                 conv_kwargs={'normalize': False, 'add_self_loops': False})
@@ -128,6 +138,17 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(f(params, opt_state, x, ei, w, y))
     print(json.dumps({'probe': 'train_step',
+                      'ms_per_iter': round((time.perf_counter() - t0)
+                                           / K * 1e3, 4)}), flush=True)
+
+    # 8. train step over the cached-dense EdgeIndex (bench.py config)
+    params_d = model.init(jax.random.PRNGKey(0), x, ei_d)
+    opt_d = tx.init(params_d)
+    outp = f(params_d, opt_d, x, ei_d, None, y)
+    jax.block_until_ready(outp)
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(params_d, opt_d, x, ei_d, None, y))
+    print(json.dumps({'probe': 'train_step_dense',
                       'ms_per_iter': round((time.perf_counter() - t0)
                                            / K * 1e3, 4)}), flush=True)
 

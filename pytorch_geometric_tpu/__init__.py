@@ -10,6 +10,22 @@ multi-chip scaling via jax.sharding meshes with halo exchange.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+import jax as _jax
+
+# PyTorch-parity numerics: torch runs true-f32 matmuls by default, while
+# JAX's DEFAULT precision drops f32 dots to bf16-class accumulation
+# (measured 1.4e-2 absolute error on a 416-dim Dense on CPU). Default to
+# exact f32 for user model layers; the hot SpMM kernels pass their own
+# per-op precision (ops/spmm.py, ops/pallas_spmm.py), which always wins
+# over this global. Opt out with PGT_MATMUL_PRECISION=default|high or
+# JAX_DEFAULT_MATMUL_PRECISION.
+if 'JAX_DEFAULT_MATMUL_PRECISION' not in _os.environ:
+    _jax.config.update(
+        'jax_default_matmul_precision',
+        _os.environ.get('PGT_MATMUL_PRECISION', 'highest'))
+
 from .edge_index import EdgeIndex, CSR
 from .index import Index, HashTensor
 from .data import Data, Batch, HeteroData, Dataset, InMemoryDataset

@@ -71,7 +71,8 @@ class EdgeIndex:
                  csr: Optional[CSR] = None, csc: Optional[CSR] = None,
                  num_real_edges: Optional[int] = None,
                  blocked: Optional[BlockedCSC] = None,
-                 blocked_t: Optional[BlockedCSC] = None):
+                 blocked_t: Optional[BlockedCSC] = None,
+                 dense_adj: Optional[jnp.ndarray] = None):
         # Host copy kept when constructed from numpy: fill_cache's
         # blocked-layout build is a host pass, and a device->host pull
         # of the COO can cost minutes over a remote-device tunnel.
@@ -95,11 +96,12 @@ class EdgeIndex:
         # Number of non-padding edges (static); defaults to all.
         self.num_real_edges = (int(coo.shape[1]) if num_real_edges is None
                                else int(num_real_edges))
+        self.dense_adj = dense_adj
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coo, self.csr, self.csc, self.blocked,
-                    self.blocked_t)
+                    self.blocked_t, self.dense_adj)
         aux = (self.sparse_size, self.num_real_edges)
         return children, aux
 
@@ -107,7 +109,7 @@ class EdgeIndex:
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         (obj.coo, obj.csr, obj.csc, obj.blocked,
-         obj.blocked_t) = children
+         obj.blocked_t, obj.dense_adj) = children
         obj.sparse_size, obj.num_real_edges = aux
         obj._coo_host = None
         return obj
@@ -153,11 +155,22 @@ class EdgeIndex:
             return self.csc
         return _build_sorted(self.col, self.row, self.num_dst_nodes)
 
-    def fill_cache(self, blocked: bool = True) -> 'EdgeIndex':
+    def fill_cache(self, blocked: bool = True,
+                   dense_weight: Optional[jnp.ndarray] = None
+                   ) -> 'EdgeIndex':
         """Return a copy with both CSR and CSC materialised
         (reference ``fill_cache_`` at ``edge_index.py:677``); also builds
         the node-blocked layout for the Pallas SpMM kernel when the COO
-        is concrete (host-side numpy pass)."""
+        is concrete (host-side numpy pass).
+
+        ``dense_weight``: bake these per-edge weights into a cached
+        dense adjacency ``[n_dst, n_src]`` (the TPU analog of the
+        reference's ``GCNConv(cached=True)`` one-time norm). ``spmm``
+        then serves weight-free calls straight off the MXU — measured
+        ~11x closer to HBM roofline than the gather path on v5e. The
+        one-time scatter build runs on device so only the COO + weights
+        cross the host->device link. Skipped when ``n_src * n_dst``
+        exceeds ``PGT_DENSE_SPMM_ENTRIES`` (default 2.5e8)."""
         blk, blk_t = self.blocked, self.blocked_t
         if blocked and blk is None:
             try:
@@ -179,10 +192,22 @@ class EdgeIndex:
                 self._coo_host[1], self._coo_host[0], self.num_dst_nodes)
         else:
             csr, csc = self.get_csr(), self.get_csc()
+        dense = self.dense_adj
+        if dense_weight is not None and dense is None:
+            import os
+            cap = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
+                                           2.5e8)))
+            ns, nd = self.sparse_size
+            if ns * nd <= cap:
+                from .ops.spmm import _dense_build
+                dense = _dense_build(self.coo,
+                                     jnp.asarray(dense_weight),
+                                     ns, nd, jnp.float32)
         out = EdgeIndex(self.coo, self.sparse_size,
                         csr=csr, csc=csc,
                         num_real_edges=self.num_real_edges,
-                        blocked=blk, blocked_t=blk_t)
+                        blocked=blk, blocked_t=blk_t,
+                        dense_adj=dense)
         out._coo_host = self._coo_host
         return out
 
@@ -202,7 +227,10 @@ class EdgeIndex:
                          csr=self.csc, csc=self.csr,
                          num_real_edges=self.num_real_edges,
                          blocked=self.blocked_t,
-                         blocked_t=self.blocked)
+                         blocked_t=self.blocked,
+                         dense_adj=(self.dense_adj.T
+                                    if self.dense_adj is not None
+                                    else None))
 
     def to_dense_adj(self, edge_weight: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:

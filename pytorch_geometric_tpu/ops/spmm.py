@@ -17,15 +17,96 @@ TPU-native equivalent of the reference SpMM dispatch ladder
 ``MessagePassing`` semantics with flow='source_to_target').
 """
 
+import functools
+import os
 from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..edge_index import EdgeIndex
 from .scatter import scatter
 
 _PALLAS_MIN_EDGES = 1 << 14
+
+# Dense-adjacency dispatch. Measured on v5e (benchmarks/profile_step.py,
+# 10k nodes / 210k edges / F=64): the dense [N, N] @ [N, F] matmul runs
+# at ~78% of HBM roofline (0.63 ms) while the gather+Pallas sparse path
+# reaches ~7% (2.39 ms) — random row-gathers are the TPU's weak spot.
+# Dense traffic is ns*nd*4 bytes vs the sparse path's ~3*E*F*4 at ~1/11
+# the effective bandwidth, so dense wins while ns*nd <= ~36*E*F, capped
+# by an absolute entry budget (1 GB f32 by default).
+_DENSE_MAX_ENTRIES = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
+                                              2.5e8)))
+_DENSE_ADVANTAGE = 36.0
+
+
+def _dense_profitable(adj: EdgeIndex, x: jnp.ndarray) -> bool:
+    if os.environ.get('PGT_DISABLE_DENSE_SPMM'):
+        return False
+    ns, nd = adj.num_src_nodes, adj.num_dst_nodes
+    f = x.shape[-1]
+    return (ns * nd <= _DENSE_MAX_ENTRIES
+            and ns * nd <= _DENSE_ADVANTAGE * adj.num_edges * max(f, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _dense_spmm(coo, w, x, n_src, n_dst):
+    """out = A @ x with A[d, s] = sum of w over edges (s -> d).
+
+    Padded edges (endpoint >= size) contribute zero. Backward reuses the
+    materialised A for grad_x = A^T @ g — the dense analog of the
+    reference's cached-transpose SpMM backward
+    (``edge_index.py:1849-1897``)."""
+    out, _ = _dense_spmm_fwd(coo, w, x, n_src, n_dst)
+    return out
+
+
+def _dense_build(coo, w, n_src, n_dst, dtype):
+    src = jnp.minimum(coo[0], n_src)
+    dst = jnp.minimum(coo[1], n_dst)
+    valid = (coo[0] < n_src) & (coo[1] < n_dst)
+    wz = jnp.where(valid, w.astype(dtype), 0)
+    A = jnp.zeros((n_dst + 1, n_src + 1), dtype)
+    A = A.at[dst, src].add(wz)
+    return A[:n_dst, :n_src]
+
+
+def _dense_precision():
+    """HIGH (bf16x3, ~2^-21 relative error) by default — A/B'd on v5e
+    (bench.py, same window): HIGHEST 1.787s / 83.1% of HBM roofline,
+    HIGH 1.699s / 87.3%, DEFAULT (single bf16 pass, ~1e-2 relative)
+    0.895s. DEFAULT's error is too loose for parity to the f32
+    reference; HIGH is numerically indistinguishable at test
+    tolerances. Override with PGT_DENSE_SPMM_PRECISION=
+    default|high|highest."""
+    p = os.environ.get('PGT_DENSE_SPMM_PRECISION', '').lower()
+    if p == 'default':
+        return jax.lax.Precision.DEFAULT
+    if p == 'highest':
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.HIGH
+
+
+def _dense_spmm_fwd(coo, w, x, n_src, n_dst):
+    A = _dense_build(coo, w, n_src, n_dst, x.dtype)
+    out = jnp.matmul(A, x, precision=_dense_precision())
+    return out, (A, coo, w, x)
+
+
+def _dense_spmm_bwd(n_src, n_dst, res, g):
+    A, coo, w, x = res
+    grad_x = jnp.matmul(A.T, g, precision=_dense_precision())
+    src = jnp.minimum(coo[0], n_src - 1)
+    dst = jnp.minimum(coo[1], n_dst - 1)
+    valid = (coo[0] < n_src) & (coo[1] < n_dst)
+    grad_w = jnp.where(valid, (x[src] * g[dst]).sum(-1), 0)
+    return (np.zeros(coo.shape, jax.dtypes.float0),
+            grad_w.astype(w.dtype), grad_x)
+
+
+_dense_spmm.defvjp(_dense_spmm_fwd, _dense_spmm_bwd)
 
 
 def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
@@ -49,6 +130,34 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
 
     num_out = adj.num_dst_nodes
     src, dst = adj.row, adj.col
+
+    # Cached dense adjacency (weights baked at fill_cache time — the
+    # TPU analog of GCNConv(cached=True)): pure MXU matmul, autodiff
+    # gives the A^T @ g backward for free.
+    dense = getattr(adj, 'dense_adj', None)
+    if (dense is not None and edge_weight is None
+            and reduce in ('sum', 'mean') and x.ndim == 2
+            and not os.environ.get('PGT_DISABLE_DENSE_SPMM')):
+        out = jnp.matmul(dense, x.astype(dense.dtype),
+                         precision=_dense_precision())
+        if reduce == 'mean':
+            ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
+            deg = jax.ops.segment_sum(
+                ones, jnp.minimum(dst, num_out - 1), num_out)
+            out = out / jnp.maximum(deg, 1)[:, None]
+        return out.astype(x.dtype)
+
+    if (reduce in ('sum', 'mean') and x.ndim == 2
+            and _dense_profitable(adj, x)):
+        w = (edge_weight if edge_weight is not None
+             else jnp.ones((adj.num_edges,), x.dtype))
+        out = _dense_spmm(adj.coo, w, x, adj.num_src_nodes, num_out)
+        if reduce == 'mean':
+            ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
+            deg = jax.ops.segment_sum(
+                ones, jnp.minimum(dst, num_out - 1), num_out)
+            out = out / jnp.maximum(deg, 1)[:, None]
+        return out
 
     if use_pallas is None:
         from .. import backend
