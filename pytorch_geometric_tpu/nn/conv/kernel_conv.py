@@ -60,26 +60,44 @@ class GMMConv(MessagePassing):
 
 def _bspline_basis(pseudo: jnp.ndarray, kernel_size: int,
                    degree: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Open-spline linear basis per dim: returns (weights [E, dim, 2],
-    indices [E, dim, 2]) — the TPU equivalent of pyg-lib
-    ``spline_basis`` (degree-1)."""
-    k = kernel_size - 1
-    v = jnp.clip(pseudo, 0, 1) * k
+    """Open uniform B-spline basis per dim for degree in {1, 2, 3}:
+    returns (weights [E, dim, degree+1], indices [E, dim, degree+1]) —
+    the TPU equivalent of pyg-lib ``spline_basis``
+    (torch-spline-conv ``basis_cpu.cpp`` polynomials; reference
+    boundary ``spline_conv.py:16``)."""
+    m = degree
+    k = kernel_size - m
+    v = jnp.clip(pseudo, 0, 1) * max(k, 1)
     lo = jnp.floor(v).astype(jnp.int32)
-    lo = jnp.minimum(lo, k - 1) if k > 0 else lo
-    frac = v - lo
-    w = jnp.stack([1 - frac, frac], -1)          # [E, dim, 2]
-    idx = jnp.stack([lo, lo + 1], -1)            # [E, dim, 2]
-    return w, jnp.minimum(idx, kernel_size - 1)
+    lo = jnp.minimum(lo, max(k - 1, 0))
+    f = v - lo
+    if m == 1:
+        ws = [1 - f, f]
+    elif m == 2:
+        ws = [0.5 * f * f - f + 0.5, -f * f + f + 0.5, 0.5 * f * f]
+    elif m == 3:
+        f2, f3 = f * f, f * f * f
+        ws = [(1 - f) ** 3 / 6.0, (3 * f3 - 6 * f2 + 4) / 6.0,
+              (-3 * f3 + 3 * f2 + 3 * f + 1) / 6.0, f3 / 6.0]
+    else:
+        raise ValueError(f'spline degree {m} not supported (1, 2, 3)')
+    w = jnp.stack(ws, -1)                               # [E, dim, m+1]
+    idx = lo[..., None] + jnp.arange(m + 1)             # [E, dim, m+1]
+    # corners past the last knot carry zero basis weight; clamp their
+    # index and zero the weight for safety
+    w = jnp.where(idx < kernel_size, w, 0.0)
+    return w, jnp.minimum(idx, kernel_size - 1).astype(jnp.int32)
 
 
 class SplineConv(MessagePassing):
-    """B-spline kernel conv (reference ``spline_conv.py``; degree-1
-    open splines). Weight bank [K^dim, F_in, F_out]; per-edge weights
-    from the tensor-product basis."""
+    """B-spline kernel conv (reference ``spline_conv.py``; open
+    splines, degree 1-3). Weight bank [K^dim, F_in, F_out]; per-edge
+    weights from the tensor-product basis over (degree+1)^dim
+    corners."""
     out_channels: int
     dim: int = 2
     kernel_size: int = 3
+    degree: int = 1
     aggr: str = 'mean'
     root_weight: bool = True
 
@@ -96,11 +114,15 @@ class SplineConv(MessagePassing):
         dst = jnp.minimum(coo[1], n - 1)
         weight = self.param('weight', fnn.initializers.glorot_uniform(),
                             (total, f_in, self.out_channels))
-        wb, ib = _bspline_basis(edge_attr[:, :self.dim], K)
-        # tensor-product over dims: enumerate the 2^dim corners
+        wb, ib = _bspline_basis(edge_attr[:, :self.dim], K, self.degree)
+        # tensor-product over dims: enumerate the (degree+1)^dim corners
+        base = self.degree + 1
         msg = jnp.zeros((coo.shape[1], self.out_channels))
-        for corner in range(2 ** self.dim):
-            bits = [(corner >> d) & 1 for d in range(self.dim)]
+        for corner in range(base ** self.dim):
+            bits, c = [], corner
+            for _ in range(self.dim):
+                bits.append(c % base)
+                c //= base
             w_c = jnp.ones((coo.shape[1],))
             idx_c = jnp.zeros((coo.shape[1],), jnp.int32)
             for d, b in enumerate(bits):

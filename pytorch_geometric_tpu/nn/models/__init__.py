@@ -8,8 +8,9 @@ from .misc_models import (JumpingKnowledge, DeepGraphInfomax, LightGCN,
                           DeepGCNLayer, GraphUNet)
 from .node2vec import Node2Vec, MetaPath2Vec, random_walk
 from .schnet import SchNet, GaussianSmearing
-from .molecular import (AttentiveFP, DimeNetPlusPlus, SignedGCN, RECT_L,
-                        GroupAddRev)
+from .molecular import (AttentiveFP, SignedGCN, RECT_L, GroupAddRev)
+from .dimenet import (DimeNet, DimeNetPlusPlus, BesselBasisLayer,
+                      SphericalBasisLayer, Envelope)
 from .force_field import GNNFF, RENet, GaussianFilter
 from .visnet import ViSNet, ViSNetBlock, ViS_MP, EquivariantScalar
 from .lpformer import LPFormer, LPAttLayer, build_link_context
@@ -17,7 +18,6 @@ from .gpse import GPSE, GPSENodeEncoder, AddGPSE, precompute_gpse
 from .misc_models import (HeteroJumpingKnowledge, ARLinkPredictor,
                           to_captum_model, to_captum_input,
                           captum_output_to_dicts)
-from .molecular import DimeNetPlusPlus as DimeNet  # lite base alias
 from .tgn import TGNMemory, TGNMemoryState, TemporalData, \
     LastNeighborLoader
 from .transformers import SGFormer, Polynormer, GraphMixer

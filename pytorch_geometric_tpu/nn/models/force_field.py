@@ -55,8 +55,8 @@ class GNNFF(fnn.Module):
     @staticmethod
     def triplets(coo: np.ndarray, num_nodes: int,
                  max_triplets: Optional[int] = None):
-        from .molecular import DimeNetPlusPlus
-        return DimeNetPlusPlus.triplets(coo, num_nodes, max_triplets)
+        from .dimenet import triplets
+        return triplets(coo, num_nodes, max_triplets)
 
     @fnn.compact
     def __call__(self, z: jnp.ndarray, pos: jnp.ndarray, coo: jnp.ndarray,

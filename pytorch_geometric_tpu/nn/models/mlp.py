@@ -33,7 +33,9 @@ class MLP(fnn.Module):
                 x = fnn.BatchNorm(use_running_average=deterministic,
                                   name=f'norm_{i}')(x)
             elif self.norm == 'layer_norm':
-                x = fnn.LayerNorm(name=f'norm_{i}')(x)
+                # torch LayerNorm parity: eps=1e-5, two-pass variance
+                x = fnn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
+                                  name=f'norm_{i}')(x)
             x = self.act(x)
             if self.dropout > 0 and not deterministic:
                 x = fnn.Dropout(self.dropout, deterministic=False)(x)

@@ -1,7 +1,7 @@
-"""AttentiveFP, DimeNet++ (lite), SignedGCN, RECT_L, GroupAddRev.
+"""AttentiveFP, SignedGCN, RECT_L, GroupAddRev.
 
 Reference files under ``torch_geometric/nn/models/``:
-``attentive_fp.py``, ``dimenet.py:728`` (DimeNet++), ``signed_gcn.py``,
+``attentive_fp.py``, ``signed_gcn.py``,
 ``rect.py``, ``rev_gnn.py:196``.
 """
 
@@ -79,98 +79,6 @@ class AttentiveFP(fnn.Module):
                           mask=node_mask)
             g, _ = mol_gru(g, fnn.elu(ctx))
         return fnn.Dense(self.out_channels, name='lin2')(g)
-
-
-class DimeNetPlusPlus(fnn.Module):
-    """DimeNet++ lite (reference ``dimenet.py:728``): directional
-    message passing over edge->edge triplets with radial (bessel-like)
-    and angular bases. The triplet index set is precomputed on the host
-    (``triplets()``) with static padding."""
-    hidden_channels: int = 64
-    out_channels: int = 1
-    num_blocks: int = 2
-    num_radial: int = 6
-    num_spherical: int = 7
-    cutoff: float = 5.0
-
-    @staticmethod
-    def triplets(coo: np.ndarray, num_nodes: int,
-                 max_triplets: Optional[int] = None):
-        """Host: for edges (j->i), all k->j feeding them. Returns
-        (idx_kj, idx_ji) edge-index pairs padded to max_triplets."""
-        e = coo.shape[1]
-        by_dst = {}
-        for idx in range(e):
-            by_dst.setdefault(int(coo[1, idx]), []).append(idx)
-        kj, ji = [], []
-        for idx in range(e):
-            j = int(coo[0, idx])
-            for kidx in by_dst.get(j, ()):
-                if int(coo[0, kidx]) != int(coo[1, idx]):
-                    kj.append(kidx)
-                    ji.append(idx)
-        t = len(kj)
-        cap = max_triplets or t
-        out_kj = np.full(cap, e, np.int64)
-        out_ji = np.full(cap, e, np.int64)
-        out_kj[:min(t, cap)] = kj[:cap]
-        out_ji[:min(t, cap)] = ji[:cap]
-        mask = np.arange(cap) < min(t, cap)
-        return out_kj, out_ji, mask
-
-    @fnn.compact
-    def __call__(self, z, pos, coo, idx_kj, idx_ji, triplet_mask,
-                 batch=None, batch_size: int = 1,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        n = z.shape[0]
-        e = coo.shape[1]
-        src = jnp.minimum(coo[0], n - 1)
-        dst = jnp.minimum(coo[1], n - 1)
-        vec = pos[src] - pos[dst]
-        dist = jnp.maximum(jnp.linalg.norm(vec, axis=-1), 1e-6)
-        # radial basis (sinc-like bessel)
-        freq = jnp.arange(1, self.num_radial + 1) * jnp.pi
-        rbf = jnp.sin(freq[None] * dist[:, None] / self.cutoff) \
-            / dist[:, None]
-        # angles for triplets
-        kj = jnp.minimum(idx_kj, e - 1)
-        ji = jnp.minimum(idx_ji, e - 1)
-        v1 = -vec[ji]
-        v2 = vec[kj]
-        cos_a = (v1 * v2).sum(-1) / jnp.maximum(
-            jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1),
-            1e-6)
-        angle = jnp.arccos(jnp.clip(cos_a, -1 + 1e-6, 1 - 1e-6))
-        sbf = jnp.stack([jnp.cos(k * angle)
-                         for k in range(self.num_spherical)], -1)
-
-        h = fnn.Embed(100, self.hidden_channels, name='emb')(z)
-        m = fnn.Dense(self.hidden_channels, name='edge_emb')(
-            jnp.concatenate([h[src], h[dst], rbf], -1))
-        m = fnn.silu(m)
-        out_total = 0.0
-        for b in range(self.num_blocks):
-            # directional interaction: messages from edge kj -> edge ji
-            rbf_w = fnn.Dense(self.hidden_channels, use_bias=False,
-                              name=f'rbf_{b}')(rbf)
-            sbf_w = fnn.Dense(self.hidden_channels, use_bias=False,
-                              name=f'sbf_{b}')(sbf)
-            t_msg = m[kj] * rbf_w[kj] * sbf_w
-            t_msg = jnp.where(triplet_mask[:, None], t_msg, 0)
-            agg = scatter(t_msg, ji, e, 'sum', mask=triplet_mask)
-            m = fnn.silu(m + fnn.Dense(self.hidden_channels,
-                                       name=f'upd_{b}')(agg))
-            # edge -> node readout per block
-            node_out = scatter(
-                fnn.Dense(self.hidden_channels, name=f'out_{b}')(m)
-                * rbf_w, dst, n, 'sum', mask=edge_mask)
-            out_total = out_total + node_out
-        y = fnn.silu(fnn.Dense(self.hidden_channels // 2,
-                               name='head1')(out_total))
-        y = fnn.Dense(self.out_channels, name='head2')(y)
-        if batch is None:
-            batch = jnp.zeros((n,), jnp.int32)
-        return scatter(y, batch, batch_size, 'sum')
 
 
 class SignedGCN(fnn.Module):

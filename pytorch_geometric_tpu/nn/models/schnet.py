@@ -36,7 +36,11 @@ class ShiftedSoftplus(fnn.Module):
 
 # Standard atomic masses for Z in [0, 100) (reference uses
 # ``ase.data.atomic_masses``; values inlined to avoid the dependency).
-ATOMIC_MASSES = jnp.asarray([
+# numpy (not jnp): a module-level device array would initialise the XLA
+# backend at import time and break jax.distributed.initialize ordering.
+import numpy as _np  # noqa: E402
+
+ATOMIC_MASSES = _np.asarray([
     1.008, 1.008, 4.002602, 6.94, 9.0121831, 10.81, 12.011, 14.007,
     15.999, 18.998403163, 20.1797, 22.98976928, 24.305, 26.9815385,
     28.085, 30.973761998, 32.06, 35.45, 39.948, 39.0983, 40.078,
@@ -52,7 +56,7 @@ ATOMIC_MASSES = jnp.asarray([
     208.98243, 209.98715, 222.01758, 223.01974, 226.02541, 227.02775,
     232.0377, 231.03588, 238.02891, 237.04817, 244.06421, 243.06138,
     247.07035, 247.07031, 251.07959, 252.083, 257.09511,
-], jnp.float32)
+], _np.float32)
 
 
 class InteractionBlock(MessagePassing):
@@ -144,7 +148,8 @@ class SchNet(fnn.Module):
               else jnp.ones((n,), bool))
         if self.dipole:
             # center of mass per molecule (reference :296-300)
-            mass = jnp.where(nm, ATOMIC_MASSES[jnp.clip(z, 0, 99)], 0.0)
+            masses = jnp.asarray(ATOMIC_MASSES)
+            mass = jnp.where(nm, masses[jnp.clip(z, 0, 99)], 0.0)
             mass = mass[:, None]
             M = scatter(mass, batch, batch_size, 'sum')
             c = scatter(mass * pos, batch, batch_size, 'sum') \

@@ -51,8 +51,9 @@ def test_dimenet_pp():
                         jnp.asarray(ji), jnp.asarray(mask))
     out = model.apply(params, z, pos, jnp.asarray(coo), jnp.asarray(kj),
                       jnp.asarray(ji), jnp.asarray(mask))
-    assert out.shape == (1, 1)
-    assert np.isfinite(float(out[0, 0]))
+    # reference dimenet.py:724: batch=None -> P.sum(dim=0), [out_channels]
+    assert out.shape == (1,)
+    assert np.isfinite(float(out[0]))
 
 
 def test_signed_gcn_and_rect():
