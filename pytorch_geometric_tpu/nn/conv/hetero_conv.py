@@ -208,16 +208,18 @@ class HANConv(fnn.Module):
                           mask=valid)
             per_dst.setdefault(dst, []).append(fnn.relu(agg))
 
+        # semantic attention (reference han_conv.py group()): k_lin and
+        # q are SHARED across all node types
+        k_lin = fnn.Dense(self.out_channels, name='k_lin')
+        q = self.param('q', fnn.initializers.glorot_uniform(),
+                       (1, self.out_channels))
         out_dict: Dict[str, Optional[jnp.ndarray]] = {}
         for t in node_types:
             if t not in per_dst:
                 out_dict[t] = None
                 continue
             outs = jnp.stack(per_dst[t], 0)        # [P, N, F]
-            # semantic attention (reference han_conv.py group())
-            w = fnn.tanh(fnn.Dense(128, name=f'sem_lin_{t}')(outs))
-            score = fnn.Dense(1, use_bias=False,
-                              name=f'sem_att_{t}')(w).mean(1)   # [P, 1]
-            beta = jax.nn.softmax(score[:, 0])
+            score = (q * fnn.tanh(k_lin(outs)).mean(1)).sum(-1)  # [P]
+            beta = jax.nn.softmax(score)
             out_dict[t] = jnp.einsum('p,pnf->nf', beta, outs)
         return out_dict

@@ -63,4 +63,6 @@ def transplant(ref_module, params,
             f"shape mismatch at '{key}': reference {t.shape} vs "
             f"ours {leaf.shape}")
         out[path] = jnp.asarray(t.astype(np.asarray(leaf).dtype))
-    return {'params': unflatten_dict(out)}
+    # preserve non-param collections (e.g. flax batch_stats)
+    rest = {k: v for k, v in params.items() if k != 'params'}
+    return {'params': unflatten_dict(out), **rest}
