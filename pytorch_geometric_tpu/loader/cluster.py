@@ -18,31 +18,31 @@ from ..data.data import Data
 from ..edge_index import EdgeIndex
 
 
-def partition_graph(edge_index, num_nodes: int, num_parts: int,
-                    num_passes: int = 4, seed: int = 0) -> np.ndarray:
-    """Balanced edge-cut node partition (LDG-style streaming with
-    refinement passes). Returns int32 [num_nodes] part assignment."""
-    coo = np.asarray(edge_index.coo if hasattr(edge_index, 'coo')
-                     else edge_index)
-    # symmetrise adjacency for partitioning
+def _sym_csr(coo, num_nodes):
+    """Symmetrised weighted CSR (multi-edges collapse into weights)."""
     row = np.concatenate([coo[0], coo[1]])
     col = np.concatenate([coo[1], coo[0]])
-    order = np.argsort(row, kind='stable')
-    col_sorted = col[order]
-    ptr = np.searchsorted(row[order], np.arange(num_nodes + 1))
+    keep = row != col                        # self-loops never cut
+    row, col = row[keep], col[keep]
+    key = row.astype(np.int64) * num_nodes + col
+    uniq, w = np.unique(key, return_counts=True)
+    row = (uniq // num_nodes).astype(np.int64)
+    col = (uniq % num_nodes).astype(np.int64)
+    ptr = np.searchsorted(row, np.arange(num_nodes + 1))
+    return ptr, col, w.astype(np.float64)
 
-    rng = np.random.default_rng(seed)
-    parts = rng.integers(0, num_parts, num_nodes).astype(np.int32)
-    cap = 1.05 * num_nodes / num_parts
+
+def _ldg_sweep(ptr, col, w, parts, num_parts, cap, num_passes, rng,
+               num_nodes):
+    """Sequential LDG streaming passes over a weighted CSR."""
     counts = np.bincount(parts, minlength=num_parts).astype(np.float64)
-
     for _ in range(num_passes):
         for v in rng.permutation(num_nodes):
-            nbrs = col_sorted[ptr[v]:ptr[v + 1]]
-            if len(nbrs) == 0:
+            lo, hi = ptr[v], ptr[v + 1]
+            if lo == hi:
                 continue
-            score = np.bincount(parts[nbrs], minlength=num_parts
-                                ).astype(np.float64)
+            score = np.zeros(num_parts)
+            np.add.at(score, parts[col[lo:hi]], w[lo:hi])
             score *= (1.0 - counts / cap)
             best = int(np.argmax(score))
             old = parts[v]
@@ -51,6 +51,148 @@ def partition_graph(edge_index, num_nodes: int, num_parts: int,
                 counts[best] += 1
                 parts[v] = best
     return parts
+
+
+def partition_graph(edge_index, num_nodes: int, num_parts: int,
+                    num_passes: int = 4, seed: int = 0,
+                    method: str = 'multilevel') -> np.ndarray:
+    """Balanced edge-cut node partition. Returns int32 [num_nodes]
+    part assignment.
+
+    ``method='multilevel'`` (default): METIS-style heavy-edge-matching
+    coarsening + LDG on the coarsest graph + projected boundary
+    refinement at every level (reference boundary:
+    ``pyg_lib.partition.metis``, cluster.py:113). Measured edge-cut on
+    benchmark graphs: see ``benchmarks/partition_quality.py``.
+    ``method='ldg'``: single-level LDG streaming (round-1 behavior)."""
+    coo = np.asarray(edge_index.coo if hasattr(edge_index, 'coo')
+                     else edge_index)
+    rng = np.random.default_rng(seed)
+    ptr, col, w = _sym_csr(coo, num_nodes)
+    cap = 1.05 * num_nodes / num_parts
+    if method == 'ldg' or num_nodes <= num_parts:
+        parts = rng.integers(0, num_parts, num_nodes).astype(np.int32)
+        return _ldg_sweep(ptr, col, w, parts, num_parts, cap,
+                          num_passes, rng, num_nodes)
+    return _multilevel(ptr, col, w, num_nodes, num_parts, rng)
+
+
+def _heavy_edge_matching(ptr, col, w, n, rng):
+    """Greedy heavy-edge matching: visit nodes in random order, match
+    each unmatched node with its heaviest unmatched neighbor. Returns
+    [n] coarse-node id per fine node."""
+    matched = np.full(n, -1, np.int64)
+    order = rng.permutation(n)
+    for v in order:
+        if matched[v] >= 0:
+            continue
+        lo, hi = ptr[v], ptr[v + 1]
+        nbrs = col[lo:hi]
+        ww = w[lo:hi]
+        free = matched[nbrs] < 0
+        if free.any():
+            u = nbrs[free][int(np.argmax(ww[free]))]
+            matched[v] = v
+            matched[u] = v
+        else:
+            matched[v] = v
+    # compact coarse ids
+    reps = np.unique(matched)
+    cmap = np.zeros(n, np.int64)
+    cmap[reps] = np.arange(len(reps))
+    return cmap[matched], len(reps)
+
+
+def _coarsen(ptr, col, w, cmap, nc, n):
+    """Contract the weighted CSR along a matching."""
+    row = np.repeat(np.arange(n), np.diff(ptr))
+    crow, ccol = cmap[row], cmap[col]
+    keep = crow != ccol
+    key = crow[keep] * nc + ccol[keep]
+    uniq, inv = np.unique(key, return_inverse=True)
+    cw = np.bincount(inv, weights=w[keep])
+    crow = uniq // nc
+    ccol = uniq % nc
+    cptr = np.searchsorted(crow, np.arange(nc + 1))
+    return cptr, ccol, cw
+
+
+def _refine(ptr, col, w, parts, num_parts, cap, rounds=4):
+    """Vectorized boundary refinement: per-round, compute every node's
+    per-part connectivity S[v, p] (scatter-add on the MXU-free host
+    path), move positive-gain boundary nodes greedily under the balance
+    cap."""
+    n = len(parts)
+    row = np.repeat(np.arange(n), np.diff(ptr))
+    for _ in range(rounds):
+        S = np.zeros((n, num_parts))
+        np.add.at(S, (row, parts[col]), w)
+        cur = S[np.arange(n), parts]
+        best = np.argmax(S, axis=1).astype(np.int32)
+        gain = S[np.arange(n), best] - cur
+        cand = np.nonzero((gain > 0) & (best != parts))[0]
+        if len(cand) == 0:
+            break
+        cand = cand[np.argsort(-gain[cand], kind='stable')]
+        counts = np.bincount(parts, minlength=num_parts).astype(
+            np.float64)
+        moved = 0
+        for v in cand:
+            b, o = best[v], parts[v]
+            if counts[b] < cap and counts[o] > 1:
+                counts[o] -= 1
+                counts[b] += 1
+                parts[v] = b
+                moved += 1
+        if moved == 0:
+            break
+    return parts
+
+
+def _multilevel(ptr, col, w, n, num_parts, rng,
+                coarsest: Optional[int] = None):
+    """Multilevel scheme: HEM-coarsen until small, LDG-partition the
+    coarsest graph, project back with boundary refinement per level."""
+    coarsest = coarsest or max(64 * num_parts, 256)
+    levels = []
+    cur = (ptr, col, w, n)
+    while cur[3] > coarsest and len(levels) < 30:
+        cptr, ccol, cw, cn = cur
+        cmap, nc = _heavy_edge_matching(cptr, ccol, cw, cn, rng)
+        if nc >= cn * 0.95:          # matching stalled
+            break
+        levels.append((cur, cmap))
+        cur = (*_coarsen(cptr, ccol, cw, cmap, nc, cn), nc)
+    cptr, ccol, cw, cn = cur
+    cap_c = 1.05 * cn / num_parts
+    parts = rng.integers(0, num_parts, cn).astype(np.int32)
+    parts = _ldg_sweep(cptr, ccol, cw, parts, num_parts, cap_c, 4, rng,
+                       cn)
+    parts = _refine(cptr, ccol, cw, parts, num_parts, cap_c)
+    for li, ((fptr, fcol, fw, fn), cmap) in enumerate(reversed(levels)):
+        parts = parts[cmap]
+        parts = _refine(fptr, fcol, fw, parts, num_parts,
+                        1.05 * fn / num_parts)
+    if n <= 200_000 and levels:
+        # one fine-level LDG polish pass: closes the gap on graphs
+        # where HEM coarsening obscures fine structure (expanders)
+        fptr, fcol, fw, fn = levels[0][0]
+        parts = _ldg_sweep(fptr, fcol, fw, parts, num_parts,
+                           1.05 * fn / num_parts, 1, rng, fn)
+        parts = _refine(fptr, fcol, fw, parts, num_parts,
+                        1.05 * fn / num_parts, rounds=2)
+    return parts.astype(np.int32)
+
+
+def edge_cut(edge_index, parts) -> float:
+    """Fraction of (directed) edges whose endpoints live in different
+    parts — the partition quality metric METIS minimises."""
+    coo = np.asarray(edge_index.coo if hasattr(edge_index, 'coo')
+                     else edge_index)
+    keep = coo[0] != coo[1]
+    if keep.sum() == 0:
+        return 0.0
+    return float((parts[coo[0][keep]] != parts[coo[1][keep]]).mean())
 
 
 @dataclass
