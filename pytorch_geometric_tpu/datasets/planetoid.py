@@ -31,6 +31,78 @@ def _to_dense(x):
         return np.asarray(x)
 
 
+def read_planetoid_data(folder: str, prefix: str) -> Data:
+    """Parse the pickled ind.<prefix>.* files into a single Data
+    (reference ``torch_geometric/io/planetoid.py``)."""
+    parts = ['x', 'tx', 'allx', 'y', 'ty', 'ally', 'graph',
+             'test.index']
+    raw_file_names = [f'ind.{prefix.lower()}.{p}' for p in parts]
+    d = {}
+    for fn in raw_file_names:
+        path = osp.join(folder, fn)
+        key = fn.split('.')[-1]
+        if key == 'index':
+            d['test_index'] = np.array(
+                [int(line) for line in open(path)])
+        else:
+            d[key] = _read_pickle(path)
+
+    x = _to_dense(d['x']).astype(np.float32)
+    tx = _to_dense(d['tx']).astype(np.float32)
+    allx = _to_dense(d['allx']).astype(np.float32)
+    y = np.asarray(d['y'])
+    ty = np.asarray(d['ty'])
+    ally = np.asarray(d['ally'])
+    test_idx = d['test_index']
+    sorted_test = np.sort(test_idx)
+
+    if prefix.lower() == 'citeseer':
+        # fill isolated test nodes missing from tx
+        full = np.arange(sorted_test.min(), sorted_test.max() + 1)
+        tx_full = np.zeros((len(full), tx.shape[1]), np.float32)
+        ty_full = np.zeros((len(full), ty.shape[1]), ty.dtype)
+        tx_full[sorted_test - sorted_test.min()] = tx[
+            np.argsort(test_idx)]
+        ty_full[sorted_test - sorted_test.min()] = ty[
+            np.argsort(test_idx)]
+        tx, ty = tx_full, ty_full
+        test_pos = full
+    else:
+        order = np.argsort(test_idx)
+        tx = tx[order]
+        ty = ty[order]
+        test_pos = sorted_test
+
+    X = np.concatenate([allx, tx], 0)
+    Y = np.concatenate([ally, ty], 0).argmax(-1)
+    # reorder test rows into their global positions
+    X[test_pos] = X[len(allx):]
+    Y[test_pos] = Y[len(allx):]
+
+    n = X.shape[0]
+    graph = d['graph']
+    rows, cols = [], []
+    for src, nbrs in graph.items():
+        for dst in nbrs:
+            rows.append(src)
+            cols.append(dst)
+    coo = np.stack([np.array(rows), np.array(cols)]).astype(np.int32)
+    from ..utils.coalesce import to_undirected
+    coo = to_undirected(coo, num_nodes=n)
+
+    train_mask = np.zeros(n, bool)
+    val_mask = np.zeros(n, bool)
+    test_mask = np.zeros(n, bool)
+    train_mask[:len(y)] = True
+    val_mask[len(y):len(y) + 500] = True
+    test_mask[test_pos] = True
+
+    data = Data(x=X, edge_index=coo, y=Y.astype(np.int32),
+                train_mask=train_mask, val_mask=val_mask,
+                test_mask=test_mask, num_nodes=n)
+    return data
+
+
 class Planetoid(InMemoryDataset):
     """Citation networks with the public fixed split
     (reference ``datasets/planetoid.py``)."""
@@ -48,67 +120,5 @@ class Planetoid(InMemoryDataset):
         return [f'ind.{self.name}.{p}' for p in parts]
 
     def process(self):
-        d = {}
-        for fn in self.raw_file_names:
-            path = osp.join(self.raw_dir, fn)
-            key = fn.split('.')[-1]
-            if key == 'index':
-                d['test_index'] = np.array(
-                    [int(line) for line in open(path)])
-            else:
-                d[key] = _read_pickle(path)
-
-        x = _to_dense(d['x']).astype(np.float32)
-        tx = _to_dense(d['tx']).astype(np.float32)
-        allx = _to_dense(d['allx']).astype(np.float32)
-        y = np.asarray(d['y'])
-        ty = np.asarray(d['ty'])
-        ally = np.asarray(d['ally'])
-        test_idx = d['test_index']
-        sorted_test = np.sort(test_idx)
-
-        if self.name == 'citeseer':
-            # fill isolated test nodes missing from tx
-            full = np.arange(sorted_test.min(), sorted_test.max() + 1)
-            tx_full = np.zeros((len(full), tx.shape[1]), np.float32)
-            ty_full = np.zeros((len(full), ty.shape[1]), ty.dtype)
-            tx_full[sorted_test - sorted_test.min()] = tx[
-                np.argsort(test_idx)]
-            ty_full[sorted_test - sorted_test.min()] = ty[
-                np.argsort(test_idx)]
-            tx, ty = tx_full, ty_full
-            test_pos = full
-        else:
-            order = np.argsort(test_idx)
-            tx = tx[order]
-            ty = ty[order]
-            test_pos = sorted_test
-
-        X = np.concatenate([allx, tx], 0)
-        Y = np.concatenate([ally, ty], 0).argmax(-1)
-        # reorder test rows into their global positions
-        X[test_pos] = X[len(allx):]
-        Y[test_pos] = Y[len(allx):]
-
-        n = X.shape[0]
-        graph = d['graph']
-        rows, cols = [], []
-        for src, nbrs in graph.items():
-            for dst in nbrs:
-                rows.append(src)
-                cols.append(dst)
-        coo = np.stack([np.array(rows), np.array(cols)]).astype(np.int32)
-        from ..utils.coalesce import to_undirected
-        coo = to_undirected(coo, num_nodes=n)
-
-        train_mask = np.zeros(n, bool)
-        val_mask = np.zeros(n, bool)
-        test_mask = np.zeros(n, bool)
-        train_mask[:len(y)] = True
-        val_mask[len(y):len(y) + 500] = True
-        test_mask[test_pos] = True
-
-        data = Data(x=X, edge_index=coo, y=Y.astype(np.int32),
-                    train_mask=train_mask, val_mask=val_mask,
-                    test_mask=test_mask, num_nodes=n)
+        data = read_planetoid_data(self.raw_dir, self.name)
         self.save([data])
