@@ -25,9 +25,12 @@ from ...ops import scatter
 
 class JumpingKnowledge(fnn.Module):
     """Combine per-layer representations: cat | max | lstm-attention
-    (reference ``jumping_knowledge.py``)."""
+    (reference ``jumping_knowledge.py``). lstm mode scores each layer
+    with a bidirectional LSTM of hidden size
+    ``(num_layers * channels) // 2`` (reference :58)."""
     mode: str = 'cat'
     channels: Optional[int] = None
+    num_layers: Optional[int] = None
 
     @fnn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -36,16 +39,17 @@ class JumpingKnowledge(fnn.Module):
         if self.mode == 'max':
             return jnp.stack(list(xs), 0).max(0)
         if self.mode == 'lstm':
-            # bidirectional LSTM attention over the layer axis
             x = jnp.stack(list(xs), 1)            # [N, L, F]
-            f = self.channels or x.shape[-1]
-            fwd = fnn.OptimizedLSTMCell(features=f, name='lstm_f')
-            bwd = fnn.OptimizedLSTMCell(features=f, name='lstm_b')
-            cf = fwd.initialize_carry(jnp.zeros((2,), jnp.uint32),
-                                      x[:, 0].shape)
-            cb = bwd.initialize_carry(jnp.zeros((2,), jnp.uint32),
-                                      x[:, 0].shape)
             L = x.shape[1]
+            f = self.channels or x.shape[-1]
+            nl = self.num_layers or L
+            hidden = (nl * f) // 2
+            fwd = fnn.LSTMCell(features=hidden, name='lstm_f')
+            bwd = fnn.LSTMCell(features=hidden, name='lstm_b')
+            cf = fwd.initialize_carry(jax.random.PRNGKey(0),
+                                      x[:, 0].shape)
+            cb = bwd.initialize_carry(jax.random.PRNGKey(0),
+                                      x[:, 0].shape)
             outs_f, outs_b = [], []
             for t in range(L):
                 cf, of = fwd(cf, x[:, t])
@@ -234,58 +238,92 @@ class LINKX(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: Optional[jnp.ndarray], edge_index,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         n = self.num_nodes
-        # Row embedding of A via sparse aggregation of a learned basis:
-        # equivalent to A @ W_emb with W_emb [N, H] factored as embedding.
+        # SparseLinear (reference linkx.py:20): out = A @ W + b with
+        # W [N, H] a learned per-node basis, computed as a sparse
+        # aggregation — one MXU-free scatter instead of an [N, N] GEMM.
         emb = self.param('edge_embed', fnn.initializers.normal(0.02),
                          (n, self.hidden_channels))
         src = jnp.minimum(coo[0], n - 1)
         dst = jnp.minimum(coo[1], n - 1)
-        xa = scatter(emb[src], dst, n, 'sum', mask=edge_mask)
-        xa = MLP(channel_list=[self.hidden_channels]
-                 * max(1, self.num_edge_layers - 1) + [self.hidden_channels],
-                 plain_last=False, name='mlp_a')(xa)
-        h = xa
+        w_src = emb[src]
+        if edge_weight is not None:
+            w_src = w_src * edge_weight[:, None]
+        out = scatter(w_src, dst, n, 'sum', mask=edge_mask)
+        out = out + self.param('edge_bias', fnn.initializers.zeros,
+                               (self.hidden_channels,))
+        if self.num_edge_layers > 1:
+            out = fnn.relu(out)
+            out = fnn.BatchNorm(use_running_average=deterministic,
+                                name='edge_norm')(out)
+            out = MLP(channel_list=[self.hidden_channels]
+                      * (self.num_edge_layers - 1), norm='batch_norm',
+                      act_first=True,
+                      name='edge_mlp')(out, deterministic=deterministic)
+        # W[h_A | h_X] decomposed as cat_lin1(h_A) + cat_lin2(h_X)
+        out = out + fnn.Dense(self.hidden_channels,
+                              name='cat_lin1')(out)
         if x is not None:
             xx = MLP(channel_list=[self.hidden_channels]
-                     * self.num_node_layers, plain_last=False,
-                     name='mlp_x')(x)
-            h = fnn.Dense(self.hidden_channels, name='w')(
-                jnp.concatenate([xa, xx], -1)) + xa + xx
-        h = fnn.relu(h)
+                     * self.num_node_layers, norm='batch_norm',
+                     act_first=True,
+                     name='node_mlp')(x, deterministic=deterministic)
+            out = out + xx
+            out = out + fnn.Dense(self.hidden_channels,
+                                  name='cat_lin2')(xx)
         return MLP(channel_list=[self.hidden_channels]
-                   * max(0, self.num_layers - 1) + [self.out_channels],
-                   name='mlp_f')(h)
+                   * (self.num_layers - 1) + [self.out_channels],
+                   norm='batch_norm', act_first=True,
+                   name='final_mlp')(fnn.relu(out),
+                                     deterministic=deterministic)
 
 
 class PMLP(fnn.Module):
-    """PMLP (reference ``pmlp.py``): MLP at train time; message passing
-    inserted at inference."""
+    """PMLP (reference ``pmlp.py``): plain MLP at train time; at
+    inference each linear layer is followed by parameter-free mean
+    propagation with a self-loop root (``SimpleConv(aggr='mean',
+    combine_root='self_loop')``), applied BEFORE the bias. The norm is
+    batch-statistics LayerNorm-style BatchNorm (affine=False, no
+    running stats — reference pmlp.py:61)."""
     hidden_channels: int
     out_channels: int
     num_layers: int = 2
     dropout: float = 0.0
+    norm: bool = True
+    use_bias: bool = True
 
     @fnn.compact
     def __call__(self, x, edge_index=None,
                  use_conv: bool = False) -> jnp.ndarray:
-        conv = GCNConv
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             ch = self.out_channels if last else self.hidden_channels
-            x = fnn.Dense(ch, use_bias=False, name=f'lin_{i}')(x)
+            x = fnn.Dense(ch, use_bias=False, name=f'lins_{i}')(x)
             if use_conv and edge_index is not None:
-                # parameter-free mean propagation (gcn_norm SpMM)
+                # mean over [neighbors + self] (SimpleConv with
+                # combine_root='self_loop')
                 n = x.shape[0]
-                coo, ew = gcn_norm(edge_index, None, n)
-                x = scatter(x[jnp.minimum(coo[0], n - 1)] * ew[:, None],
-                            jnp.minimum(coo[1], n - 1), n, 'sum')
+                coo = (edge_index.coo if hasattr(edge_index, 'coo')
+                       else edge_index)
+                s = jnp.minimum(coo[0], n - 1)
+                d = jnp.minimum(coo[1], n - 1)
+                ssum = scatter(x[s], d, n, 'sum')
+                cnt = scatter(jnp.ones((coo.shape[1], 1), x.dtype), d,
+                              n, 'sum')
+                x = (ssum + x) / (cnt + 1.0)
+            if self.use_bias:
+                x = x + self.param(f'bias_{i}', fnn.initializers.zeros,
+                                   (ch,))
             if not last:
-                b = self.param(f'bias_{i}', fnn.initializers.zeros,
-                               (ch,))
-                x = fnn.relu(x + b)
+                if self.norm:
+                    mean = x.mean(0, keepdims=True)
+                    var = x.var(0, keepdims=True)
+                    x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+                x = fnn.relu(x)
         return x
 
 
@@ -347,10 +385,13 @@ class NeuralFingerprint(fnn.Module):
         from ..pool import global_add_pool
         out = jnp.zeros((batch_size, self.out_channels), x.dtype)
         for i in range(self.num_layers):
-            x = MFConv(out_channels=self.hidden_channels,
-                       name=f'conv_{i}')(x, edge_index)
+            # reference neural_fingerprint.py:64: sigmoid after conv,
+            # bias-free fingerprint projection
+            x = jax.nn.sigmoid(MFConv(out_channels=self.hidden_channels,
+                                      name=f'convs_{i}')(x, edge_index))
             y = jax.nn.softmax(
-                fnn.Dense(self.out_channels, name=f'fp_{i}')(x), -1)
+                fnn.Dense(self.out_channels, use_bias=False,
+                          name=f'lins_{i}')(x), -1)
             out = out + global_add_pool(y, batch, batch_size,
                                         mask=node_mask)
         return out
@@ -386,52 +427,96 @@ class DeepGCNLayer(fnn.Module):
 
 
 class GraphUNet(fnn.Module):
-    """Graph U-Net (reference ``graph_unet.py``): GCN + TopK down path,
-    unpool + skip up path. Static-shape: each level keeps ``ceil(ratio^l
-    * N)`` slots with masks."""
+    """Graph U-Net (reference ``graph_unet.py``): GCN + TopK down path
+    with A^2 adjacency augmentation before each pool, unpool + skip-sum
+    up path.
+
+    TPU design note: levels run on DENSE adjacencies — the augmented
+    A^2 has data-dependent sparsity, so the reference's spspmm becomes
+    one [n_l, n_l] MXU matmul per level, and pooling is a static-shape
+    row/column gather. U-Nets run on modest graphs where n^2 is cheap;
+    each level's node count ceil(ratio^l * N) is static."""
     hidden_channels: int
     out_channels: int
     depth: int = 3
     pool_ratio: float = 0.5
+    sum_res: bool = True
+
+    @staticmethod
+    def _gcn_agg(A, h):
+        """Dense GCN aggregation: D^-1/2 A_hat D^-1/2 h, where A_hat
+        keeps existing self-loop weights and fills missing ones with 2
+        (reference GraphUNet uses GCNConv(improved=True), whose
+        gcn_norm fill_value is 2.0; add_remaining_self_loops)."""
+        n = A.shape[0]
+        diag = jnp.diagonal(A)
+        fill = jnp.where(diag == 0, 2.0, 0.0)
+        Ah = A + jnp.eye(n, dtype=A.dtype) * fill
+        deg = Ah.sum(1)
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+        An = dinv[:, None] * Ah * dinv[None, :]
+        return An @ h
 
     @fnn.compact
     def __call__(self, x, edge_index,
-                 batch: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 batch: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        del batch                         # single-graph dense path
         n = x.shape[0]
-        if batch is None:
-            batch = jnp.zeros((n,), jnp.int32)
-        x = fnn.relu(GCNConv(out_channels=self.hidden_channels,
-                             name='down_conv_0')(x, edge_index))
-        xs, perms, masks, edges = [x], [], [], []
+        H = self.hidden_channels
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
-        cur_x, cur_coo = x, coo
-        cur_n = n
-        for d in range(1, self.depth + 1):
-            pool = TopKPooling(in_channels=self.hidden_channels,
-                               ratio=self.pool_ratio, name=f'pool_{d}')
-            out = pool(cur_x, cur_coo, jnp.zeros((cur_n,), jnp.int32), 1,
-                       max_nodes_per_graph=cur_n)
-            perms.append(out.perm)
-            masks.append(out.node_mask)
-            edges.append((cur_coo, cur_n))
-            cur_x, cur_coo = out.x, out.edge_index
-            cur_n = cur_x.shape[0]
-            cur_x = fnn.relu(GCNConv(out_channels=self.hidden_channels,
-                                     name=f'down_conv_{d}')(
-                cur_x, cur_coo, edge_mask=out.edge_mask))
-            xs.append(cur_x)
+        w = (jnp.ones((coo.shape[1],), x.dtype) if edge_weight is None
+             else edge_weight)
+        if edge_mask is not None:
+            w = jnp.where(edge_mask, w, 0.0)
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        # transposed adjacency: A[i, j] = weight of edge j -> i, so the
+        # GCN aggregation is one row-major matmul
+        A = jnp.zeros((n, n), x.dtype).at[dst, src].add(w)
 
-        for d in range(self.depth, 0, -1):
-            prev_coo, prev_n = edges[d - 1]
-            up = jnp.zeros((prev_n, self.hidden_channels), cur_x.dtype)
-            rows = jnp.minimum(perms[d - 1], prev_n - 1)
-            up = up.at[rows].add(
-                jnp.where(masks[d - 1][:, None], cur_x, 0))
-            cur_x = up + xs[d - 1]
-            cur_x = GCNConv(out_channels=(self.hidden_channels
-                                          if d > 1 else self.out_channels),
-                            name=f'up_conv_{d}')(cur_x, prev_coo)
-            if d > 1:
+        def conv(name, A, x, out_ch):
+            h = fnn.Dense(out_ch, use_bias=False, name=name)(x)
+            b = self.param(f'{name}_bias', fnn.initializers.zeros,
+                           (out_ch,))
+            return self._gcn_agg(A, h) + b
+
+        x = fnn.relu(conv('down_convs_0', A, x, H))
+        xs, adjs, perms = [x], [A], []
+        cur_x, cur_A = x, A
+        cur_n = n
+        for i in range(1, self.depth + 1):
+            # augment: (A+I)^2 with self-loops removed
+            eye = jnp.eye(cur_n, dtype=x.dtype)
+            A1 = cur_A * (1 - eye) + eye
+            A2 = A1 @ A1
+            A2 = A2 * (1 - eye)
+            # TopK pool (reference SelectTopK, tanh activation)
+            pw = self.param(f'pools_{i - 1}_weight',
+                            fnn.initializers.uniform(1.0), (1, H))
+            score = (cur_x * pw).sum(-1) / jnp.maximum(
+                jnp.linalg.norm(pw), 1e-12)
+            k = max(int(-(-self.pool_ratio * cur_n // 1)), 1)
+            _, perm = jax.lax.top_k(score, k)
+            cur_x = cur_x[perm] * jnp.tanh(score[perm])[:, None]
+            cur_A = A2[perm][:, perm]
+            cur_n = k
+            cur_x = fnn.relu(conv(f'down_convs_{i}', cur_A, cur_x, H))
+            perms.append(perm)
+            if i < self.depth:
+                xs.append(cur_x)
+                adjs.append(cur_A)
+
+        for i in range(self.depth):
+            j = self.depth - 1 - i
+            res, A_j, perm = xs[j], adjs[j], perms[j]
+            up = jnp.zeros_like(res).at[perm].set(cur_x)
+            cur_x = (res + up if self.sum_res
+                     else jnp.concatenate([res, up], -1))
+            out_ch = H if i < self.depth - 1 else self.out_channels
+            cur_x = conv(f'up_convs_{i}', A_j, cur_x, out_ch)
+            if i < self.depth - 1:
                 cur_x = fnn.relu(cur_x)
         return cur_x
 

@@ -19,6 +19,7 @@ class MLP(fnn.Module):
     dropout: float = 0.0
     plain_last: bool = True
     use_bias: bool = True
+    act_first: bool = False              # reference mlp.py act_first
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -29,6 +30,8 @@ class MLP(fnn.Module):
             x = fnn.Dense(ch, use_bias=self.use_bias, name=f'lin_{i}')(x)
             if is_last and self.plain_last:
                 break
+            if self.act_first:
+                x = self.act(x)
             if self.norm == 'batch_norm':
                 x = fnn.BatchNorm(use_running_average=deterministic,
                                   name=f'norm_{i}')(x)
@@ -36,7 +39,8 @@ class MLP(fnn.Module):
                 # torch LayerNorm parity: eps=1e-5, two-pass variance
                 x = fnn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
                                   name=f'norm_{i}')(x)
-            x = self.act(x)
+            if not self.act_first:
+                x = self.act(x)
             if self.dropout > 0 and not deterministic:
                 x = fnn.Dropout(self.dropout, deterministic=False)(x)
         return x

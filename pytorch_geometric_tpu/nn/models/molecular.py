@@ -17,9 +17,46 @@ from ..message_passing import MessagePassing
 from ...ops import scatter, softmax as segment_softmax
 
 
+class GATEConv(fnn.Module):
+    """Edge-conditioned GAT layer used by AttentiveFP
+    (reference ``attentive_fp.py:GATEConv``): the transformed source
+    x_j' = leaky_relu(lin1([x_j | edge_attr])) drives attention via
+    att_l; the raw destination via att_r; messages are lin2(x_j)."""
+    out_channels: int
+
+    @fnn.compact
+    def __call__(self, x, edge_index,
+                 edge_attr: jnp.ndarray,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        n = x.shape[0]
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        src = jnp.minimum(coo[0], n - 1)
+        dst = jnp.minimum(coo[1], n - 1)
+        att_l = self.param('att_l', fnn.initializers.glorot_uniform(),
+                           (1, self.out_channels))
+        att_r = self.param('att_r', fnn.initializers.glorot_uniform(),
+                           (1, x.shape[-1]))
+        xj = fnn.leaky_relu(
+            fnn.Dense(self.out_channels, use_bias=False, name='lin1')(
+                jnp.concatenate([x[src], edge_attr], -1)), 0.01)
+        alpha = (xj * att_l).sum(-1) + (x[dst] * att_r).sum(-1)
+        alpha = fnn.leaky_relu(alpha, 0.01)
+        alpha = segment_softmax(alpha, dst, n, mask=edge_mask)
+        msg = fnn.Dense(self.out_channels, use_bias=False,
+                        name='lin2')(x[src]) * alpha[:, None]
+        out = scatter(msg, dst, n, 'sum', mask=edge_mask)
+        return out + self.param('bias', fnn.initializers.zeros,
+                                (self.out_channels,))
+
+
+def _gru(name: str, features: int):
+    return fnn.GRUCell(features=features, name=name)
+
+
 class AttentiveFP(fnn.Module):
-    """Graph attention for molecules (reference ``attentive_fp.py``):
-    GATE-style edge attention + GRU updates + global attention readout."""
+    """Attentive FP (reference ``attentive_fp.py``): GATEConv + GATConv
+    atom layers with GRU updates, then a virtual-molecule-node GAT
+    readout iterated ``num_timesteps`` times."""
     in_channels: int
     hidden_channels: int
     out_channels: int
@@ -32,53 +69,41 @@ class AttentiveFP(fnn.Module):
                  batch_size: int = 1,
                  node_mask: Optional[jnp.ndarray] = None,
                  edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..conv import GATConv
+        from ..pool import global_add_pool
         n = x.shape[0]
-        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
-        src = jnp.minimum(coo[0], n - 1)
-        dst = jnp.minimum(coo[1], n - 1)
-        h = fnn.leaky_relu(fnn.Dense(self.hidden_channels,
-                                     name='lin1')(x), 0.01)
+        H = self.hidden_channels
+        x = fnn.leaky_relu(fnn.Dense(H, name='lin1')(x), 0.01)
 
-        # first layer: edge-conditioned attention
-        he = fnn.leaky_relu(fnn.Dense(self.hidden_channels,
-                                      name='lin_edge')(edge_attr), 0.01)
-        z = jnp.concatenate([h[src] + he, h[dst]], -1)
-        alpha = fnn.Dense(1, name='att1')(z)[:, 0]
-        alpha = segment_softmax(fnn.leaky_relu(alpha, 0.01), dst, n,
-                                mask=edge_mask)
-        msg = h[src] * alpha[:, None]
-        agg = scatter(msg, dst, n, 'sum', mask=edge_mask)
-        gru = fnn.GRUCell(features=self.hidden_channels, name='gru0')
-        h, _ = gru(h, fnn.elu(fnn.Dense(self.hidden_channels,
-                                        name='mix0')(agg)))
+        h = fnn.elu(GATEConv(out_channels=H, name='gate_conv')(
+            x, edge_index, edge_attr, edge_mask=edge_mask))
+        x, _ = _gru('gru', H)(x, h)
+        x = fnn.relu(x)
 
-        for l in range(1, self.num_layers):
-            z = jnp.concatenate([h[src], h[dst]], -1)
-            alpha = fnn.Dense(1, name=f'att_{l}')(z)[:, 0]
-            alpha = segment_softmax(fnn.leaky_relu(alpha, 0.01), dst, n,
-                                    mask=edge_mask)
-            agg = scatter(h[src] * alpha[:, None], dst, n, 'sum',
-                          mask=edge_mask)
-            cell = fnn.GRUCell(features=self.hidden_channels,
-                               name=f'gru_{l}')
-            h, _ = cell(h, fnn.elu(fnn.Dense(self.hidden_channels,
-                                             name=f'mix_{l}')(agg)))
+        for l in range(self.num_layers - 1):
+            h = fnn.elu(GATConv(out_channels=H, add_self_loops=False,
+                                negative_slope=0.01,
+                                name=f'atom_convs_{l}')(
+                x, edge_index, edge_mask=edge_mask))
+            x, _ = _gru(f'atom_grus_{l}', H)(x, h)
+            x = fnn.relu(x)
 
-        # molecule-level readout with attention over nodes
+        # molecule embedding: bipartite GAT from atoms to mol nodes
         if batch is None:
             batch = jnp.zeros((n,), jnp.int32)
-        g = scatter(h, batch, batch_size, 'sum', mask=node_mask)
-        mol_gru = fnn.GRUCell(features=self.hidden_channels,
-                              name='mol_gru')
-        for t in range(self.num_timesteps):
-            ga = fnn.Dense(1, name=f'mol_att_{t}')(
-                jnp.concatenate([g[batch], h], -1))[:, 0]
-            ga = segment_softmax(fnn.leaky_relu(ga, 0.01), batch,
-                                 batch_size, mask=node_mask)
-            ctx = scatter(h * ga[:, None], batch, batch_size, 'sum',
-                          mask=node_mask)
-            g, _ = mol_gru(g, fnn.elu(ctx))
-        return fnn.Dense(self.out_channels, name='lin2')(g)
+        rows = jnp.arange(n)
+        mol_edge = jnp.stack([rows, batch.astype(rows.dtype)])
+        out = fnn.relu(global_add_pool(x, batch, batch_size,
+                                       mask=node_mask))
+        mol_conv = GATConv(out_channels=H, add_self_loops=False,
+                           negative_slope=0.01, name='mol_conv')
+        mol_gru = _gru('mol_gru', H)
+        for _ in range(self.num_timesteps):
+            h = fnn.elu(mol_conv((x, out), mol_edge,
+                                 edge_mask=node_mask))
+            out, _ = mol_gru(out, h)
+            out = fnn.relu(out)
+        return fnn.Dense(self.out_channels, name='lin2')(out)
 
 
 class SignedGCN(fnn.Module):
