@@ -67,18 +67,24 @@ def main():
     coo_n, w_np = _gcn_norm_np(coo_np, N)
     # bake the cached norm into a dense adjacency (the TPU analog of
     # GCNConv(cached=True)): spmm then runs as an MXU matmul at ~78% of
-    # HBM roofline vs ~7% for the gather path (benchmarks/profile_step.py)
-    edge_index = EdgeIndex(coo_n, (N, N)).fill_cache(dense_weight=w_np)
+    # HBM roofline vs ~7% for the gather path (benchmarks/profile_step.py).
+    # On the CPU fallback the [N,N] dense path is ~40 TFLOP of matmuls —
+    # keep the sparse gather path there instead.
+    on_cpu = jax.default_backend() == 'cpu'
+    edge_index = EdgeIndex(coo_n, (N, N)).fill_cache(
+        dense_weight=None if on_cpu else w_np)
+    edge_weight = jnp.asarray(w_np) if on_cpu else None
 
     model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
                 conv_kwargs={'normalize': False,
                              'add_self_loops': False})
-    params = model.init(jax.random.PRNGKey(0), x, edge_index)
+    kw = {} if edge_weight is None else {'edge_weight': edge_weight}
+    params = model.init(jax.random.PRNGKey(0), x, edge_index, **kw)
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 
     def loss_fn(params, x, edge_index, y):
-        logits = model.apply(params, x, edge_index)
+        logits = model.apply(params, x, edge_index, **kw)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()
 
@@ -102,13 +108,16 @@ def main():
             train_step, (params, opt_state), None, length=STEPS)
         return params, opt_state, losses[-1]
 
-    # Warmup / compile.
-    p1, o1, loss = train_n(params, opt_state, x, edge_index, y)
-    jax.block_until_ready(loss)
+    # AOT-compile, then time ONE execution of the 500-step program:
+    # separates compile from run without paying a full warmup execution
+    # (matters on the CPU fallback, where one run is ~2 minutes).
+    compiled = train_n.lower(params, opt_state, x, edge_index,
+                             y).compile()
+    jax.block_until_ready(jax.device_put(0.0))
 
     t0 = time.perf_counter()
-    params, opt_state, loss = train_n(params, opt_state, x, edge_index,
-                                      y)
+    params, opt_state, loss = compiled(params, opt_state, x,
+                                       edge_index, y)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
@@ -170,12 +179,18 @@ def _main_with_watchdog():
 
     env = {**os.environ, 'PGT_BENCH_CHILD': '1'}
     budget = float(os.environ.get('PGT_BENCH_BUDGET_S', '540'))
+    # always keep enough budget for the sparse CPU fallback (measured
+    # ~190 s cold incl. jax import + compile + one 500-step run) so ONE
+    # JSON line is guaranteed even if the tunnel never yields a window
+    cpu_reserve = 240.0
     deadline = time.time() + budget
-    while time.time() < deadline - 90:
-        if not _probe_tpu(env, timeout=min(75, deadline - time.time())):
+    tpu_deadline = deadline - cpu_reserve
+    while time.time() < tpu_deadline - 60:
+        if not _probe_tpu(env, timeout=min(75, tpu_deadline
+                                           - time.time())):
             time.sleep(10)
             continue
-        child_t = min(420.0, deadline - time.time())
+        child_t = tpu_deadline - time.time()
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -189,14 +204,18 @@ def _main_with_watchdog():
                     print(lines[-1])
                     return
         except subprocess.TimeoutExpired:
-            pass
-    # fallback: CPU backend (still one valid JSON line)
+            break                # window too slow: save the fallback
+    # fallback: CPU backend, sparse path (still one valid JSON line)
     env['JAX_PLATFORMS'] = 'cpu'
     env['PGT_FORCE_CPU'] = '1'
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=env, capture_output=True, text=True,
-                         timeout=1200)
-    line = [l for l in out.stdout.splitlines() if l.startswith('{')]
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=max(deadline - time.time(), 120))
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith('{')]
+    except subprocess.TimeoutExpired:
+        line = []
     print(line[-1] if line else json.dumps({
         'metric': 'gcn_train_500steps', 'value': -1.0, 'unit': 's',
         'vs_baseline': 0.0}))

@@ -45,6 +45,12 @@ _DENSE_ADVANTAGE = 36.0
 def _dense_profitable(adj: EdgeIndex, x: jnp.ndarray) -> bool:
     if os.environ.get('PGT_DISABLE_DENSE_SPMM'):
         return False
+    # The densification trade only pays on the MXU: on CPU a dense
+    # [N, N] @ [N, F] is O(N^2 F) real FLOPs vs the sparse path's
+    # O(E F), with no 11x bandwidth edge to buy it back (measured: the
+    # 10k-node bench regressed 18.5s -> 150s when this fired on CPU).
+    if jax.default_backend() == 'cpu':
+        return False
     ns, nd = adj.num_src_nodes, adj.num_dst_nodes
     f = x.shape[-1]
     return (ns * nd <= _DENSE_MAX_ENTRIES
