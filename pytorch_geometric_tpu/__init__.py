@@ -30,6 +30,14 @@ from .edge_index import EdgeIndex, CSR
 from .index import Index, HashTensor
 from .data import Data, Batch, HeteroData, Dataset, InMemoryDataset
 from .seed import seed_everything
+from .home import get_home_dir, set_home_dir
+from .device import device, is_mps_available, is_xpu_available
+from .compat import (compile, is_compiling, is_torch_instance,
+                     is_in_onnx_export, safe_onnx_export)
+from .experimental import (debug, is_debug_enabled, set_debug,
+                           experimental_mode,
+                           is_experimental_mode_enabled,
+                           set_experimental_mode)
 from . import ops
 from . import utils
 from . import nn
@@ -54,6 +62,11 @@ from . import distributed
 __all__ = [
     'EdgeIndex', 'CSR', 'Index', 'HashTensor', 'Data', 'Batch', 'HeteroData', 'Dataset',
     'InMemoryDataset', 'seed_everything',
+    'get_home_dir', 'set_home_dir', 'device', 'is_mps_available',
+    'is_xpu_available', 'compile', 'is_compiling', 'is_torch_instance',
+    'is_in_onnx_export', 'safe_onnx_export', 'debug', 'is_debug_enabled',
+    'set_debug', 'experimental_mode', 'is_experimental_mode_enabled',
+    'set_experimental_mode',
     'ops', 'utils', 'nn', 'backend', 'experimental', 'typing_flags', 'transforms', 'datasets', 'sampler', 'loader',
     'parallel', 'distributed', 'explain', 'metrics', 'profile', 'graphgym', 'io',
     'visualization', 'testing', 'contrib', '__version__',

@@ -70,3 +70,38 @@ def debug():
         yield
     finally:
         set_debug_enabled(False)
+
+
+class set_debug:
+    """Sets debug mode on/off; also usable as a context manager that
+    restores the previous state (reference ``debug.py:34``)."""
+    def __init__(self, mode: bool):
+        self.prev = is_debug_enabled()
+        set_debug_enabled(mode)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args) -> bool:
+        set_debug_enabled(self.prev)
+        return False
+
+
+class set_experimental_mode:
+    """Sets experimental mode for the given option(s); also usable as a
+    context manager (reference ``experimental.py:set_experimental_mode``)."""
+    def __init__(self, mode: bool, options=None):
+        if options is None or isinstance(options, str):
+            options = [options] if isinstance(options, str) else []
+        self.prev = [(o, is_experimental_mode_enabled(o)) for o in options]
+        self.mode = mode
+        for o in options:
+            set_experimental_mode_enabled(mode, o)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args) -> bool:
+        for o, prev in self.prev:
+            set_experimental_mode_enabled(prev, o)
+        return False

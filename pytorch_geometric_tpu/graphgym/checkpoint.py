@@ -61,3 +61,19 @@ def clean_ckpt(run_dir: str, keep_last: int = 1):
                    key=lambda p: int(osp.basename(p)[6:-4]))
     for p in files[:-keep_last] if keep_last else files:
         os.remove(p)
+
+
+def remove_ckpt(run_dir: str, epoch: int = -1):
+    """Delete one checkpoint (reference ``checkpoint.py:57``
+    ``remove_ckpt``; epoch=-1 removes the newest)."""
+    files = sorted(glob.glob(osp.join(_ckpt_dir(run_dir),
+                                      'epoch_*.pkl')),
+                   key=lambda p: int(osp.basename(p)[6:-4]))
+    if not files:
+        return
+    if epoch == -1:
+        os.remove(files[-1])
+        return
+    path = osp.join(_ckpt_dir(run_dir), f'epoch_{epoch}.pkl')
+    if osp.exists(path):
+        os.remove(path)

@@ -109,3 +109,46 @@ class GRetriever:
         prompts = np.stack([self.soft_prompt(g[0], g[1])
                             for g in graphs])
         return self.llm.inference(question, soft_prompt=prompts)
+
+
+class VisionTransformer:
+    """HuggingFace Swin/ViT wrapper for image encoding (reference
+    ``llm/models/vision_transformer.py``): ``forward(images)`` returns
+    the backbone's last hidden state, used by GIT-Mol as the image
+    modality encoder."""
+
+    def __init__(self, model_name: str):
+        self.model_name = model_name
+        from transformers import SwinConfig, SwinModel
+        self.config = SwinConfig.from_pretrained(model_name)
+        self.model = SwinModel(self.config)
+
+    def __call__(self, images, output_device=None):
+        import torch
+        with torch.no_grad():
+            out = self.model(images).last_hidden_state
+        return out.to(output_device) if output_device else out
+
+    forward = __call__
+
+    def __repr__(self) -> str:
+        return f'{self.__class__.__name__}(model_name={self.model_name})'
+
+
+# Reference path parity: ``torch_geometric.llm.models`` is the package
+# holding every model class (reference ``llm/models/__init__.py``); here
+# the classes live in sibling modules, re-exported under this name.
+def __getattr__(name):  # lazy to avoid import cycles at package init
+    _homes = {
+        'GLEM': '.glem', 'glem_loss': '.glem',
+        'TXT2KG': '.kg', 'LLMJudge': '.kg',
+        'MoleculeGPT': '.multimodal', 'GITMol': '.multimodal',
+        'GitMolGraphEncoder': '.multimodal',
+        'ProteinMPNN': '.protein_mpnn',
+        
+    }
+    if name in _homes:
+        import importlib
+        mod = importlib.import_module(_homes[name], __package__)
+        return getattr(mod, name)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -26,5 +26,7 @@ __all__ = [
 # reference-name aliases
 from .neighbor_loader import NeighborLoader as NodeLoader  # base role
 from .neighbor_loader import LinkNeighborLoader as LinkLoader
+from .legacy import NeighborSampler, EdgeIndexAdj
 __all__ += ['NodeLoader', 'LinkLoader', 'ZipLoader',
-            'AffinityMixin', 'MultithreadingMixin', 'LogMemoryMixin']
+            'AffinityMixin', 'MultithreadingMixin', 'LogMemoryMixin',
+            'NeighborSampler', 'EdgeIndexAdj']

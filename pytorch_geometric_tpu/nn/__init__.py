@@ -7,6 +7,7 @@ from . import dense
 from . import models
 from . import kge
 from . import attention
+from . import functional
 from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    GATv2Conv, GraphConv, ResGatedGraphConv, GatedGraphConv,
                    LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,

@@ -49,7 +49,9 @@ def _dense_profitable(adj: EdgeIndex, x: jnp.ndarray) -> bool:
     # [N, N] @ [N, F] is O(N^2 F) real FLOPs vs the sparse path's
     # O(E F), with no 11x bandwidth edge to buy it back (measured: the
     # 10k-node bench regressed 18.5s -> 150s when this fired on CPU).
-    if jax.default_backend() == 'cpu':
+    # PGT_FORCE_DENSE_SPMM bypasses the backend gate (CPU-only tests).
+    if (jax.default_backend() == 'cpu'
+            and not os.environ.get('PGT_FORCE_DENSE_SPMM')):
         return False
     ns, nd = adj.num_src_nodes, adj.num_dst_nodes
     f = x.shape[-1]

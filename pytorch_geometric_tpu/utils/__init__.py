@@ -21,6 +21,7 @@ from .convert import (to_scipy_sparse_matrix, from_scipy_sparse_matrix,
 from ..ops import (scatter, scatter_argmax, group_argsort, segment,
                    segment_logsumexp, ptr2index, index2ptr, softmax, spmm)
 from .misc import (index_to_mask, mask_to_index, mask_select, narrow,
+                   select,
                    add_random_edge, dropout_path, get_self_loop_attr,
                    segregate_self_loops, normalize_edge_index,
                    get_num_hops, erdos_renyi_graph, barabasi_albert_graph,
@@ -40,7 +41,7 @@ from .misc import (index_to_mask, mask_to_index, mask_select, narrow,
                    from_networkit, to_trimesh, from_trimesh, group_cat)
 
 __all__ = [
-    'index_to_mask', 'mask_to_index', 'mask_select', 'narrow',
+    'index_to_mask', 'mask_to_index', 'mask_select', 'narrow', 'select',
     'add_random_edge', 'dropout_path', 'get_self_loop_attr',
     'segregate_self_loops', 'normalize_edge_index', 'get_num_hops',
     'erdos_renyi_graph', 'barabasi_albert_graph',

@@ -45,8 +45,29 @@ def mask_select(src, dim: int, mask) -> jnp.ndarray:
 
 
 def narrow(src, dim: int, start: int, length: int):
+    if isinstance(src, (tuple, list)):
+        if dim != 0:
+            raise ValueError("Cannot narrow a list along dim != 0")
+        return list(src)[start:start + length]
     return jax.lax.slice_in_dim(jnp.asarray(src), start, start + length,
                                 axis=dim)
+
+
+def select(src, index_or_mask, dim: int):
+    """Select rows of a tensor or list by an index or boolean-mask vector
+    (reference ``utils/_select.py::select``). Mask selection is
+    host-side (data-dependent output shape)."""
+    iom = np.asarray(index_or_mask)
+    if isinstance(src, (tuple, list)):
+        if dim != 0:
+            raise ValueError("Cannot select a list along dim != 0")
+        if iom.dtype == bool:
+            return [s for s, m in zip(src, iom) if m]
+        return [src[int(i)] for i in iom]
+    if iom.dtype == bool:
+        return mask_select(src, dim, iom)
+    return jnp.take(jnp.asarray(src), jnp.asarray(index_or_mask),
+                    axis=dim)
 
 
 # -- structure edits (reference ``augmentation.py`` / ``loop.py``) ------

@@ -1,3 +1,3 @@
-from .graph import visualize_graph, influence
+from .graph import visualize_graph, visualize_hetero_graph, influence
 
-__all__ = ['visualize_graph', 'influence']
+__all__ = ['visualize_graph', 'visualize_hetero_graph', 'influence']

@@ -35,8 +35,12 @@ def _no_dense():
 
 @pytest.fixture(autouse=True)
 def _cleanup():
+    # tests run on the CPU backend, where the dense path is gated off by
+    # default — force it on so these tests exercise the real dispatch
+    os.environ['PGT_FORCE_DENSE_SPMM'] = '1'
     yield
     os.environ.pop('PGT_DISABLE_DENSE_SPMM', None)
+    os.environ.pop('PGT_FORCE_DENSE_SPMM', None)
 
 
 def test_dense_dispatch_active(graph):
