@@ -51,6 +51,14 @@ def main():
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--xla', action='store_true',
                     help='force the XLA path (no Pallas)')
+    ap.add_argument('--bsr', action='store_true',
+                    help='cache the block-sparse adjacency '
+                         '(ops/bsr_spmm.py); weights are baked, so the '
+                         'timed grad is d/dx only')
+    ap.add_argument('--clustered', type=int, default=0, metavar='CSIZE',
+                    help='generate a clustered graph (communities of '
+                         'CSIZE nodes, 90%% intra) instead of uniform '
+                         'random — models a partitioner-reordered graph')
     ap.add_argument('--gen', default='v5e')
     args = ap.parse_args()
     import os
@@ -66,17 +74,50 @@ def main():
 
     n, e, f = args.nodes, args.edges, args.features
     rng = np.random.default_rng(0)
-    coo = jnp.asarray(rng.integers(0, n, (2, e)).astype(np.int32))
+    if args.clustered:
+        cs = args.clustered
+        n_comm = max(n // cs, 1)
+        comm = rng.integers(0, n_comm, e)
+        intra = rng.random(e) < 0.9
+        s_loc = comm * cs + rng.integers(0, cs, e)
+        d_loc = comm * cs + rng.integers(0, cs, e)
+        s_rnd = rng.integers(0, n, e)
+        d_rnd = rng.integers(0, n, e)
+        coo_np = np.stack([np.where(intra, s_loc, s_rnd),
+                           np.where(intra, d_loc, d_rnd)])
+        coo_np = np.minimum(coo_np, n - 1).astype(np.int32)
+    else:
+        coo_np = rng.integers(0, n, (2, e)).astype(np.int32)
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
-    w = jnp.asarray(rng.random(e).astype(np.float32))
-    ei = EdgeIndex(coo, (n, n)).fill_cache()
+    w_np = rng.random(e).astype(np.float32)
+    w = jnp.asarray(w_np)
+    if args.bsr:
+        ei = EdgeIndex(coo_np, (n, n)).fill_cache(dense_weight=w_np,
+                                                  block_sparse=True)
+        from pytorch_geometric_tpu.ops.bsr_spmm import BS
+        nb = int(ei.bsr.vals.shape[0])
+        n_res = (int(ei.bsr_res[0].shape[0])
+                 if ei.bsr_res is not None else 0)
+        print(json.dumps({'bsr_blocks': nb, 'residual_edges': n_res,
+                          'block_mb': round(nb * BS * BS * 4 / 1e6, 1),
+                          'captured_frac': round(1 - n_res / e, 4)}))
+    else:
+        ei = EdgeIndex(coo_np, (n, n)).fill_cache()
 
-    @jax.jit
-    def fwd_bwd(x, w):
-        def loss(x, w):
-            return (spmm(ei, x, w) ** 2).sum()
-        l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
-        return l, gx, gw
+    if args.bsr:
+        @jax.jit
+        def fwd_bwd(x, w):
+            def loss(x):
+                return (spmm(ei, x) ** 2).sum()
+            l, gx = jax.value_and_grad(loss)(x)
+            return l, gx
+    else:
+        @jax.jit
+        def fwd_bwd(x, w):
+            def loss(x, w):
+                return (spmm(ei, x, w) ** 2).sum()
+            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+            return l, gx, gw
 
     out = fwd_bwd(x, w)
     jax.block_until_ready(out)
@@ -97,7 +138,9 @@ def main():
         'effective_gbps': round(gbps, 1),
         'roofline_frac': round(gbps / peak, 3),
         'backend': jax.default_backend(),
-        'path': 'xla' if args.xla else 'auto',
+        'path': ('bsr' if args.bsr else
+                 'xla' if args.xla else 'auto'),
+        'clustered': args.clustered,
     }))
 
 

@@ -72,7 +72,8 @@ class EdgeIndex:
                  num_real_edges: Optional[int] = None,
                  blocked: Optional[BlockedCSC] = None,
                  blocked_t: Optional[BlockedCSC] = None,
-                 dense_adj: Optional[jnp.ndarray] = None):
+                 dense_adj: Optional[jnp.ndarray] = None,
+                 bsr=None, bsr_t=None, bsr_res=None):
         # Host copy kept when constructed from numpy: fill_cache's
         # blocked-layout build is a host pass, and a device->host pull
         # of the COO can cost minutes over a remote-device tunnel.
@@ -97,11 +98,17 @@ class EdgeIndex:
         self.num_real_edges = (int(coo.shape[1]) if num_real_edges is None
                                else int(num_real_edges))
         self.dense_adj = dense_adj
+        # block-sparse cached adjacency (ops/bsr_spmm.py) + transpose
+        # + residual gather-path edges (src, dst, w) the split left out
+        self.bsr = bsr
+        self.bsr_t = bsr_t
+        self.bsr_res = bsr_res
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coo, self.csr, self.csc, self.blocked,
-                    self.blocked_t, self.dense_adj)
+                    self.blocked_t, self.dense_adj, self.bsr, self.bsr_t,
+                    self.bsr_res)
         aux = (self.sparse_size, self.num_real_edges)
         return children, aux
 
@@ -109,7 +116,8 @@ class EdgeIndex:
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         (obj.coo, obj.csr, obj.csc, obj.blocked,
-         obj.blocked_t, obj.dense_adj) = children
+         obj.blocked_t, obj.dense_adj, obj.bsr, obj.bsr_t,
+         obj.bsr_res) = children
         obj.sparse_size, obj.num_real_edges = aux
         obj._coo_host = None
         return obj
@@ -156,8 +164,8 @@ class EdgeIndex:
         return _build_sorted(self.col, self.row, self.num_dst_nodes)
 
     def fill_cache(self, blocked: bool = True,
-                   dense_weight: Optional[jnp.ndarray] = None
-                   ) -> 'EdgeIndex':
+                   dense_weight: Optional[jnp.ndarray] = None,
+                   block_sparse: Optional[bool] = None) -> 'EdgeIndex':
         """Return a copy with both CSR and CSC materialised
         (reference ``fill_cache_`` at ``edge_index.py:677``); also builds
         the node-blocked layout for the Pallas SpMM kernel when the COO
@@ -169,8 +177,11 @@ class EdgeIndex:
         then serves weight-free calls straight off the MXU — measured
         ~11x closer to HBM roofline than the gather path on v5e. The
         one-time scatter build runs on device so only the COO + weights
-        cross the host->device link. Skipped when ``n_src * n_dst``
-        exceeds ``PGT_DENSE_SPMM_ENTRIES`` (default 2.5e8)."""
+        cross the host->device link. When ``n_src * n_dst`` exceeds
+        ``PGT_DENSE_SPMM_ENTRIES`` (default 2.5e8), a block-sparse
+        (nonempty 128x128 blocks) adjacency is cached instead if the
+        graph is block-dense enough (``ops/bsr_spmm.py``);
+        ``block_sparse=True/False`` forces/suppresses that choice."""
         blk, blk_t = self.blocked, self.blocked_t
         if blocked and blk is None:
             try:
@@ -193,21 +204,34 @@ class EdgeIndex:
         else:
             csr, csc = self.get_csr(), self.get_csc()
         dense = self.dense_adj
-        if dense_weight is not None and dense is None:
+        bsr, bsr_t, bsr_res = self.bsr, self.bsr_t, self.bsr_res
+        if dense_weight is not None and dense is None and bsr is None:
             import os
             cap = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
                                            2.5e8)))
             ns, nd = self.sparse_size
-            if ns * nd <= cap:
+            if ns * nd <= cap and not block_sparse:
                 from .ops.spmm import _dense_build
                 dense = _dense_build(self.coo,
                                      jnp.asarray(dense_weight),
                                      ns, nd, jnp.float32)
+            elif block_sparse is not False:
+                # too big to densify: cache the nonempty 128x128 blocks
+                # instead when the graph is block-dense enough
+                # (ops/bsr_spmm.py) — the same weight-baked MXU path at
+                # O(nonempty-block) memory.
+                coo_np = (self._coo_host if self._coo_host is not None
+                          else np.asarray(self.coo))
+                from .ops.bsr_spmm import bsr_profitable, build_bsr_pair
+                if block_sparse or bsr_profitable(coo_np, ns, nd):
+                    bsr, bsr_t, bsr_res = build_bsr_pair(
+                        coo_np, np.asarray(dense_weight), ns, nd)
         out = EdgeIndex(self.coo, self.sparse_size,
                         csr=csr, csc=csc,
                         num_real_edges=self.num_real_edges,
                         blocked=blk, blocked_t=blk_t,
-                        dense_adj=dense)
+                        dense_adj=dense, bsr=bsr, bsr_t=bsr_t,
+                        bsr_res=bsr_res)
         out._coo_host = self._coo_host
         return out
 
@@ -230,7 +254,11 @@ class EdgeIndex:
                          blocked_t=self.blocked,
                          dense_adj=(self.dense_adj.T
                                     if self.dense_adj is not None
-                                    else None))
+                                    else None),
+                         bsr=self.bsr_t, bsr_t=self.bsr,
+                         bsr_res=((self.bsr_res[1], self.bsr_res[0],
+                                   self.bsr_res[2])
+                                  if self.bsr_res is not None else None))
 
     def to_dense_adj(self, edge_weight: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:

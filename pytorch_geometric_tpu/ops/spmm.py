@@ -155,6 +155,30 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
             out = out / jnp.maximum(deg, 1)[:, None]
         return out.astype(x.dtype)
 
+    # Cached block-sparse adjacency (dense too big to materialise):
+    # nonempty 128x128 blocks streamed through the MXU with
+    # scalar-prefetch index maps (ops/bsr_spmm.py).
+    bsr = getattr(adj, 'bsr', None)
+    bsr_t = getattr(adj, 'bsr_t', None)
+    if (bsr is not None and bsr_t is not None and edge_weight is None
+            and reduce in ('sum', 'mean') and x.ndim == 2
+            and not os.environ.get('PGT_DISABLE_BSR_SPMM')):
+        from .bsr_spmm import bsr_spmm
+        out = bsr_spmm(bsr, bsr_t, x, num_out, adj.num_src_nodes)
+        res = getattr(adj, 'bsr_res', None)
+        if res is not None:
+            # scattered tail the hybrid split left on the gather path;
+            # XLA autodiff supplies its backward
+            r_src, r_dst, r_w = res
+            out = out + jax.ops.segment_sum(
+                x[r_src] * r_w[:, None].astype(x.dtype), r_dst, num_out)
+        if reduce == 'mean':
+            ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
+            deg = jax.ops.segment_sum(
+                ones, jnp.minimum(dst, num_out - 1), num_out)
+            out = out / jnp.maximum(deg, 1)[:, None]
+        return out
+
     if (reduce in ('sum', 'mean') and x.ndim == 2
             and _dense_profitable(adj, x)):
         w = (edge_weight if edge_weight is not None
