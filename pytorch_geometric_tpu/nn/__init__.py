@@ -8,7 +8,7 @@ from . import models
 from . import kge
 from . import attention
 from . import functional
-from .conv import (GCNConv, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
+from .conv import (GCNConv, cache_gcn_norm, gcn_norm, SAGEConv, GINConv, GINEConv, GATConv,
                    GATv2Conv, GraphConv, ResGatedGraphConv, GatedGraphConv,
                    LEConv, MFConv, FAConv, AGNNConv, ClusterGCNConv,
                    WLConvContinuous, LGConv, ChebConv, ARMAConv, SGConv,
@@ -46,7 +46,7 @@ __all__ = [
     'normalization_resolver', 'optimizer_resolver',
     'lr_scheduler_resolver', 'summary', 'PyGModelHubMixin',
     'HeteroConv', 'HGTConv', 'HANConv',
-    'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv', 'GINEConv', 'GATConv',
+    'GCNConv', 'gcn_norm', 'cache_gcn_norm', 'SAGEConv', 'GINConv', 'GINEConv', 'GATConv',
     'GATv2Conv', 'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv',
     'LEConv', 'MFConv', 'FAConv', 'AGNNConv', 'ClusterGCNConv',
     'WLConvContinuous', 'LGConv', 'ChebConv', 'ARMAConv', 'SGConv',

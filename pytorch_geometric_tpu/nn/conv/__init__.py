@@ -1,5 +1,5 @@
 from ..message_passing import MessagePassing
-from .gcn_conv import GCNConv, gcn_norm
+from .gcn_conv import GCNConv, cache_gcn_norm, gcn_norm
 from .sage_conv import SAGEConv
 from .gin_conv import GINConv, GINEConv
 from .gat_conv import GATConv, GATv2Conv, FusedGATConv, CuGraphGATConv
@@ -24,7 +24,8 @@ from .dna_conv import DNAConv, PANConv
 from .x_conv import XConv
 
 __all__ = [
-    'MessagePassing', 'GCNConv', 'gcn_norm', 'SAGEConv', 'GINConv',
+    'MessagePassing', 'GCNConv', 'gcn_norm', 'cache_gcn_norm',
+    'SAGEConv', 'GINConv',
     'GINEConv', 'GATConv', 'GATv2Conv', 'FusedGATConv',
     'GraphConv', 'ResGatedGraphConv', 'GatedGraphConv', 'LEConv', 'MFConv',
     'FAConv', 'AGNNConv', 'ClusterGCNConv', 'WLConvContinuous', 'LGConv',

@@ -54,6 +54,54 @@ def gcn_norm(edge_index, edge_weight: Optional[jnp.ndarray] = None,
     return coo, norm
 
 
+def cache_gcn_norm(edge_index: EdgeIndex, improved: bool = False,
+                   add_self_loops: bool = True,
+                   block_sparse: Optional[bool] = None) -> EdgeIndex:
+    """TPU-idiomatic ``GCNConv(cached=True)`` (reference
+    ``gcn_conv.py:116``): compute D^-1/2 (A+I) D^-1/2 ONCE on the host
+    and bake it into the EdgeIndex caches — the dense ``[N, N]``
+    adjacency when it fits (one MXU matmul per layer, 83-87% of HBM
+    roofline on v5e), the hybrid block-sparse layout past the dense cap,
+    and the node-blocked Pallas layout as the general fallback.
+
+    Use with ``GCNConv(..., normalize=False, add_self_loops=False)``::
+
+        ei = cache_gcn_norm(EdgeIndex(coo, (n, n)))
+        conv = GCNConv(64, normalize=False, add_self_loops=False)
+
+    Flax modules are stateless across calls, so the reference's
+    in-module caching maps to this explicit one-time transform.
+    """
+    import numpy as np
+    coo = (edge_index._coo_host if edge_index._coo_host is not None
+           else np.asarray(edge_index.coo))
+    n = edge_index.num_src_nodes
+    row, col = coo[0].astype(np.int64), coo[1].astype(np.int64)
+    valid = (row < n) & (col < n)
+    row, col = row[valid], col[valid]
+    if add_self_loops:
+        # add_remaining_self_loops semantics (reference loop.py:585):
+        # one loop per node; nodes that already had one keep its weight
+        # (1 here), the rest get fill_value
+        had_loop = np.zeros(n, bool)
+        had_loop[row[row == col]] = True
+        keep = row != col
+        row, col = row[keep], col[keep]
+        loops = np.arange(n, dtype=np.int64)
+        loop_w = np.where(had_loop, 1.0, 2.0 if improved else 1.0)
+        row = np.concatenate([row, loops])
+        col = np.concatenate([col, loops])
+        w = np.concatenate([np.ones(len(row) - n, np.float64), loop_w])
+    else:
+        w = np.ones(len(row), np.float64)
+    deg = np.bincount(col, weights=w, minlength=n)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    norm = (dinv[row] * w * dinv[col]).astype(np.float32)
+    coo_n = np.stack([row, col]).astype(np.int32)
+    return EdgeIndex(coo_n, (n, n)).fill_cache(
+        dense_weight=norm, block_sparse=block_sparse)
+
+
 class GCNConv(MessagePassing):
     """x' = D^-1/2 (A+I) D^-1/2 x W + b (reference ``gcn_conv.py:116``)."""
     out_channels: int

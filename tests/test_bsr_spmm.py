@@ -147,3 +147,25 @@ def test_bsr_hybrid_residual_edges():
     g = jax.jit(jax.grad(loss))(jnp.asarray(x))
     g2 = jax.grad(loss_ref)(jnp.asarray(x))
     assert float(jnp.abs(g - g2).max() / jnp.abs(g2).max()) < 1e-5
+
+
+def test_cache_gcn_norm_matches_uncached_conv(monkeypatch):
+    # cache_gcn_norm (the TPU analog of GCNConv(cached=True)) must be
+    # numerically identical to the conv's own normalize=True path, on
+    # both the dense and the block-sparse cached layout.
+    monkeypatch.setenv('PGT_FORCE_DENSE_SPMM', '1')
+    from pytorch_geometric_tpu.nn import GCNConv, cache_gcn_norm
+    rng = np.random.default_rng(7)
+    n, e, f = 300, 2500, 16
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    ei = EdgeIndex(coo, (n, n))
+    conv = GCNConv(8)
+    p = conv.init(jax.random.PRNGKey(0), x, ei)
+    ref = conv.apply(p, x, ei)
+    fast = GCNConv(8, normalize=False, add_self_loops=False)
+    for kw in ({}, {'block_sparse': True}):
+        ei_c = cache_gcn_norm(ei, **kw)
+        out = fast.apply(p, x, ei_c)
+        assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
