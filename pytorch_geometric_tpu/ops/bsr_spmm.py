@@ -128,7 +128,7 @@ def _make_kernel(precision):
 
 
 def _bsr_matmul_impl(bsr: BSR, x: jnp.ndarray, num_out: int,
-                     interpret: bool) -> jnp.ndarray:
+                     interpret: bool, vma=None) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from .spmm import _dense_precision
@@ -152,11 +152,16 @@ def _bsr_matmul_impl(bsr: BSR, x: jnp.ndarray, num_out: int,
         out_specs=pl.BlockSpec(
             (BS, BF), lambda j, i, rows, cols, first: (rows[i], j)),
     )
+    # vma: inside shard_map the output varies over the mesh axis the
+    # inputs vary over; jax requires it to be stated explicitly.
+    out_shape = (jax.ShapeDtypeStruct((d_blocks * BS, f_pad),
+                                      jnp.float32) if vma is None else
+                 jax.ShapeDtypeStruct((d_blocks * BS, f_pad),
+                                      jnp.float32, vma=frozenset(vma)))
     out = pl.pallas_call(
         _make_kernel(_dense_precision()),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d_blocks * BS, f_pad),
-                                       jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(bsr.rows, bsr.cols, bsr.first, bsr.vals, x_p)
     return out[:num_out, :f].astype(x.dtype)
@@ -169,26 +174,44 @@ def _interpret() -> bool:
         return True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def bsr_spmm(bsr: BSR, bsr_t: BSR, x: jnp.ndarray, num_dst: int,
-             num_src: int) -> jnp.ndarray:
-    """out = A @ x over the block layout; differentiable in ``x``."""
-    return _bsr_matmul_impl(bsr, x, num_dst, _interpret())
+             num_src: int, vma=None) -> jnp.ndarray:
+    """out = A @ x over the block layout; differentiable in ``x``.
+    ``vma``: varying mesh axes when called inside shard_map."""
+    return _bsr_matmul_impl(bsr, x, num_dst, _interpret(), vma)
 
 
-def _bsr_fwd(bsr, bsr_t, x, num_dst, num_src):
-    return bsr_spmm(bsr, bsr_t, x, num_dst, num_src), (bsr, bsr_t)
+def _bsr_fwd(bsr, bsr_t, x, num_dst, num_src, vma):
+    return bsr_spmm(bsr, bsr_t, x, num_dst, num_src, vma), (bsr, bsr_t)
 
 
-def _bsr_bwd(num_dst, num_src, res, g):
+def _bsr_bwd(num_dst, num_src, vma, res, g):
     bsr, bsr_t = res
-    grad_x = _bsr_matmul_impl(bsr_t, g, num_src, _interpret())
+    grad_x = _bsr_matmul_impl(bsr_t, g, num_src, _interpret(), vma)
     zeros = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), (bsr, bsr_t))
     return (*zeros, grad_x)
 
 
 bsr_spmm.defvjp(_bsr_fwd, _bsr_bwd)
+
+
+def block_fill_mask(coo: np.ndarray, num_src: int, num_dst: int,
+                    min_fill: Optional[int] = None) -> np.ndarray:
+    """Boolean mask of edges landing in blocks with >= ``min_fill``
+    edges (the ones worth materialising as dense MXU blocks)."""
+    if min_fill is None:
+        min_fill = int(float(os.environ.get('PGT_BSR_MIN_FILL', 16)))
+    src = coo[0].astype(np.int64)
+    dst = coo[1].astype(np.int64)
+    valid = (src < num_src) & (dst < num_dst)
+    s_blocks = max((num_src + BS - 1) // BS, 1)
+    key = np.where(valid, (dst // BS) * s_blocks + (src // BS), -1)
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    dense_blk = (counts >= min_fill) & (uniq >= 0)
+    return dense_blk[inv] & valid
 
 
 def split_by_block_fill(coo: np.ndarray, weight: np.ndarray,
@@ -198,18 +221,11 @@ def split_by_block_fill(coo: np.ndarray, weight: np.ndarray,
     >= ``min_fill`` edges pay for their 64 KB stream; the scattered tail
     stays on the gather path. Returns
     ``(coo_blk, w_blk, coo_res, w_res, captured_fraction)``."""
-    if min_fill is None:
-        min_fill = int(float(os.environ.get('PGT_BSR_MIN_FILL', 16)))
     src = coo[0].astype(np.int64)
     dst = coo[1].astype(np.int64)
     w = np.asarray(weight)
     valid = (src < num_src) & (dst < num_dst)
-    s_blocks = max((num_src + BS - 1) // BS, 1)
-    key = np.where(valid, (dst // BS) * s_blocks + (src // BS), -1)
-    uniq, inv, counts = np.unique(key, return_inverse=True,
-                                  return_counts=True)
-    dense_blk = (counts >= min_fill) & (uniq >= 0)
-    in_blk = dense_blk[inv] & valid
+    in_blk = block_fill_mask(coo, num_src, num_dst, min_fill)
     res = valid & ~in_blk
     e_valid = max(int(valid.sum()), 1)
     frac = float(in_blk.sum()) / e_valid

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .partition import GraphPartitions, Partitioner
 from .spmm import (partition_spmm, partition_spmm_halo,
-                   make_partition_gcn_step)
+                   partition_spmm_halo_bsr, make_partition_gcn_step)
 
 
 def gcn_norm_weights(coo: np.ndarray, num_nodes: int) -> np.ndarray:
@@ -52,12 +52,21 @@ def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
     """
     (x, y, own_mask, train_mask, edge_src, edge_dst, edge_mask,
      edge_weight) = shard_leaves[:8]
-    halo = shard_leaves[8:]
+    halo = shard_leaves[8:10]
+    bsr = shard_leaves[10:]
     x, y = x[0], y[0]
     own_mask, train_mask = own_mask[0], train_mask[0]
     edge_src, edge_dst = edge_src[0], edge_dst[0]
     edge_mask, edge_weight = edge_mask[0], edge_weight[0]
-    if halo:
+    if bsr:
+        hs, hm = halo[0][0], halo[1][0]
+        bsr_leaves = tuple(b[0] for b in bsr)
+        spmm = partial(partition_spmm_halo_bsr, halo_send=hs,
+                       halo_send_mask=hm, bsr_leaves=bsr_leaves,
+                       edge_src=edge_src, edge_dst=edge_dst,
+                       edge_mask=edge_mask, edge_weight=edge_weight,
+                       axis_name=axis_name)
+    elif halo:
         hs, hm = halo[0][0], halo[1][0]
         spmm = partial(partition_spmm_halo, halo_send=hs,
                        halo_send_mask=hm, edge_src=edge_src,
@@ -98,6 +107,11 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
                   parts.own_mask, tm, parts.edge_src_halo,
                   parts.edge_dst, parts.edge_mask, ew.astype(np.float32),
                   parts.halo_send, parts.halo_send_mask)
+        if parts.bsr_vals is not None:
+            leaves = leaves + (parts.bsr_vals, parts.bsr_rows,
+                               parts.bsr_cols, parts.bsr_first,
+                               parts.bsr_t_vals, parts.bsr_t_rows,
+                               parts.bsr_t_cols, parts.bsr_t_first)
     else:
         leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
                   parts.own_mask, tm, parts.edge_src, parts.edge_dst,
@@ -108,7 +122,8 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
 
 def train_partition_parallel(data, num_parts: int, hidden: int = 16,
                              num_steps: int = 5, lr: float = 1e-2,
-                             mesh: Mesh = None, seed: int = 0):
+                             mesh: Mesh = None, seed: int = 0,
+                             local_bsr: bool = False):
     """End-to-end: partition -> shard -> jitted multi-chip train steps.
 
     Returns (params, losses). Used by tests and __graft_entry__.
@@ -125,7 +140,8 @@ def train_partition_parallel(data, num_parts: int, hidden: int = 16,
     w = gcn_norm_weights(coo, n)
     d2 = data.replace(edge_index=coo.astype(np.int32), edge_weight=w)
 
-    parts = Partitioner(d2, num_parts, seed=seed).generate_partition()
+    parts = Partitioner(d2, num_parts, seed=seed).generate_partition(
+        local_bsr=local_bsr)
     tm = (np.asarray(data.train_mask) if data.train_mask is not None
           else np.ones(n, bool))
     if mesh is None:

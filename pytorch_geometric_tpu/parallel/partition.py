@@ -58,6 +58,20 @@ class GraphPartitions:
     halo_send: Optional[np.ndarray] = None
     halo_send_mask: Optional[np.ndarray] = None
     edge_src_halo: Optional[np.ndarray] = None
+    # Per-partition block-sparse LOCAL adjacency (ops/bsr_spmm.py;
+    # generate_partition(local_bsr=True)): owned-src edges in
+    # dense-enough 128x128 blocks run as MXU block matmuls; the
+    # edge_* arrays then hold only halo + residual edges. Forward
+    # (dst-major) and transpose (src-major) layouts, each padded to a
+    # uniform block count so the stack shards over the mesh axis.
+    bsr_vals: Optional[np.ndarray] = None     # [P, nb, BS, BS]
+    bsr_rows: Optional[np.ndarray] = None     # [P, nb]
+    bsr_cols: Optional[np.ndarray] = None     # [P, nb]
+    bsr_first: Optional[np.ndarray] = None    # [P, nb]
+    bsr_t_vals: Optional[np.ndarray] = None
+    bsr_t_rows: Optional[np.ndarray] = None
+    bsr_t_cols: Optional[np.ndarray] = None
+    bsr_t_first: Optional[np.ndarray] = None
 
     @property
     def num_parts(self) -> int:
@@ -91,7 +105,8 @@ class Partitioner:
         self.num_parts = num_parts
         self.seed = seed
 
-    def generate_partition(self) -> GraphPartitions:
+    def generate_partition(self, local_bsr: bool = False
+                           ) -> GraphPartitions:
         data = self.data
         P = self.num_parts
         n = data.num_nodes
@@ -125,6 +140,56 @@ class Partitioner:
                 y = np.zeros((P, n_max), yf.dtype)
                 y[parts, local_pos] = yf
 
+        # ---- per-partition local BSR (optional) --------------------------
+        # Owned-src edges in dense-enough 128x128 blocks are pulled out
+        # of the edge list and materialised as MXU blocks; the edge
+        # arrays below then carry only halo + residual edges.
+        bsr_fields = {}
+        keep = None
+        if local_bsr:
+            from ..ops.bsr_spmm import BS, block_fill_mask, build_bsr
+            e_all0 = coo.shape[1]
+            w_all = (np.asarray(data.edge_weight)
+                     if data.edge_weight is not None
+                     else np.ones(e_all0, np.float32))
+            dst_part = parts[coo[1]]
+            local_edge = parts[coo[0]] == dst_part
+            keep = np.ones(e_all0, bool)
+            fwd_list, bwd_list = [], []
+            for p in range(P):
+                sel = np.where(local_edge & (dst_part == p))[0]
+                coo_loc = np.stack([local_pos[coo[0][sel]],
+                                    local_pos[coo[1][sel]]])
+                inb = (block_fill_mask(coo_loc, n_max, n_max)
+                       if len(sel) else np.zeros(0, bool))
+                keep[sel[inb]] = False
+                cb, wb = coo_loc[:, inb], w_all[sel][inb]
+                fwd_list.append(build_bsr(cb, wb, n_max, n_max))
+                bwd_list.append(build_bsr(cb[::-1], wb, n_max, n_max))
+
+            def _stack(blks):
+                d_blocks = max((n_max + BS - 1) // BS, 1)
+                nb_max = max(int(b.vals.shape[0]) for b in blks)
+                vals = np.zeros((P, nb_max, BS, BS), np.float32)
+                rows = np.full((P, nb_max), d_blocks - 1, np.int32)
+                cols = np.zeros((P, nb_max), np.int32)
+                first = np.zeros((P, nb_max), np.int32)
+                for p, b in enumerate(blks):
+                    k = int(b.vals.shape[0])
+                    vals[p, :k] = np.asarray(b.vals)
+                    rows[p, :k] = np.asarray(b.rows)
+                    cols[p, :k] = np.asarray(b.cols)
+                    first[p, :k] = np.asarray(b.first)
+                return vals, rows, cols, first
+
+            (bsr_fields['bsr_vals'], bsr_fields['bsr_rows'],
+             bsr_fields['bsr_cols'],
+             bsr_fields['bsr_first']) = _stack(fwd_list)
+            (bsr_fields['bsr_t_vals'], bsr_fields['bsr_t_rows'],
+             bsr_fields['bsr_t_cols'],
+             bsr_fields['bsr_t_first']) = _stack(bwd_list)
+            coo = coo[:, keep]
+
         # edges assigned to the owner of their DESTINATION (CSC layout,
         # like the reference's dst-partitioned graph.pt)
         eparts = parts[coo[1]]
@@ -137,6 +202,8 @@ class Partitioner:
         w = data.edge_weight
         if w is not None:
             w = np.asarray(w)
+            if keep is not None:
+                w = w[keep]
             ew = np.zeros((P, e_max), w.dtype)
         e_starts = np.concatenate([[0], np.cumsum(e_counts)])
         eorder = np.argsort(eparts, kind='stable')
@@ -201,4 +268,5 @@ class Partitioner:
                                node_part=parts, global_pos=global_pos,
                                halo_send=halo_send,
                                halo_send_mask=halo_send_mask,
-                               edge_src_halo=edge_src_halo)
+                               edge_src_halo=edge_src_halo,
+                               **bsr_fields)

@@ -85,6 +85,35 @@ def partition_spmm_halo(x_own: jnp.ndarray, halo_send: jnp.ndarray,
     return jax.ops.segment_sum(msg, dst, n_max + 1)[:n_max]
 
 
+def partition_spmm_halo_bsr(x_own: jnp.ndarray, halo_send: jnp.ndarray,
+                            halo_send_mask: jnp.ndarray,
+                            bsr_leaves, edge_src: jnp.ndarray,
+                            edge_dst: jnp.ndarray,
+                            edge_mask: jnp.ndarray,
+                            edge_weight: Optional[jnp.ndarray],
+                            axis_name: str = 'graph') -> jnp.ndarray:
+    """Sparse-halo A^T x with the LOCAL dense-block edges on the BSR
+    MXU kernel (``ops/bsr_spmm.py``). Call INSIDE shard_map.
+
+    bsr_leaves: (vals, rows, cols, first, t_vals, t_rows, t_cols,
+    t_first) — this partition's local block adjacency + transpose
+    (``Partitioner.generate_partition(local_bsr=True)``). ``edge_src``/
+    ``edge_dst`` carry only the halo + residual edges.
+    """
+    from ..ops.bsr_spmm import BSR, bsr_spmm
+    n_max = x_own.shape[0]
+    (vals, rows, cols, first, t_vals, t_rows, t_cols,
+     t_first) = bsr_leaves
+    fwd = BSR(vals=vals, rows=rows, cols=cols, first=first)
+    bwd = BSR(vals=t_vals, rows=t_rows, cols=t_cols, first=t_first)
+    local = bsr_spmm(fwd, bwd, x_own, n_max, n_max,
+                     vma=frozenset({axis_name}))
+    tail = partition_spmm_halo(x_own, halo_send, halo_send_mask,
+                               edge_src, edge_dst, edge_mask,
+                               edge_weight, axis_name)
+    return local + tail
+
+
 def make_partition_gcn_step(mesh: Mesh, model_apply, tx,
                             axis_name: str = 'graph'):
     """Build a jitted partition-parallel train step.
@@ -107,10 +136,13 @@ def make_partition_gcn_step(mesh: Mesh, model_apply, tx,
             return loss_sum / jnp.maximum(weight, 1.0)
 
         leaves, treedef = jax.tree_util.tree_flatten(shard)
+        # check_vma=False: Pallas interpret mode (CPU tests/dryrun)
+        # cannot propagate varying-axis metadata through its
+        # dynamic_slice lowering (jax suggests this workaround).
         fn = shard_map(body, mesh=mesh,
                        in_specs=(P(),) + tuple(data_spec
                                                for _ in leaves),
-                       out_specs=P())
+                       out_specs=P(), check_vma=False)
         return fn(params, *leaves)
 
     @jax.jit

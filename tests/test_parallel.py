@@ -161,3 +161,50 @@ def test_train_partition_parallel_learns():
     params, losses = train_partition_parallel(
         data, num_parts=8, hidden=32, num_steps=80, lr=5e-2, mesh=mesh)
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_partition_parallel_bsr_matches_single_device(monkeypatch):
+    """Local dense-block edges through the BSR MXU kernel + halo tail:
+    same loss and grads as the single-device model."""
+    monkeypatch.setenv('PGT_BSR_MIN_FILL', '1')  # capture all local edges
+    data = make_graph(n=160, e=900)
+    n = data.num_nodes
+    coo = np.asarray(data.edge_index)
+    coo_sl = np.concatenate(
+        [coo, np.stack([np.arange(n), np.arange(n)])], 1).astype(np.int64)
+    w = gcn_norm_weights(coo_sl, n)
+    params = init_gcn_params(jax.random.PRNGKey(2), 8, 16, 3)
+    d2 = data.replace(edge_index=coo_sl.astype(np.int32), edge_weight=w)
+    parts = Partitioner(d2, 8).generate_partition(local_bsr=True)
+    assert parts.bsr_vals is not None
+    # every local edge was captured: the edge list holds only cut edges
+    cut = parts.node_part[coo_sl[0]] != parts.node_part[coo_sl[1]]
+    assert parts.edge_mask.sum() == cut.sum()
+    mesh = Mesh(np.array(jax.devices('cpu')[:8]), ('graph',))
+    shard = shard_partitions(mesh, parts, np.ones(n, bool))
+    assert len(shard) == 18
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def loss_fn(params, *leaves):
+        def body(params, *ls):
+            s, c = partition_gcn_apply(params, ls)
+            return (jax.lax.psum(s, 'graph'), jax.lax.psum(c, 'graph'))
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(),) + tuple(P('graph')
+                                               for _ in leaves),
+                       out_specs=(P(), P()), check_vma=False)
+        s, c = fn(params, *leaves)
+        return s / c
+
+    with mesh:
+        par_loss = float(loss_fn(params, *shard))
+        g_par = jax.grad(loss_fn)(params, *shard)
+    ref_loss = float(_single_device_loss(params, data, coo_sl, w))
+    np.testing.assert_allclose(par_loss, ref_loss, rtol=1e-5)
+    g_ref = jax.grad(_single_device_loss)(params, data, coo_sl, w)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_par[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=2e-4, atol=1e-6)
