@@ -113,6 +113,43 @@ class SQLiteDatabase(Database):
         self._conn.close()
 
 
+class RocksDatabase(Database):
+    """RocksDB-backed KV store (reference ``database.py:584``). Gated on
+    the optional ``rocksdict`` package, mirroring the reference's
+    optional-dependency behaviour."""
+
+    def __init__(self, path: str, name: str = 'pgt'):
+        try:
+            from rocksdict import Options, Rdict
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "'RocksDatabase' requires the 'rocksdict' package") from e
+        self.path = path
+        self.name = name
+        opts = Options(raw_mode=True)
+        opts.create_if_missing(True)
+        self._db = Rdict(path, opts)
+
+    @staticmethod
+    def _key(index: int) -> bytes:
+        return int(index).to_bytes(8, 'big', signed=True)
+
+    def insert(self, index: int, data: Any):
+        self._db[self._key(index)] = _serialize(data)
+
+    def get(self, index: int):
+        row = self._db.get(self._key(index))
+        if row is None:
+            raise KeyError(index)
+        return _deserialize(row)
+
+    def __len__(self):
+        return sum(1 for _ in self._db.keys())
+
+    def close(self):
+        self._db.close()
+
+
 class OnDiskDataset(Dataset):
     """Dataset over a Database (reference ``on_disk_dataset.py:12``).
     Subclasses implement ``process()`` calling ``self.append(data)``."""
