@@ -21,9 +21,10 @@ class FakeDataset:
     def __init__(self, num_graphs: int = 1, avg_num_nodes: int = 1000,
                  avg_degree: int = 10, num_channels: int = 64,
                  num_classes: int = 10, task: str = 'node', seed: int = 0,
-                 edge_dim: int = 0):
+                 edge_dim: int = 0, transform=None):
         self.num_classes = num_classes
         self.task = task
+        self.transform = transform
         rng = np.random.default_rng(seed)
         self._graphs: List[Data] = []
         for g in range(num_graphs):
@@ -67,12 +68,14 @@ class FakeDataset:
             out = FakeDataset.__new__(FakeDataset)
             out.num_classes = self.num_classes
             out.task = self.task
+            out.transform = self.transform
             out._graphs = [self._graphs[i] for i in idx]
             return out
-        return self._graphs[idx]
+        d = self._graphs[idx]
+        return d if self.transform is None else self.transform(d)
 
     def __iter__(self):
-        return iter(self._graphs)
+        return (self[i] for i in range(len(self)))
 
 
 def planetoid_like(num_nodes: int = 2708, num_edges: int = 10556,
