@@ -1,5 +1,6 @@
 from .base import BaseTransform, Compose
-from .structure import (ToUndirected, AddSelfLoops, RemoveSelfLoops,
+from .structure import (ReorderNodes,
+                        ToUndirected, AddSelfLoops, RemoveSelfLoops,
                         RemoveDuplicatedEdges, RemoveIsolatedNodes, TwoHop,
                         VirtualNode, LineGraph, GCNNorm, SIGN, FaceToEdge,
                         ToSparseTensor, Pad)
@@ -45,5 +46,5 @@ __all__ = [
     'RandomRotate', 'RandomScale', 'RandomShear', 'SamplePoints',
     'GridSampling',
     'RandomNodeSplit', 'RandomLinkSplit', 'IndexToMask', 'MaskToIndex',
-    'GDC', 'AddMetaPaths', 'RootedEgoNets', 'HalfHop',
+    'GDC', 'AddMetaPaths', 'RootedEgoNets', 'HalfHop', 'ReorderNodes',
 ]

@@ -305,3 +305,40 @@ class Pad(BaseTransform):
         up['node_mask'] = jnp.arange(pn) < n
         up['edge_mask'] = jnp.arange(pe) < e
         return data.replace(num_nodes=pn, **up)
+
+
+class ReorderNodes(BaseTransform):
+    """Relabel nodes to maximise cached block-sparse adjacency fill
+    (TPU-specific; companion of ``ops/bsr_spmm.py``). ``method``:
+    'rcm' (bandwidth-minimising BFS), 'degree' (hubs first) or
+    'cluster' (partitioner-contiguous, reference
+    ``loader/cluster.py:128`` layout). Stores the applied permutation
+    as ``data.node_perm`` (``node_perm[new] = old``) so predictions can
+    be mapped back.
+
+    Measured on a scrambled power-law graph (100k nodes / 1M edges):
+    128x128-block capture fraction 0.22 natural -> 0.71 degree /
+    0.69 rcm / 0.42 cluster; nonempty blocks cut 2.6x by 'degree'
+    (``benchmarks/reorder_quality.py``). 'degree' is the right default
+    for scale-free graphs; 'rcm' wins on meshes/grids."""
+
+    def __init__(self, method: str = 'degree', block: int = 128):
+        if method not in ('rcm', 'degree', 'cluster'):
+            raise ValueError(f"Unknown reorder method {method!r}")
+        self.method = method
+        self.block = block
+
+    def __call__(self, data: Data) -> Data:
+        from ..utils.reorder import (reverse_cuthill_mckee, degree_order,
+                                     cluster_order,
+                                     apply_node_permutation)
+        n = data.num_nodes
+        coo = _coo(data)
+        if self.method == 'rcm':
+            perm = reverse_cuthill_mckee(coo, n)
+        elif self.method == 'degree':
+            perm = degree_order(coo, n)
+        else:
+            perm = cluster_order(coo, n, block=self.block)
+        out, _ = apply_node_permutation(data, perm)
+        return out.replace(node_perm=perm)

@@ -76,6 +76,11 @@ __all__ = [
     'segment_logsumexp', 'ptr2index', 'index2ptr', 'softmax', 'spmm',
 ]
 
+from .reorder import (reverse_cuthill_mckee, degree_order, cluster_order,
+                      apply_node_permutation, block_fill_stats)
+__all__ += ['reverse_cuthill_mckee', 'degree_order', 'cluster_order',
+            'apply_node_permutation', 'block_fill_stats']
+
 # reference-name aliases
 from .random import dropout_edge as dropout_adj  # deprecated alias
 from .extra import ppr as get_ppr
