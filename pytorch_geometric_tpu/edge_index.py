@@ -73,7 +73,8 @@ class EdgeIndex:
                  blocked: Optional[BlockedCSC] = None,
                  blocked_t: Optional[BlockedCSC] = None,
                  dense_adj: Optional[jnp.ndarray] = None,
-                 bsr=None, bsr_t=None, bsr_res=None):
+                 bsr=None, bsr_t=None, bsr_res=None,
+                 bsr_perm=None, bsr_inv=None):
         # Host copy kept when constructed from numpy: fill_cache's
         # blocked-layout build is a host pass, and a device->host pull
         # of the COO can cost minutes over a remote-device tunnel.
@@ -103,12 +104,17 @@ class EdgeIndex:
         self.bsr = bsr
         self.bsr_t = bsr_t
         self.bsr_res = bsr_res
+        # internal node relabel baked into the block layout (square
+        # adjacency only): bsr was built on inv[coo]; spmm gathers
+        # x[bsr_perm] before and out[bsr_inv] after the block matmul.
+        self.bsr_perm = bsr_perm
+        self.bsr_inv = bsr_inv
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coo, self.csr, self.csc, self.blocked,
                     self.blocked_t, self.dense_adj, self.bsr, self.bsr_t,
-                    self.bsr_res)
+                    self.bsr_res, self.bsr_perm, self.bsr_inv)
         aux = (self.sparse_size, self.num_real_edges)
         return children, aux
 
@@ -117,7 +123,7 @@ class EdgeIndex:
         obj = object.__new__(cls)
         (obj.coo, obj.csr, obj.csc, obj.blocked,
          obj.blocked_t, obj.dense_adj, obj.bsr, obj.bsr_t,
-         obj.bsr_res) = children
+         obj.bsr_res, obj.bsr_perm, obj.bsr_inv) = children
         obj.sparse_size, obj.num_real_edges = aux
         obj._coo_host = None
         return obj
@@ -205,6 +211,7 @@ class EdgeIndex:
             csr, csc = self.get_csr(), self.get_csc()
         dense = self.dense_adj
         bsr, bsr_t, bsr_res = self.bsr, self.bsr_t, self.bsr_res
+        bsr_perm, bsr_inv = self.bsr_perm, self.bsr_inv
         if dense_weight is not None and dense is None and bsr is None:
             import os
             cap = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
@@ -222,16 +229,35 @@ class EdgeIndex:
                 # O(nonempty-block) memory.
                 coo_np = (self._coo_host if self._coo_host is not None
                           else np.asarray(self.coo))
-                from .ops.bsr_spmm import bsr_profitable, build_bsr_pair
-                if block_sparse or bsr_profitable(coo_np, ns, nd):
+                from .ops.bsr_spmm import (bsr_profitable,
+                                           build_bsr_pair,
+                                           choose_block_order)
+                # Try a degree (hubs-first) internal relabel: on
+                # scale-free graphs it concentrates edges into ~2.6x
+                # fewer blocks (utils/reorder.py). The relabel is baked
+                # into the cached layout; spmm un-permutes, so callers
+                # never see it.
+                perm_np, inv_np = choose_block_order(coo_np, ns, nd)
+                coo_b = inv_np[coo_np] if perm_np is not None else coo_np
+                if block_sparse or bsr_profitable(coo_b, ns, nd):
                     bsr, bsr_t, bsr_res = build_bsr_pair(
-                        coo_np, np.asarray(dense_weight), ns, nd)
+                        coo_b, np.asarray(dense_weight), ns, nd)
+                    if perm_np is not None:
+                        if bsr_res is not None:
+                            # residual COO back to ORIGINAL ids so the
+                            # gather tail works on unpermuted x/out
+                            r_src, r_dst, r_w = bsr_res
+                            pj = jnp.asarray(perm_np.astype(np.int32))
+                            bsr_res = (pj[r_src], pj[r_dst], r_w)
+                        bsr_perm = jnp.asarray(perm_np.astype(np.int32))
+                        bsr_inv = jnp.asarray(inv_np.astype(np.int32))
         out = EdgeIndex(self.coo, self.sparse_size,
                         csr=csr, csc=csc,
                         num_real_edges=self.num_real_edges,
                         blocked=blk, blocked_t=blk_t,
                         dense_adj=dense, bsr=bsr, bsr_t=bsr_t,
-                        bsr_res=bsr_res)
+                        bsr_res=bsr_res, bsr_perm=bsr_perm,
+                        bsr_inv=bsr_inv)
         out._coo_host = self._coo_host
         return out
 
@@ -258,7 +284,10 @@ class EdgeIndex:
                          bsr=self.bsr_t, bsr_t=self.bsr,
                          bsr_res=((self.bsr_res[1], self.bsr_res[0],
                                    self.bsr_res[2])
-                                  if self.bsr_res is not None else None))
+                                  if self.bsr_res is not None else None),
+                         # square relabel: A^T under P A P^T keeps the
+                         # same perm on both sides
+                         bsr_perm=self.bsr_perm, bsr_inv=self.bsr_inv)
 
     def to_dense_adj(self, edge_weight: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:

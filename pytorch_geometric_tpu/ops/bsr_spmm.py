@@ -255,6 +255,28 @@ def build_bsr_pair(coo: np.ndarray, weight: np.ndarray, num_src: int,
     return fwd, bwd, res
 
 
+def choose_block_order(coo: np.ndarray, num_src: int, num_dst: int):
+    """(perm, inv) of a hubs-first relabel if it meaningfully improves
+    128x128 block fill, else (None, None). Square adjacency only — the
+    same permutation must apply to rows and columns so the cached
+    transpose stays P A^T P^T. Measured on scrambled power-law graphs:
+    captured-edge fraction 0.22 -> 0.71, nonempty blocks cut 2.6x
+    (benchmarks/reorder_quality.py)."""
+    if num_src != num_dst or os.environ.get('PGT_DISABLE_BSR_REORDER'):
+        return None, None
+    from ..utils.reorder import degree_order
+    w1 = np.ones(coo.shape[1], np.float32)
+    _, _, _, _, cap0 = split_by_block_fill(coo, w1, num_src, num_dst)
+    perm = degree_order(coo, num_src)
+    inv = np.empty(num_src, np.int64)
+    inv[perm] = np.arange(num_src)
+    _, _, _, _, cap1 = split_by_block_fill(inv[coo], w1, num_src,
+                                           num_dst)
+    if cap1 > cap0 * 1.25 and cap1 - cap0 > 0.05:
+        return perm, inv
+    return None, None
+
+
 def bsr_profitable(coo: np.ndarray, num_src: int, num_dst: int,
                    max_entries: Optional[int] = None) -> bool:
     """Gate for the hybrid split: enough of the edge mass lands in

@@ -164,7 +164,13 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
             and reduce in ('sum', 'mean') and x.ndim == 2
             and not os.environ.get('PGT_DISABLE_BSR_SPMM')):
         from .bsr_spmm import bsr_spmm
-        out = bsr_spmm(bsr, bsr_t, x, num_out, adj.num_src_nodes)
+        perm = getattr(adj, 'bsr_perm', None)
+        xb = x if perm is None else x[perm]
+        out = bsr_spmm(bsr, bsr_t, xb, num_out, adj.num_src_nodes)
+        if perm is not None:
+            # blocks were built on the relabeled graph (P A P^T):
+            # out_old[o] = out_new[inv[o]]
+            out = out[getattr(adj, 'bsr_inv')]
         res = getattr(adj, 'bsr_res', None)
         if res is not None:
             # scattered tail the hybrid split left on the gather path;

@@ -169,3 +169,61 @@ def test_cache_gcn_norm_matches_uncached_conv(monkeypatch):
         ei_c = cache_gcn_norm(ei, **kw)
         out = fast.apply(p, x, ei_c)
         assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def _powerlaw_graph(n, e, f, seed=0):
+    rng = np.random.default_rng(seed)
+    pw = np.arange(1, n + 1) ** -0.9
+    pw /= pw.sum()
+    src, dst = rng.choice(n, e, p=pw), rng.choice(n, e, p=pw)
+    sc = rng.permutation(n)  # scramble so the natural order is bad
+    coo = np.stack([sc[src], sc[dst]]).astype(np.int32)
+    w = rng.standard_normal(e).astype(np.float32)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    return coo, w, x
+
+
+def test_bsr_internal_reorder_parity_and_grad():
+    """Scale-free graph: fill_cache bakes a hubs-first relabel into the
+    block layout; spmm must still match the XLA path in ORIGINAL ids,
+    forward and d/dx."""
+    n, e = 20000, 60000
+    coo, w, x = _powerlaw_graph(n, e, 16)
+    ei = EdgeIndex(coo, (n, n)).fill_cache(dense_weight=w,
+                                           block_sparse=True)
+    assert ei.bsr is not None
+    assert ei.bsr_perm is not None  # the relabel actually triggered
+    out = np.asarray(spmm(ei, jnp.asarray(x)))
+    ref = _ref_spmm(coo, w, x, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    g = np.asarray(jax.grad(
+        lambda xx: (spmm(ei, xx) ** 2).sum())(jnp.asarray(x)))
+    gref = np.zeros_like(x)
+    np.add.at(gref, coo[0], w[:, None] * (2 * ref)[coo[1]])
+    np.testing.assert_allclose(g, gref, rtol=2e-3, atol=2e-3)
+
+
+def test_bsr_reorder_transpose_parity():
+    """flip() keeps the square relabel consistent: A^T x in original
+    ids."""
+    n, e = 20000, 60000
+    coo, w, x = _powerlaw_graph(n, e, 12, seed=3)
+    ei = EdgeIndex(coo, (n, n)).fill_cache(dense_weight=w,
+                                           block_sparse=True)
+    if ei.bsr_perm is None:
+        pytest.skip('reorder did not trigger')
+    out_t = np.asarray(spmm(ei.flip(), jnp.asarray(x)))
+    ref_t = _ref_spmm(coo[::-1], w, x, n)
+    np.testing.assert_allclose(out_t, ref_t, rtol=2e-4, atol=2e-4)
+
+
+def test_bsr_reorder_reduces_blocks():
+    n, e = 20000, 60000
+    coo, w, _ = _powerlaw_graph(n, e, 8, seed=4)
+    from pytorch_geometric_tpu.ops.bsr_spmm import choose_block_order
+    perm, inv = choose_block_order(coo, n, n)
+    assert perm is not None
+    nb0, _ = bsr_stats(coo, n, n)
+    nb1, _ = bsr_stats(inv[coo], n, n)
+    assert nb1 < nb0
