@@ -59,6 +59,11 @@ def main():
                     help='generate a clustered graph (communities of '
                          'CSIZE nodes, 90%% intra) instead of uniform '
                          'random — models a partitioner-reordered graph')
+    ap.add_argument('--bf16', action='store_true',
+                    help='store the cached dense adjacency in bf16 '
+                         '(halves the dominant HBM stream)')
+    ap.add_argument('--dense', action='store_true',
+                    help='cache the dense [N,N] adjacency')
     ap.add_argument('--gen', default='v5e')
     args = ap.parse_args()
     import os
@@ -101,10 +106,15 @@ def main():
         print(json.dumps({'bsr_blocks': nb, 'residual_edges': n_res,
                           'block_mb': round(nb * BS * BS * 4 / 1e6, 1),
                           'captured_frac': round(1 - n_res / e, 4)}))
+    elif args.dense:
+        import jax.numpy as _jnp
+        ei = EdgeIndex(coo_np, (n, n)).fill_cache(
+            dense_weight=w_np,
+            cache_dtype=_jnp.bfloat16 if args.bf16 else None)
     else:
         ei = EdgeIndex(coo_np, (n, n)).fill_cache()
 
-    if args.bsr:
+    if args.bsr or args.dense:
         @jax.jit
         def fwd_bwd(x, w):
             def loss(x):
@@ -139,6 +149,8 @@ def main():
         'roofline_frac': round(gbps / peak, 3),
         'backend': jax.default_backend(),
         'path': ('bsr' if args.bsr else
+                 'dense_bf16' if (args.dense and args.bf16) else
+                 'dense' if args.dense else
                  'xla' if args.xla else 'auto'),
         'clustered': args.clustered,
     }))

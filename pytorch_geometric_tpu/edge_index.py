@@ -171,7 +171,8 @@ class EdgeIndex:
 
     def fill_cache(self, blocked: bool = True,
                    dense_weight: Optional[jnp.ndarray] = None,
-                   block_sparse: Optional[bool] = None) -> 'EdgeIndex':
+                   block_sparse: Optional[bool] = None,
+                   cache_dtype=None) -> 'EdgeIndex':
         """Return a copy with both CSR and CSC materialised
         (reference ``fill_cache_`` at ``edge_index.py:677``); also builds
         the node-blocked layout for the Pallas SpMM kernel when the COO
@@ -219,9 +220,16 @@ class EdgeIndex:
             ns, nd = self.sparse_size
             if ns * nd <= cap and not block_sparse:
                 from .ops.spmm import _dense_build
+                # Build in f32 (scatter-add of duplicate edges must not
+                # round), then optionally store half-width: the [N,N]
+                # stream is the bandwidth bottleneck, bf16 storage
+                # halves it (``cache_dtype=jnp.bfloat16``; ~1e-2 rel
+                # error, the bench.py 'default' arm numerics).
                 dense = _dense_build(self.coo,
                                      jnp.asarray(dense_weight),
                                      ns, nd, jnp.float32)
+                if cache_dtype is not None:
+                    dense = dense.astype(cache_dtype)
             elif block_sparse is not False:
                 # too big to densify: cache the nonempty 128x128 blocks
                 # instead when the graph is block-dense enough

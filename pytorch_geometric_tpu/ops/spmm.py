@@ -146,8 +146,16 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
     if (dense is not None and edge_weight is None
             and reduce in ('sum', 'mean') and x.ndim == 2
             and not os.environ.get('PGT_DISABLE_DENSE_SPMM')):
-        out = jnp.matmul(dense, x.astype(dense.dtype),
-                         precision=_dense_precision())
+        if dense.dtype == jnp.bfloat16:
+            # half-width cached adjacency (fill_cache cache_dtype=bf16):
+            # the [N,N] stream is the bandwidth bottleneck; bf16 halves
+            # it, f32 accumulation keeps the ~1e-2 rel error of a single
+            # bf16 pass (bench.py 'default' arm numerics).
+            out = jnp.matmul(dense, x.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.matmul(dense, x.astype(dense.dtype),
+                             precision=_dense_precision())
         if reduce == 'mean':
             ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
             deg = jax.ops.segment_sum(
