@@ -71,16 +71,24 @@ def _bspline_basis(pseudo: jnp.ndarray, kernel_size: int,
     lo = jnp.floor(v).astype(jnp.int32)
     lo = jnp.minimum(lo, max(k - 1, 0))
     f = v - lo
-    if m == 1:
-        ws = [1 - f, f]
-    elif m == 2:
-        ws = [0.5 * f * f - f + 0.5, -f * f + f + 0.5, 0.5 * f * f]
-    elif m == 3:
-        f2, f3 = f * f, f * f * f
-        ws = [(1 - f) ** 3 / 6.0, (3 * f3 - 6 * f2 + 4) / 6.0,
-              (-3 * f3 + 3 * f2 + 3 * f + 1) / 6.0, f3 / 6.0]
-    else:
-        raise ValueError(f'spline degree {m} not supported (1, 2, 3)')
+    if m < 1:
+        raise ValueError(f'spline degree must be >= 1, got {m}')
+    # Uniform (cardinal) Cox-de Boor recursion — arbitrary degree, the
+    # parity boundary of pyg-lib's runtime `degree` argument. Tap
+    # weights N_j^m(f), j = 0..m, satisfy
+    #   N_j^m = ((f+m-j)/m) N_{j-1}^{m-1} + ((1-f+j)/m) N_j^{m-1}.
+    # The loop unrolls at trace time (m is static).
+    ws = [jnp.ones_like(f)]
+    for mm in range(1, m + 1):
+        prev = ws
+        ws = []
+        for j in range(mm + 1):
+            term = jnp.zeros_like(f)
+            if 0 <= j - 1 < len(prev):
+                term = term + ((f + mm - j) / mm) * prev[j - 1]
+            if j < len(prev):
+                term = term + ((1 - f + j) / mm) * prev[j]
+            ws.append(term)
     w = jnp.stack(ws, -1)                               # [E, dim, m+1]
     idx = lo[..., None] + jnp.arange(m + 1)             # [E, dim, m+1]
     # corners past the last knot carry zero basis weight; clamp their

@@ -63,3 +63,33 @@ def test_spline_conv_higher_degree(degree):
     # gradient flows through the basis
     g = jax.grad(lambda z: (m.apply(p, z, coo, ea) ** 2).sum())(x)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_spline_basis_arbitrary_degree():
+    """Degrees beyond 3 (the pyg-lib runtime-degree boundary): partition
+    of unity and agreement with the explicit cubic form."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pytorch_geometric_tpu.nn.conv.kernel_conv import _bspline_basis
+
+    rng = np.random.default_rng(0)
+    pseudo = jnp.asarray(rng.random((50, 2)).astype(np.float32))
+    for deg in (1, 2, 3, 4, 5):
+        w, idx = _bspline_basis(pseudo, kernel_size=deg + 4, degree=deg)
+        assert w.shape == (50, 2, deg + 1)
+        # cardinal B-spline taps sum to 1 (before boundary clipping)
+        s = np.asarray(w.sum(-1))
+        interior = np.asarray(idx.max(-1) < deg + 4 - 0)
+        np.testing.assert_allclose(s, np.ones_like(s), rtol=0, atol=1e-5)
+
+    # recursion reproduces the explicit cubic polynomials
+    f = jnp.asarray(rng.random((40, 1)).astype(np.float32))
+    w3, _ = _bspline_basis(f, kernel_size=8, degree=3)
+    k = 8 - 3
+    v = np.asarray(jnp.clip(f, 0, 1) * k)
+    fr = v - np.minimum(np.floor(v), k - 1)
+    f2, f3 = fr * fr, fr ** 3
+    expl = np.concatenate([(1 - fr) ** 3 / 6, (3 * f3 - 6 * f2 + 4) / 6,
+                           (-3 * f3 + 3 * f2 + 3 * fr + 1) / 6, f3 / 6],
+                          -1)
+    np.testing.assert_allclose(np.asarray(w3)[:, 0], expl, atol=1e-5)
