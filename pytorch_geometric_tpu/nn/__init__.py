@@ -60,3 +60,17 @@ __all__ = [
     'TopKPooling', 'SAGPooling', 'knn', 'knn_graph', 'radius',
     'radius_graph', 'fps', 'nearest', 'voxel_grid',
 ]
+
+# The reference re-exports pool/norm/dense/aggr members at
+# torch_geometric.nn top level (reference nn/__init__.py:15-16) —
+# mirror that so user imports port unchanged.
+from .pool import *          # noqa: F401,F403
+from .norm import *          # noqa: F401,F403
+from .dense import *         # noqa: F401,F403
+from .aggr import *          # noqa: F401,F403
+from . import pool as _pool, norm as _norm, dense as _dense, aggr as _aggr
+for _m in (_pool, _norm, _dense, _aggr):
+    for _n in _m.__all__:
+        if _n not in __all__:
+            __all__.append(_n)
+del _m, _n, _pool, _norm, _dense, _aggr

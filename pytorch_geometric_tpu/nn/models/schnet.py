@@ -23,9 +23,12 @@ class GaussianSmearing(fnn.Module):
     num_gaussians: int = 50
 
     def __call__(self, dist: jnp.ndarray) -> jnp.ndarray:
-        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        # host-side numpy: the spacing coefficient must stay a python
+        # float so the module works under jit (a jnp.linspace here
+        # would make float() fail on the tracer)
+        offset = _np.linspace(self.start, self.stop, self.num_gaussians)
         coeff = -0.5 / float(offset[1] - offset[0]) ** 2
-        d = dist[:, None] - offset[None]
+        d = dist[:, None] - jnp.asarray(offset, dist.dtype)[None]
         return jnp.exp(coeff * d ** 2)
 
 
