@@ -50,10 +50,16 @@ def main():
 
     z = np.asarray(model.apply(params, xp, pj, nj))
 
-    def score(e):
-        return (z[e[0]] * z[e[1]]).sum(-1)
+    # linear sign discriminator on edge features (the reference trains
+    # a 3-class head; a least-squares probe suffices for the demo)
+    def feats(e):
+        return np.concatenate([z[e[0]], z[e[1]], z[e[0]] * z[e[1]]], -1)
 
-    sp, sn = score(pos_te), score(neg_te)
+    ftr = np.concatenate([feats(pos_tr), feats(neg_tr)])
+    ytr = np.concatenate([np.ones(pos_tr.shape[1]),
+                          -np.ones(neg_tr.shape[1])])
+    wlin = np.linalg.lstsq(ftr, ytr, rcond=None)[0]
+    sp, sn = feats(pos_te) @ wlin, feats(neg_te) @ wlin
     auc = float((sp[:, None] > sn[None, :]).mean())
     print(f'loss {float(loss):.4f}, sign-prediction AUC {auc:.4f}')
 
