@@ -59,6 +59,10 @@ def main():
                     help='generate a clustered graph (communities of '
                          'CSIZE nodes, 90%% intra) instead of uniform '
                          'random — models a partitioner-reordered graph')
+    ap.add_argument('--powerlaw', action='store_true',
+                    help='scale-free degree distribution + scrambled '
+                         'ids (exercises the auto reorder in the BSR '
+                         'path)')
     ap.add_argument('--bf16', action='store_true',
                     help='store the cached dense adjacency in bf16 '
                          '(halves the dominant HBM stream)')
@@ -91,6 +95,12 @@ def main():
         coo_np = np.stack([np.where(intra, s_loc, s_rnd),
                            np.where(intra, d_loc, d_rnd)])
         coo_np = np.minimum(coo_np, n - 1).astype(np.int32)
+    elif args.powerlaw:
+        pw = np.arange(1, n + 1) ** -0.9
+        pw /= pw.sum()
+        sc = rng.permutation(n)
+        coo_np = np.stack([sc[rng.choice(n, e, p=pw)],
+                           sc[rng.choice(n, e, p=pw)]]).astype(np.int32)
     else:
         coo_np = rng.integers(0, n, (2, e)).astype(np.int32)
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
@@ -153,6 +163,7 @@ def main():
                  'dense' if args.dense else
                  'xla' if args.xla else 'auto'),
         'clustered': args.clustered,
+        'powerlaw': bool(args.powerlaw),
     }))
 
 

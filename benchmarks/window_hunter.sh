@@ -14,6 +14,7 @@ rec = json.load(open('/tmp/bench_tpu_run.json'))
 with open('/root/repo/bench_windows.jsonl', 'a') as f:
     f.write(json.dumps({'ts': int(time.time()), 'run': rec}) + '\n')
 EOF
+      bash benchmarks/window_suite.sh >> /tmp/hunter.log 2>&1
       exit 0
     fi
     echo "$(date +%s) bench failed/cpu" >> /tmp/hunter.log
