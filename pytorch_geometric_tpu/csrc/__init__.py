@@ -15,6 +15,7 @@ import threading
 
 _HERE = osp.dirname(osp.abspath(__file__))
 _SRC = osp.join(_HERE, 'sampler.cpp')
+_SRC2 = osp.join(_HERE, 'partition.cpp')
 _LIB = osp.join(_HERE, 'libpgt_sampler.so')
 _lock = threading.Lock()
 _lib = None
@@ -25,7 +26,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-             '-std=c++17', _SRC, '-o', _LIB],
+             '-std=c++17', _SRC, _SRC2, '-o', _LIB],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -40,7 +41,8 @@ def load():
             return _lib
         _tried = True
         if not osp.exists(_LIB) or (osp.getmtime(_LIB)
-                                    < osp.getmtime(_SRC)):
+                                    < max(osp.getmtime(_SRC),
+                                          osp.getmtime(_SRC2))):
             if not _build():
                 return None
         try:
@@ -87,6 +89,14 @@ def load():
             i64p, i64p, u8p,                           # node, batch, mask
             i64p, i64p, i64p, u8p,                     # row/col/eid/mask
             i64p, i64p,
+        ]
+        f64p_ = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.multilevel_partition.restype = None
+        lib.multilevel_partition.argtypes = [
+            i64p, i64p, f64p_, ctypes.c_int64,      # csr, n
+            ctypes.c_int64, ctypes.c_uint64,        # parts, seed
+            ctypes.c_double, i32p,                  # imbalance, out
         ]
         lib.random_walk.restype = None
         lib.random_walk.argtypes = [

@@ -74,7 +74,38 @@ def partition_graph(edge_index, num_nodes: int, num_parts: int,
         parts = rng.integers(0, num_parts, num_nodes).astype(np.int32)
         return _ldg_sweep(ptr, col, w, parts, num_parts, cap,
                           num_passes, rng, num_nodes)
+    native = _native_multilevel(ptr, col, w, num_nodes, num_parts, seed)
+    if native is not None:
+        return native
     return _multilevel(ptr, col, w, num_nodes, num_parts, rng)
+
+
+def _native_multilevel(ptr, col, w, n, num_parts, seed):
+    """C++ multilevel partitioner (csrc/partition.cpp) — same pipeline
+    as ``_multilevel`` with fine-node-weight-aware balance; ~100x faster
+    matching/refinement loops. Returns None when the native library is
+    unavailable (numpy fallback keeps working, the reference's WITH_*
+    discipline)."""
+    import os
+    if os.environ.get('PGT_DISABLE_NATIVE_PARTITION'):
+        return None
+    from ..csrc import load
+    lib = load()
+    if lib is None or not hasattr(lib, 'multilevel_partition'):
+        return None
+    import ctypes
+    ptr64 = np.ascontiguousarray(ptr, np.int64)
+    col64 = np.ascontiguousarray(col, np.int64)
+    wf = np.ascontiguousarray(w, np.float64)
+    out = np.empty(n, np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.multilevel_partition(
+        ptr64.ctypes.data_as(i64p), col64.ctypes.data_as(i64p),
+        wf.ctypes.data_as(f64p), n, num_parts, seed if seed else 0,
+        1.05, out.ctypes.data_as(i32p))
+    return out
 
 
 def _heavy_edge_matching(ptr, col, w, n, rng):

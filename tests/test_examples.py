@@ -1,0 +1,25 @@
+"""Examples stay runnable (guards the examples/ tree against rot).
+
+Runs a fast subset end-to-end as subprocesses; the full matrix is
+exercised manually (`examples/README.md`).
+"""
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@pytest.mark.parametrize('name', ['gcn', 'label_prop'])
+def test_example_runs(name):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, 'examples', f'{name}.py')],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert 'acc' in out.stdout

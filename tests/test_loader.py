@@ -168,3 +168,33 @@ def test_imbalanced_and_dynamic():
     for b in batches:
         total = sum(ds[i].num_nodes for i in b)
         assert total <= 50 or len(b) == 1
+
+
+def test_native_partitioner_quality_and_balance():
+    """C++ multilevel partitioner (csrc/partition.cpp): available,
+    balanced, and at least as good as single-level LDG on a clustered
+    graph."""
+    from pytorch_geometric_tpu.csrc import load
+    if load() is None:
+        import pytest
+        pytest.skip('native library unavailable')
+    from pytorch_geometric_tpu.loader.cluster import (edge_cut,
+                                                      partition_graph)
+    rng = np.random.default_rng(0)
+    n, e, k = 5000, 60000, 20
+    blk = rng.integers(0, k, n)
+    members = [np.where(blk == b)[0] for b in range(k)]
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    intra = rng.random(e) < 0.9
+    for i in np.where(intra)[0]:
+        m = members[blk[src[i]]]
+        dst[i] = m[rng.integers(0, len(m))]
+    coo = np.stack([src, dst])
+    parts = partition_graph(coo, n, 8, seed=0)
+    counts = np.bincount(parts, minlength=8)
+    assert counts.max() <= 1.05 * n / 8 + 1
+    cut_ml = edge_cut(coo, parts)
+    cut_ldg = edge_cut(coo, partition_graph(coo, n, 8, seed=0,
+                                            method='ldg'))
+    assert cut_ml <= cut_ldg + 0.02, (cut_ml, cut_ldg)
