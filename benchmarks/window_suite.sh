@@ -20,3 +20,6 @@ run spmm_dense       benchmarks/spmm_bench.py --dense --nodes 10000 --edges 2000
 run spmm_dense_bf16  benchmarks/spmm_bench.py --dense --bf16 --nodes 10000 --edges 200000 --steps 50
 run spmm_bsr_clust   benchmarks/spmm_bench.py --bsr --clustered 256 --steps 30
 run spmm_bsr_plaw    benchmarks/spmm_bench.py --bsr --powerlaw --steps 30
+# products-scale (ogbn-products N/E on a synthetic graph): the honest
+# single-chip edges/s record. Last: large transfers can outlive a window.
+run spmm_products    benchmarks/spmm_bench.py --nodes 2449029 --edges 61859140 --features 100 --steps 3
