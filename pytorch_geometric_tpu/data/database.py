@@ -129,13 +129,17 @@ class RocksDatabase(Database):
         opts = Options(raw_mode=True)
         opts.create_if_missing(True)
         self._db = Rdict(path, opts)
+        self._count = sum(1 for _ in self._db.keys())  # once, at open
 
     @staticmethod
     def _key(index: int) -> bytes:
         return int(index).to_bytes(8, 'big', signed=True)
 
     def insert(self, index: int, data: Any):
-        self._db[self._key(index)] = _serialize(data)
+        key = self._key(index)
+        if self._db.get(key) is None:
+            self._count += 1
+        self._db[key] = _serialize(data)
 
     def get(self, index: int):
         row = self._db.get(self._key(index))
@@ -144,7 +148,7 @@ class RocksDatabase(Database):
         return _deserialize(row)
 
     def __len__(self):
-        return sum(1 for _ in self._db.keys())
+        return self._count
 
     def close(self):
         self._db.close()

@@ -245,9 +245,17 @@ class EdgeIndex:
                 # fewer blocks (utils/reorder.py). The relabel is baked
                 # into the cached layout; spmm un-permutes, so callers
                 # never see it.
-                perm_np, inv_np = choose_block_order(coo_np, ns, nd)
-                coo_b = inv_np[coo_np] if perm_np is not None else coo_np
-                if block_sparse or bsr_profitable(coo_b, ns, nd):
+                perm_np, inv_np, cap_frac = choose_block_order(
+                    coo_np, ns, nd)
+                if perm_np is not None:
+                    # padded endpoints (== ns sentinel) pass through
+                    inv_ext = np.concatenate([inv_np, [ns]])
+                    coo_b = inv_ext[np.minimum(
+                        coo_np.astype(np.int64), ns)]
+                else:
+                    coo_b = coo_np
+                if block_sparse or bsr_profitable(coo_b, ns, nd,
+                                                  capture=cap_frac):
                     bsr, bsr_t, bsr_res = build_bsr_pair(
                         coo_b, np.asarray(dense_weight), ns, nd)
                     if perm_np is not None:

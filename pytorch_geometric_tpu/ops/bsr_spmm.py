@@ -256,37 +256,49 @@ def build_bsr_pair(coo: np.ndarray, weight: np.ndarray, num_src: int,
 
 
 def choose_block_order(coo: np.ndarray, num_src: int, num_dst: int):
-    """(perm, inv) of a hubs-first relabel if it meaningfully improves
-    128x128 block fill, else (None, None). Square adjacency only — the
-    same permutation must apply to rows and columns so the cached
-    transpose stays P A^T P^T. Measured on scrambled power-law graphs:
-    captured-edge fraction 0.22 -> 0.71, nonempty blocks cut 2.6x
-    (benchmarks/reorder_quality.py)."""
+    """(perm, inv, capture_frac) of a hubs-first relabel if it
+    meaningfully improves 128x128 block fill, else (None, None, cap).
+    Square adjacency only — the same permutation must apply to rows and
+    columns so the cached transpose stays P A^T P^T. The returned
+    capture fraction (of whichever layout won) lets the caller skip
+    re-running the block-fill analysis. Measured on scrambled power-law
+    graphs: captured-edge fraction 0.22 -> 0.71, nonempty blocks cut
+    2.6x (benchmarks/reorder_quality.py)."""
     if num_src != num_dst or os.environ.get('PGT_DISABLE_BSR_REORDER'):
-        return None, None
+        return None, None, None
     from ..utils.reorder import degree_order
+    n = num_src
     w1 = np.ones(coo.shape[1], np.float32)
-    _, _, _, _, cap0 = split_by_block_fill(coo, w1, num_src, num_dst)
-    perm = degree_order(coo, num_src)
-    inv = np.empty(num_src, np.int64)
-    inv[perm] = np.arange(num_src)
-    _, _, _, _, cap1 = split_by_block_fill(inv[coo], w1, num_src,
-                                           num_dst)
+    _, _, _, _, cap0 = split_by_block_fill(coo, w1, n, n)
+    if cap0 >= 0.85:            # natural order already block-dense
+        return None, None, cap0
+    perm = degree_order(coo, n)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    # padded endpoints (== n sentinel) must survive the relabel
+    inv_ext = np.concatenate([inv, [n]])
+    coo_r = inv_ext[np.minimum(coo.astype(np.int64), n)]
+    _, _, _, _, cap1 = split_by_block_fill(coo_r, w1, n, n)
     if cap1 > cap0 * 1.25 and cap1 - cap0 > 0.05:
-        return perm, inv
-    return None, None
+        return perm, inv, cap1
+    return None, None, cap0
 
 
 def bsr_profitable(coo: np.ndarray, num_src: int, num_dst: int,
-                   max_entries: Optional[int] = None) -> bool:
+                   max_entries: Optional[int] = None,
+                   capture: Optional[float] = None) -> bool:
     """Gate for the hybrid split: enough of the edge mass lands in
     dense-enough blocks (``PGT_BSR_MIN_CAPTURE``, default 0.5) and the
-    captured blocks' storage fits the memory cap."""
+    captured blocks' storage fits the memory cap. ``capture``: the
+    already-computed captured-edge fraction (skips one O(E log E)
+    analysis pass when the caller ran choose_block_order)."""
     if os.environ.get('PGT_DISABLE_BSR_SPMM'):
         return False
     min_capture = float(os.environ.get('PGT_BSR_MIN_CAPTURE', 0.5))
     cap = max_entries if max_entries is not None else int(
         float(os.environ.get('PGT_BSR_MAX_ENTRIES', 5e8)))
+    if capture is not None and capture < min_capture:
+        return False
     coo_blk, _, _, _, frac = split_by_block_fill(
         coo, np.ones(coo.shape[1], np.float32), num_src, num_dst)
     if coo_blk.shape[1] == 0 or frac < min_capture:

@@ -28,21 +28,15 @@ __all__ = ['reverse_cuthill_mckee', 'degree_order', 'cluster_order',
 
 
 def _sym_csr(coo: np.ndarray, n: int):
-    """Symmetrised, deduped CSR (indptr, cols, deg) of the union graph."""
+    """Symmetrised, deduped CSR (indptr, cols, deg) of the union graph.
+    Delegates to the partitioner's builder (loader/cluster.py) after
+    masking padded endpoints (>= n)."""
+    from ..loader.cluster import _sym_csr as _build
     src = coo[0].astype(np.int64)
     dst = coo[1].astype(np.int64)
     valid = (src < n) & (dst < n)
-    src, dst = src[valid], dst[valid]
-    u = np.concatenate([src, dst])
-    v = np.concatenate([dst, src])
-    order = np.lexsort((v, u))
-    u, v = u[order], v[order]
-    if len(u):
-        keep = np.ones(len(u), bool)
-        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
-        u, v = u[keep], v[keep]
-    indptr = np.searchsorted(u, np.arange(n + 1))
-    return indptr, v, np.diff(indptr)
+    indptr, cols, _w = _build(np.stack([src[valid], dst[valid]]), n)
+    return indptr, cols, np.diff(indptr)
 
 
 def reverse_cuthill_mckee(coo: np.ndarray, num_nodes: int) -> np.ndarray:
@@ -101,13 +95,17 @@ def apply_node_permutation(data, perm: np.ndarray):
     inv = np.empty(n, np.int64)
     inv[perm] = np.arange(n)
     coo = np.asarray(data.edge_index)
-    new_coo = inv[coo]
+    # padded endpoints (== n, the batch-padding sentinel) pass through
+    inv_ext = np.concatenate([inv, [n]])
+    new_coo = inv_ext[np.minimum(coo, n)]
     up = {'edge_index': new_coo.astype(coo.dtype)}
     for k, v in data.items():
         if k == 'edge_index' or not hasattr(v, 'shape'):
             continue
         va = np.asarray(v)
-        if va.ndim >= 1 and va.shape[0] == n:
+        # shape[0] == n alone misfires when num_edges == num_nodes:
+        # edge_* attributes are indexed by edge, never permuted here
+        if va.ndim >= 1 and va.shape[0] == n and not k.startswith('edge_'):
             up[k] = va[perm]
     return data.replace(**up), inv
 

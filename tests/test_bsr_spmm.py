@@ -222,8 +222,25 @@ def test_bsr_reorder_reduces_blocks():
     n, e = 20000, 60000
     coo, w, _ = _powerlaw_graph(n, e, 8, seed=4)
     from pytorch_geometric_tpu.ops.bsr_spmm import choose_block_order
-    perm, inv = choose_block_order(coo, n, n)
-    assert perm is not None
+    perm, inv, cap = choose_block_order(coo, n, n)
+    assert perm is not None and cap > 0.5
     nb0, _ = bsr_stats(coo, n, n)
     nb1, _ = bsr_stats(inv[coo], n, n)
     assert nb1 < nb0
+
+
+def test_bsr_reorder_tolerates_padded_edges():
+    """Padded edges (both endpoints == num_nodes, the batch-padding
+    sentinel) must survive the relabel path (regression: inv[coo]
+    raised IndexError)."""
+    n, e = 20000, 60000
+    coo, w, x = _powerlaw_graph(n, e, 8, seed=5)
+    pad = np.full((2, 500), n, np.int32)
+    coo_p = np.concatenate([coo, pad], 1)
+    w_p = np.concatenate([w, np.zeros(500, np.float32)])
+    ei = EdgeIndex(coo_p, (n, n)).fill_cache(dense_weight=w_p,
+                                             block_sparse=True)
+    assert ei.bsr is not None
+    out = np.asarray(spmm(ei, jnp.asarray(x)))
+    ref = _ref_spmm(coo, w, x, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -95,3 +95,23 @@ def test_apply_node_permutation_roundtrip():
     back, _ = apply_node_permutation(out, inv)
     np.testing.assert_allclose(np.asarray(back.x), np.asarray(data.x))
     np.testing.assert_array_equal(np.asarray(back.edge_index), coo)
+
+
+def test_apply_node_permutation_edge_attrs_untouched():
+    """num_edges == num_nodes ring graph: edge_weight must NOT be
+    permuted by the node permutation (regression)."""
+    n = 64
+    ring = np.stack([np.arange(n), (np.arange(n) + 1) % n])
+    rng = np.random.default_rng(0)
+    ew = rng.random(n).astype(np.float32)
+    data = pgt.data.Data(x=rng.standard_normal((n, 3)).astype(np.float32),
+                         edge_index=ring.astype(np.int64),
+                         edge_weight=ew, num_nodes=n)
+    perm = rng.permutation(n)
+    out, _ = apply_node_permutation(data, perm)
+    np.testing.assert_array_equal(np.asarray(out.edge_weight), ew)
+    # padded sentinel endpoints survive
+    pad = np.full((2, 5), n)
+    data2 = data.replace(edge_index=np.concatenate([ring, pad], 1))
+    out2, _ = apply_node_permutation(data2, perm)
+    assert (np.asarray(out2.edge_index)[:, -5:] == n).all()
