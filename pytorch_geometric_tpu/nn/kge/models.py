@@ -129,8 +129,9 @@ class RotatE(KGEModel):
         tr, ti = jnp.split(t, 2, -1)
         theta = r
         rr, ri = jnp.cos(theta), jnp.sin(theta)
-        # complex rotation h * r
+        # complex rotation h * r; distance is the GLOBAL L2 norm over
+        # (feature, re/im) — reference rotate.py:80 vector_norm(dim=(1,2))
         xr = hr * rr - hi * ri
         xi = hr * ri + hi * rr
-        d = jnp.sqrt((xr - tr) ** 2 + (xi - ti) ** 2 + 1e-12).sum(-1)
+        d = jnp.sqrt(((xr - tr) ** 2 + (xi - ti) ** 2).sum(-1) + 1e-12)
         return self.margin - d

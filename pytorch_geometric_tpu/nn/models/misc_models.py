@@ -200,21 +200,30 @@ class CorrectAndSmooth:
         self.scale = scale
         self.autoscale = autoscale
 
-    def correct(self, y_soft, y_true, train_mask, edge_index):
-        n = y_soft.shape[0]
+    def correct(self, y_soft, y_true, train_mask, edge_index,
+                edge_weight=None):
         err = jnp.where(train_mask[:, None], y_true - y_soft, 0)
         lp = LabelPropagation(num_layers=self.num_correction_layers,
                               alpha=self.correction_alpha)
-        err = lp(err, edge_index, post_step=lambda x: x)
         if self.autoscale:
-            sigma = jnp.abs(
-                jnp.where(train_mask[:, None], y_true - y_soft, 0)
-            ).sum() / jnp.maximum(train_mask.sum(), 1)
-            scale = sigma / jnp.maximum(
-                jnp.abs(err).sum(-1, keepdims=True), 1e-9)
-            out = y_soft + scale * err
-            return jnp.where(train_mask[:, None], y_soft, out)
-        return y_soft + self.scale * err
+            # reference clamps the propagated error to [-1, 1] each
+            # hop and caps runaway scales at 1
+            # (correct_and_smooth.py:105-113)
+            sm = lp(err, edge_index, edge_weight=edge_weight,
+                    post_step=lambda x: jnp.clip(x, -1.0, 1.0))
+            numel = jnp.maximum(train_mask.sum(), 1)
+            sigma = jnp.abs(err).sum() / numel
+            denom = jnp.abs(sm).sum(-1, keepdims=True)
+            scale = sigma / jnp.maximum(denom, 1e-30)
+            scale = jnp.where((scale > 1000) | ~jnp.isfinite(scale),
+                              1.0, scale)
+            return y_soft + scale * sm
+        # fixed-scale variant re-pins the training-row error each hop
+        # (correct_and_smooth.py:fix_input)
+        sm = lp(err, edge_index, edge_weight=edge_weight,
+                post_step=lambda x: jnp.where(train_mask[:, None],
+                                              err, x))
+        return y_soft + self.scale * sm
 
     def smooth(self, y_soft, y_true, train_mask, edge_index):
         y = jnp.where(train_mask[:, None], y_true, y_soft)
