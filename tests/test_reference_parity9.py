@@ -186,3 +186,28 @@ def test_kge_rotate_complex(cls):
                      jnp.asarray(tl))
     np.testing.assert_allclose(np.asarray(got), ref_out, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_group_add_rev():
+    """Grouped reversible block vs the reference (disable=True runs the
+    reference forward without the invertible autograd machinery)."""
+    F = 8
+    x = rng.standard_normal((N, 2 * F)).astype(np.float32)
+    ref = tm.GroupAddRev(tg.nn.SAGEConv(F, F), num_groups=2,
+                         disable=True).eval()
+    ref_out = ref(t(x), t(COO)).detach().numpy()
+    ours = pm.GroupAddRev(conv=pgnn.SAGEConv(out_channels=F),
+                          num_groups=2)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jCOO)
+    o = {}
+    for g in range(2):
+        o[f'conv_{g}.lin_l.kernel'] = (
+            lambda s, g=g: s[f'convs.{g}.lin_l.weight'].T)
+        o[f'conv_{g}.lin_l.bias'] = (
+            lambda s, g=g: s[f'convs.{g}.lin_l.bias'])
+        o[f'conv_{g}.lin_r.kernel'] = (
+            lambda s, g=g: s[f'convs.{g}.lin_r.weight'].T)
+    params = transplant(ref, params, o)
+    got = ours.apply(params, jnp.asarray(x), jCOO)
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=1e-4,
+                               atol=1e-4)
