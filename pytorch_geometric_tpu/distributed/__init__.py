@@ -13,7 +13,7 @@ single collective.
 
 from .dist_context import DistContext, DistRole, init_process, shutdown
 from .partition_io import (save_partitions, load_partition,
-                           load_partition_books)
+                           load_partition_books, load_type_books)
 from .partition import Partitioner
 from .local_stores import LocalFeatureStore, LocalGraphStore
 from .dist_neighbor_sampler import DistNeighborSampler
@@ -36,7 +36,7 @@ __all__ = classes = [
     'shutdown',
     'save_partitions',
     'load_partition',
-    'load_partition_books',
+    'load_partition_books', 'load_type_books',
     'global_mesh',
     'process_local_shard',
     'make_dist_train_step',

@@ -6,11 +6,12 @@ on :class:`parallel.partition.Partitioner` (stacked padded arrays +
 sparse halo sets) and persists them via :mod:`partition_io`.
 """
 
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 
 from ..data.data import Data
+from ..data.hetero_data import HeteroData
 from ..parallel.partition import GraphPartitions
 from ..parallel.partition import Partitioner as _ArrayPartitioner
 from .partition_io import save_partitions
@@ -27,8 +28,8 @@ class Partitioner:
     another host's shard.
     """
 
-    def __init__(self, data: Data, num_parts: int, root: str,
-                 recursive: bool = False, seed: int = 0):
+    def __init__(self, data: Union[Data, HeteroData], num_parts: int,
+                 root: str, recursive: bool = False, seed: int = 0):
         self.data = data
         self.num_parts = num_parts
         self.root = root
@@ -36,13 +37,27 @@ class Partitioner:
         self.seed = seed
 
     def generate_partition(self) -> GraphPartitions:
-        parts = _ArrayPartitioner(self.data, self.num_parts,
+        data, hetero_meta = self.data, None
+        if isinstance(data, HeteroData):
+            # reference hetero path (partition.py:179): flatten via
+            # to_homogeneous with per-type offsets, partition the
+            # union graph, keep type books so loaders reconstruct types
+            hdata = data
+            data = hdata.to_homogeneous()
+            hetero_meta = {
+                'node_types': list(hdata.node_types),
+                'edge_types': [list(et) for et in hdata.edge_types],
+                'node_type': np.asarray(data.node_type),
+                'edge_type': np.asarray(data.edge_type),
+            }
+        parts = _ArrayPartitioner(data, self.num_parts,
                                   seed=self.seed).generate_partition()
-        x = np.asarray(self.data.x) if self.data.x is not None else None
+        x = np.asarray(data.x) if data.x is not None else None
         y = None
-        if self.data.y is not None:
-            yf = np.asarray(self.data.y).reshape(-1)
-            if yf.shape[0] == self.data.num_nodes:
+        if data.y is not None:
+            yf = np.asarray(data.y).reshape(-1)
+            if yf.shape[0] == data.num_nodes:
                 y = yf
-        save_partitions(parts, self.root, x=x, y=y)
+        save_partitions(parts, self.root, x=x, y=y,
+                        hetero_meta=hetero_meta)
         return parts

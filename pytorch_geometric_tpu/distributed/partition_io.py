@@ -75,9 +75,14 @@ def _sample_graph_arrays(parts: GraphPartitions, pid: int,
 
 def save_partitions(parts: GraphPartitions, root: str,
                     x: Optional[np.ndarray] = None,
-                    y: Optional[np.ndarray] = None) -> None:
+                    y: Optional[np.ndarray] = None,
+                    hetero_meta: Optional[Dict] = None) -> None:
     """Write the partition dirs. ``x``/``y`` default to the stacked
-    features already inside ``parts``."""
+    features already inside ``parts``. ``hetero_meta``: for partitioned
+    HeteroData (reference ``partition.py`` hetero path) — dict with
+    ``node_types``/``edge_types`` (type-name lists) and
+    ``node_type``/``edge_type`` (global per-node/per-edge type ids),
+    written as books next to ``node_map.npy``."""
     os.makedirs(root, exist_ok=True)
     P = parts.num_parts
     n = int(parts.node_part.shape[0])
@@ -94,14 +99,22 @@ def save_partitions(parts: GraphPartitions, root: str,
         'n_max': parts.n_max,
         'e_max': int(parts.edge_src.shape[1]),
         'h_max': parts.h_max,
-        'is_hetero': False,
-        'node_types': None,
-        'edge_types': None,
+        'is_hetero': hetero_meta is not None,
+        'node_types': (None if hetero_meta is None
+                       else [list(t) if isinstance(t, (list, tuple))
+                             else t for t in hetero_meta['node_types']]),
+        'edge_types': (None if hetero_meta is None
+                       else [list(t) for t in hetero_meta['edge_types']]),
     }
     with open(osp.join(root, 'META.json'), 'w') as f:
         json.dump(meta, f)
     np.save(osp.join(root, 'node_map.npy'), parts.node_part)
     np.save(osp.join(root, 'global_pos.npy'), parts.global_pos)
+    if hetero_meta is not None:
+        np.save(osp.join(root, 'node_type.npy'),
+                np.asarray(hetero_meta['node_type']))
+        np.save(osp.join(root, 'edge_type.npy'),
+                np.asarray(hetero_meta['edge_type']))
 
     for pid in range(P):
         d = osp.join(root, f'part_{pid}')
@@ -150,3 +163,12 @@ def load_partition_books(root: str):
     node_map = np.load(osp.join(root, 'node_map.npy'))
     global_pos = np.load(osp.join(root, 'global_pos.npy'))
     return meta, node_map, global_pos
+
+
+def load_type_books(root: str):
+    """(node_type, edge_type) global type-id vectors for hetero
+    partitions (None, None when homogeneous)."""
+    np_path = osp.join(root, 'node_type.npy')
+    if not osp.exists(np_path):
+        return None, None
+    return (np.load(np_path), np.load(osp.join(root, 'edge_type.npy')))

@@ -200,3 +200,28 @@ def test_two_process_training(part_root, tmp_path):
             params, opt_state, loss = step(params, opt_state, shard)
             ref.append(float(np.asarray(loss)))
     np.testing.assert_allclose(dist_losses, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_hetero_partitioner_books(tmp_path):
+    """HeteroData partitioning (reference partition.py hetero path):
+    type books round-trip and every typed node keeps its type under the
+    owner's shard."""
+    from pytorch_geometric_tpu.datasets import FakeHeteroDataset
+    hdata = FakeHeteroDataset(num_graphs=1, avg_num_nodes=60,
+                              num_classes=3, seed=0)[0]
+    root = str(tmp_path / 'hparts')
+    dist.Partitioner(hdata, num_parts=2, root=root).generate_partition()
+    meta, node_map, global_pos = dist.load_partition_books(root)
+    assert meta['is_hetero']
+    assert [tuple(t) if isinstance(t, list) else t
+            for t in meta['node_types']] or meta['node_types']
+    node_type, edge_type = dist.load_type_books(root)
+    homo = hdata.to_homogeneous()
+    np.testing.assert_array_equal(node_type, np.asarray(homo.node_type))
+    np.testing.assert_array_equal(edge_type, np.asarray(homo.edge_type))
+    assert node_map.shape[0] == homo.num_nodes
+    # each partition's owned nodes carry consistent types via the book
+    p0 = dist.load_partition(root, 0)
+    own = p0['own'][p0['own_mask']]
+    assert (node_map[own] == 0).all()
+    assert (node_type[own] >= 0).all()
