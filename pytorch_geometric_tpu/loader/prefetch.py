@@ -14,11 +14,22 @@ import jax
 
 class PrefetchLoader:
     """Wraps any batch iterable; device-puts batch i+1 while batch i is
-    being consumed (reference ``prefetch.py:52``)."""
+    being consumed (reference ``prefetch.py:52``).
 
-    def __init__(self, loader, device: Optional[Any] = None):
+    ``num_threads > 0`` additionally moves the HOST side of the pipeline
+    (sampling + collation, the expensive part of NeighborLoader batches)
+    onto a producer thread feeding a bounded queue — host sampling then
+    overlaps device compute, the TPU stand-in for the reference's
+    DataLoader worker processes. ``jax.device_put`` itself is already
+    async, so the plain mode only overlaps the H2D copy.
+    """
+
+    def __init__(self, loader, device: Optional[Any] = None,
+                 num_threads: int = 0, queue_size: int = 2):
         self.loader = loader
         self.device = device
+        self.num_threads = num_threads
+        self.queue_size = queue_size
 
     def __len__(self):
         return len(self.loader)
@@ -28,7 +39,35 @@ class PrefetchLoader:
             return jax.device_put(batch)
         return jax.device_put(batch, self.device)
 
+    def _iter_threaded(self) -> Iterator:
+        import queue
+        import threading
+        q: 'queue.Queue' = queue.Queue(maxsize=max(self.queue_size, 1))
+        done = object()
+
+        def producer():
+            try:
+                for b in self.loader:
+                    q.put(('item', self._put(b)))
+            except BaseException as e:          # propagate to consumer
+                q.put(('error', e))
+                return
+            q.put(('done', done))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            kind, payload = q.get()
+            if kind == 'error':
+                raise payload
+            if kind == 'done':
+                return
+            yield payload
+
     def __iter__(self) -> Iterator:
+        if self.num_threads > 0:
+            yield from self._iter_threaded()
+            return
         it = iter(self.loader)
         try:
             ahead = self._put(next(it))

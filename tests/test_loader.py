@@ -198,3 +198,28 @@ def test_native_partitioner_quality_and_balance():
     cut_ldg = edge_cut(coo, partition_graph(coo, n, 8, seed=0,
                                             method='ldg'))
     assert cut_ml <= cut_ldg + 0.02, (cut_ml, cut_ldg)
+
+
+def test_prefetch_loader_threaded():
+    """Threaded prefetch: same batches, same order, host sampling on a
+    producer thread; errors propagate."""
+    from pytorch_geometric_tpu.loader import NeighborLoader, PrefetchLoader
+    data = make_graph(n=200, e=900)
+    def mk():
+        return NeighborLoader(data, num_neighbors=[4, 4], batch_size=64,
+                              shuffle=False, seed=0)
+    plain = [np.asarray(b.n_id) for b in mk()]
+    threaded = [np.asarray(b.n_id)
+                for b in PrefetchLoader(mk(), num_threads=1)]
+    assert len(plain) == len(threaded)
+    for a, b in zip(plain, threaded):
+        np.testing.assert_array_equal(a, b)
+
+    class Boom:
+        def __iter__(self):
+            yield {'x': np.ones(3)}
+            raise RuntimeError('sampler exploded')
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match='exploded'):
+        list(PrefetchLoader(Boom(), num_threads=1))
