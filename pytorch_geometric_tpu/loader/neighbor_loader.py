@@ -59,7 +59,8 @@ class NeighborLoader:
                  temporal_strategy: str = 'uniform',
                  time_attr: Optional[str] = None,
                  weight_attr: Optional[str] = None,
-                 drop_last: bool = False, seed: int = 0):
+                 drop_last: bool = False, seed: int = 0,
+                 num_workers: int = 0):
         self.data = data
         self.sampler = NeighborSampler(
             data, num_neighbors, replace=replace, disjoint=disjoint,
@@ -76,6 +77,12 @@ class NeighborLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        # sampling across batches is embarrassingly parallel (the C++
+        # sampler releases the GIL): num_workers > 0 fans batch
+        # sampling out over a thread pool with per-batch seeds, keeping
+        # results deterministic and ordered — the TPU stand-in for the
+        # reference's DataLoader worker processes
+        self.num_workers = num_workers
         # fixed seed count per batch -> static budgets across batches
         self.sampler.batch_size = batch_size
 
@@ -85,9 +92,11 @@ class NeighborLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batches(self):
+        """(idx, real_batch_size, rng_seed) per batch, host-side."""
         order = (self.rng.permutation(len(self.input_nodes))
                  if self.shuffle else np.arange(len(self.input_nodes)))
+        out = []
         for i in range(0, len(order), self.batch_size):
             idx = order[i:i + self.batch_size]
             if len(idx) < self.batch_size:
@@ -96,13 +105,32 @@ class NeighborLoader:
                 # repeat-pad the seed set; batch_size records real count
                 idx = np.concatenate([
                     idx, np.zeros(self.batch_size - len(idx), np.int64)])
-            seeds = self.input_nodes[idx]
-            out = self.sampler.sample_from_nodes(
-                NodeSamplerInput(node=seeds, input_id=idx))
-            out = SamplerOutput(**{**out.__dict__,
-                                   'batch_size': min(self.batch_size,
-                                                     len(order) - i)})
-            yield _filter(self.data, out)
+            out.append((idx, min(self.batch_size, len(order) - i),
+                        int(self.rng.integers(0, 2 ** 62))))
+        return out
+
+    def _one(self, idx, real_bs, rng_seed):
+        seeds = self.input_nodes[idx]
+        out = self.sampler.sample_from_nodes(
+            NodeSamplerInput(node=seeds, input_id=idx),
+            rng_seed=rng_seed)
+        out = SamplerOutput(**{**out.__dict__, 'batch_size': real_bs})
+        return _filter(self.data, out)
+
+    def __iter__(self):
+        batches = self._batches()
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            # no `with`: a consumer that abandons the generator would
+            # otherwise run the executor's __exit__ during GC/shutdown
+            pool = ThreadPoolExecutor(self.num_workers)
+            try:
+                yield from pool.map(lambda b: self._one(*b), batches)
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+            return
+        for b in batches:
+            yield self._one(*b)
 
 
 class LinkNeighborLoader:

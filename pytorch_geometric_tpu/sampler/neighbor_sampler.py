@@ -122,8 +122,9 @@ class NeighborSampler(BaseSampler):
     def is_temporal(self) -> bool:
         return self.node_time is not None or self.edge_time is not None
 
-    def _sample_native(self, seeds: np.ndarray, bs: int):
+    def _sample_native(self, seeds: np.ndarray, bs: int, rng=None):
         """C++ fast path (csrc/sampler.cpp — the pyg-lib equivalent)."""
+        rng = rng if rng is not None else self.rng
         import ctypes
         from ..csrc import load
         lib = load()
@@ -161,7 +162,7 @@ class NeighborSampler(BaseSampler):
             p64(fanouts), ctypes.c_int64(H),
             p64(ecaps), ctypes.c_int64(n_cap), ctypes.c_int64(e_cap),
             ctypes.c_int(int(self.replace)),
-            ctypes.c_uint64(int(self.rng.integers(0, 2 ** 62))),
+            ctypes.c_uint64(int(rng.integers(0, 2 ** 62))),
             p64(node), pu8(node_mask), p64(rows), p64(cols), p64(eids),
             pu8(emask), p64(nsn), p64(nse))
         return SamplerOutput(
@@ -184,8 +185,9 @@ class NeighborSampler(BaseSampler):
             "(NodeSamplerInput.time / the loader's input_time)")
 
     def _sample_native_tw(self, seeds: np.ndarray, bs: int,
-                          seed_time: Optional[np.ndarray]):
+                          seed_time: Optional[np.ndarray], rng=None):
         """C++ temporal/weighted/disjoint path (neighbor_sample_tw)."""
+        rng = rng if rng is not None else self.rng
         import ctypes
         from ..csrc import load
         lib = load()
@@ -237,7 +239,7 @@ class NeighborSampler(BaseSampler):
             ctypes.c_int(1 if self.temporal_strategy == 'last' else 0),
             pf64(self.node_time), pf64(self.edge_time),
             pf64(self.edge_weight),
-            ctypes.c_uint64(int(self.rng.integers(0, 2 ** 62))),
+            ctypes.c_uint64(int(rng.integers(0, 2 ** 62))),
             p64(node), p64(batch), pu8(node_mask),
             p64(rows), p64(cols), p64(eids), pu8(emask),
             p64(nsn), p64(nse))
@@ -251,8 +253,9 @@ class NeighborSampler(BaseSampler):
             batch=batch if self.disjoint else None)
 
     def _sample_tw_python(self, seeds: np.ndarray, bs: int,
-                          seed_time: Optional[np.ndarray]):
+                          seed_time: Optional[np.ndarray], rng=None):
         """numpy mirror of ``neighbor_sample_tw`` (same semantics)."""
+        rng = rng if rng is not None else self.rng
         node_caps = self.num_neighbors.node_budget(bs)
         edge_caps = self.num_neighbors.edge_budget(bs)
         n_cap, e_cap = sum(node_caps), sum(edge_caps)
@@ -305,23 +308,23 @@ class NeighborSampler(BaseSampler):
                     if self.replace:
                         if w.sum() <= 0:
                             continue
-                        pick = self.rng.choice(cand, fanout,
+                        pick = rng.choice(cand, fanout,
                                                p=w / w.sum())
                     elif deg <= fanout:
                         pick = cand
                     else:
                         ok = w > 0
                         keys = np.full(deg, -np.inf)
-                        keys[ok] = (np.log(self.rng.random(ok.sum()))
+                        keys[ok] = (np.log(rng.random(ok.sum()))
                                     / w[ok])
                         pick = cand[np.argsort(-keys)[:min(
                             fanout, int(ok.sum()))]]
                 elif deg <= fanout and not self.replace:
                     pick = cand
                 elif self.replace:
-                    pick = cand[self.rng.integers(0, deg, fanout)]
+                    pick = cand[rng.integers(0, deg, fanout)]
                 else:
-                    pick = self.rng.choice(cand, fanout, replace=False)
+                    pick = rng.choice(cand, fanout, replace=False)
                 for pos in pick:
                     g = int(self.csc.row[pos])
                     k = key_of(g, b)
@@ -358,7 +361,14 @@ class NeighborSampler(BaseSampler):
             batch_size=len(seeds),
             batch=batch if self.disjoint else None)
 
-    def sample_from_nodes(self, inputs: NodeSamplerInput) -> SamplerOutput:
+    def sample_from_nodes(self, inputs: NodeSamplerInput,
+                          rng_seed: Optional[int] = None
+                          ) -> SamplerOutput:
+        """``rng_seed``: per-call RNG override so concurrent callers
+        (threaded loaders) sample deterministically without sharing the
+        mutable ``self.rng``."""
+        rng = (np.random.default_rng(rng_seed) if rng_seed is not None
+               else self.rng)
         seeds = np.asarray(inputs.node, np.int64)
         bs = self.batch_size or len(seeds)
         from ..csrc import WITH_NATIVE_SAMPLER
@@ -367,10 +377,11 @@ class NeighborSampler(BaseSampler):
         if needs_tw:
             seed_time = self._seed_time(inputs, seeds)
             if WITH_NATIVE_SAMPLER:
-                return self._sample_native_tw(seeds, bs, seed_time)
-            return self._sample_tw_python(seeds, bs, seed_time)
+                return self._sample_native_tw(seeds, bs, seed_time,
+                                              rng=rng)
+            return self._sample_tw_python(seeds, bs, seed_time, rng=rng)
         if WITH_NATIVE_SAMPLER:
-            return self._sample_native(seeds, bs)
+            return self._sample_native(seeds, bs, rng=rng)
         node_caps = self.num_neighbors.node_budget(bs)
         edge_caps = self.num_neighbors.edge_budget(bs)
         n_cap = sum(node_caps)
@@ -400,7 +411,7 @@ class NeighborSampler(BaseSampler):
                 e_cursor += edge_caps[hop]
                 continue
             src, eid, valid = _sample_neighbors(
-                self.csc, frontier, fanout, self.rng, self.replace)
+                self.csc, frontier, fanout, rng, self.replace)
             dst_local = np.repeat(
                 [local[int(v)] for v in frontier], fanout)
             new_nodes = 0

@@ -223,3 +223,24 @@ def test_prefetch_loader_threaded():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match='exploded'):
         list(PrefetchLoader(Boom(), num_threads=1))
+
+
+def test_neighbor_loader_workers_deterministic():
+    """num_workers>0: identical batches to serial iteration (per-batch
+    seeds decouple thread scheduling from RNG state)."""
+    from pytorch_geometric_tpu.loader import NeighborLoader
+    data = make_graph(n=300, e=1500)
+
+    def collect(workers):
+        loader = NeighborLoader(data, num_neighbors=[5, 3],
+                                batch_size=64, shuffle=True, seed=7,
+                                num_workers=workers)
+        return [(np.asarray(b.n_id), np.asarray(b.edge_index))
+                for b in loader]
+
+    serial = collect(0)
+    threaded = collect(4)
+    assert len(serial) == len(threaded)
+    for (n0, e0), (n1, e1) in zip(serial, threaded):
+        np.testing.assert_array_equal(n0, n1)
+        np.testing.assert_array_equal(e0, e1)
