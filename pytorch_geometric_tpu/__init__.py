@@ -58,6 +58,7 @@ from . import visualization
 from . import testing
 from . import contrib
 from .deprecation import LazyLoader, deprecated  # noqa: F401
+from . import export  # noqa: F401
 from . import distributed
 
 __all__ = [
@@ -71,7 +72,7 @@ __all__ = [
     'ops', 'utils', 'nn', 'backend', 'experimental', 'typing_flags', 'transforms', 'datasets', 'sampler', 'loader',
     'parallel', 'distributed', 'explain', 'metrics', 'profile', 'graphgym', 'io',
     'visualization', 'testing', 'contrib', '__version__',
-    'LazyLoader', 'deprecated',
+    'LazyLoader', 'deprecated', 'export',
 ]
 from . import checkpoint
 from . import logging as pgt_logging

@@ -138,3 +138,31 @@ def test_graph_store():
     assert colptr[-1] == 4
     # csc sorted by destination
     assert (np.diff(np.asarray(col)[perm]) >= 0).all()
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    """export_program/load_program: serialized GCN forward reproduces
+    the live model's outputs (the TorchScript/ONNX deployment analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pytorch_geometric_tpu.export import export_program, load_program
+    from pytorch_geometric_tpu.nn.models import GCN
+
+    rng = np.random.default_rng(0)
+    n, e, f, c = 40, 160, 8, 3
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    coo = jnp.asarray(rng.integers(0, n, (2, e)).astype(np.int32))
+    model = GCN(hidden_channels=16, num_layers=2, out_channels=c)
+    params = model.init(jax.random.PRNGKey(0), x, coo)
+
+    def fwd(x, coo):
+        return model.apply(params, x, coo)
+
+    path = str(tmp_path / 'gcn.stablehlo')
+    blob = export_program(fwd, [x, coo], path=path)
+    assert len(blob) > 100
+    served = load_program(path)
+    np.testing.assert_allclose(np.asarray(served(x, coo)),
+                               np.asarray(fwd(x, coo)), rtol=1e-6,
+                               atol=1e-6)
