@@ -18,11 +18,27 @@ from ..sampler import (NeighborSampler, NodeSamplerInput, EdgeSamplerInput,
                        NegativeSampling, SamplerOutput)
 
 
-def _filter(data: Data, out: SamplerOutput) -> Data:
-    """Feature join (reference ``loader/utils.py:filter_data``)."""
+def _filter(data: Data, out: SamplerOutput,
+            features: bool = True) -> Data:
+    """Feature join (reference ``loader/utils.py:filter_data``).
+
+    ``features=False`` skips the host-side x/y/edge_attr gathers —
+    the TPU-efficient pattern keeps features device-resident and
+    gathers by ``batch.n_id`` inside the jitted step (HBM-speed gather
+    instead of host memcpy + H2D per batch); see NeighborLoader
+    ``filter_features``."""
     n_cap = out.num_nodes_cap
     safe_nodes = np.where(out.node_mask, out.node, 0)
     kwargs = {}
+    if not features:
+        coo = np.stack([out.row, out.col]).astype(np.int32)
+        new = Data(edge_index=coo, num_nodes=n_cap)
+        return new.replace(
+            n_id=out.node, e_id=out.edge,
+            node_mask=out.node_mask, edge_mask=out.edge_mask,
+            batch_size=np.asarray(out.batch_size),
+            num_sampled_nodes=np.asarray(out.num_sampled_nodes),
+            num_sampled_edges=np.asarray(out.num_sampled_edges))
     if data.x is not None:
         x = np.asarray(data.x)[safe_nodes]
         x[~out.node_mask] = 0
@@ -60,7 +76,7 @@ class NeighborLoader:
                  time_attr: Optional[str] = None,
                  weight_attr: Optional[str] = None,
                  drop_last: bool = False, seed: int = 0,
-                 num_workers: int = 0):
+                 num_workers: int = 0, filter_features: bool = True):
         self.data = data
         self.sampler = NeighborSampler(
             data, num_neighbors, replace=replace, disjoint=disjoint,
@@ -83,6 +99,12 @@ class NeighborLoader:
         # results deterministic and ordered — the TPU stand-in for the
         # reference's DataLoader worker processes
         self.num_workers = num_workers
+        # filter_features=False: yield structure only (n_id/e_id/masks)
+        # and gather device-resident features inside the jitted step —
+        # the host feature join dominates batch time at wide feature
+        # dims (measured 13s vs 2.5s sampling for 16x bs=1024 batches
+        # at F=128) and serialises num_workers behind the GIL
+        self.filter_features = filter_features
         # fixed seed count per batch -> static budgets across batches
         self.sampler.batch_size = batch_size
 
@@ -115,7 +137,7 @@ class NeighborLoader:
             NodeSamplerInput(node=seeds, input_id=idx),
             rng_seed=rng_seed)
         out = SamplerOutput(**{**out.__dict__, 'batch_size': real_bs})
-        return _filter(self.data, out)
+        return _filter(self.data, out, features=self.filter_features)
 
     def __iter__(self):
         batches = self._batches()
@@ -127,7 +149,12 @@ class NeighborLoader:
             try:
                 yield from pool.map(lambda b: self._one(*b), batches)
             finally:
-                pool.shutdown(wait=False, cancel_futures=True)
+                try:
+                    pool.shutdown(wait=False, cancel_futures=True)
+                except Exception:
+                    # abandoned generator finalized at interpreter
+                    # shutdown: modules may already be torn down
+                    pass
             return
         for b in batches:
             yield self._one(*b)

@@ -244,3 +244,25 @@ def test_neighbor_loader_workers_deterministic():
     for (n0, e0), (n1, e1) in zip(serial, threaded):
         np.testing.assert_array_equal(n0, n1)
         np.testing.assert_array_equal(e0, e1)
+
+
+def test_neighbor_loader_filter_features_false():
+    """Structure-only batches: n_id-gather of device-resident features
+    reproduces the host-joined x exactly."""
+    from pytorch_geometric_tpu.loader import NeighborLoader
+    data = make_graph(n=200, e=900)
+
+    def mk(ff):
+        return NeighborLoader(data, num_neighbors=[4, 3], batch_size=50,
+                              shuffle=False, seed=3, filter_features=ff)
+
+    X = np.asarray(data.x)
+    for joined, structural in zip(mk(True), mk(False)):
+        assert structural.x is None
+        nid = np.asarray(structural.n_id)
+        nm = np.asarray(structural.node_mask)
+        gathered = X[np.where(nm, nid, 0)]
+        gathered[~nm] = 0
+        np.testing.assert_allclose(np.asarray(joined.x), gathered)
+        np.testing.assert_array_equal(np.asarray(joined.edge_index),
+                                      np.asarray(structural.edge_index))
