@@ -47,7 +47,9 @@ class GDC(BaseTransform):
             a += self.self_loop_weight * np.eye(n)
         # input normalisation
         if self.norm_in == 'sym':
-            d = np.maximum(a.sum(1), 1e-12)
+            # reference gdc.py transition_matrix 'sym': degrees are
+            # COLUMN sums (scatter over col)
+            d = np.maximum(a.sum(0), 1e-12)
             dis = 1 / np.sqrt(d)
             t = dis[:, None] * a * dis[None, :]
         elif self.norm_in == 'col':
@@ -67,7 +69,18 @@ class GDC(BaseTransform):
             raise ValueError(self.diff['method'])
         # sparsification
         if self.sparse['method'] == 'threshold':
-            s[s < self.sparse.get('eps', 1e-4)] = 0
+            if 'eps' in self.sparse:
+                eps = self.sparse['eps']
+            elif 'avg_degree' in self.sparse:
+                # reference gdc.py __calculate_eps__: eps midway between
+                # the (avg_degree*N)-th and next largest entries
+                kth = self.sparse['avg_degree'] * n
+                srt = np.sort(s.reshape(-1))[::-1]
+                eps = (-np.inf if kth >= len(srt)
+                       else (srt[kth - 1] + srt[kth]) / 2)
+            else:
+                eps = 1e-4
+            s[s < eps] = 0
         else:  # topk per column
             k = self.sparse.get('k', 16)
             thresh = -np.sort(-s, axis=0)[min(k, n) - 1]

@@ -35,9 +35,12 @@ class NormalizeFeatures(BaseTransform):
             if v is None:
                 continue
             v = np.asarray(v, np.float32)
-            v = v - v.min() if v.min() < 0 else v
+            # reference normalize_features.py: shift by the GLOBAL min
+            # unconditionally, clamp row sums to >= 1
+            if v.size:
+                v = v - v.min()
             s = v.sum(-1, keepdims=True)
-            up[k] = jnp.asarray(v / np.maximum(s, 1e-12))
+            up[k] = jnp.asarray(v / np.maximum(s, 1.0))
         return data.replace(**up)
 
 
@@ -121,18 +124,20 @@ class LocalDegreeProfile(BaseTransform):
     def __call__(self, data: Data) -> Data:
         n = data.num_nodes
         coo = _coo(data)
-        deg = np.bincount(coo[1], minlength=n).astype(np.float32)
-        nd = deg[coo[0]]
+        # reference local_degree_profile.py: deg = degree(ROW); neighbor
+        # degrees deg[col] aggregated onto ROW
+        deg = np.bincount(coo[0], minlength=n).astype(np.float32)
+        nd = deg[coo[1]]
         mn = np.full(n, np.inf, np.float32)
         mx = np.full(n, -np.inf, np.float32)
-        np.minimum.at(mn, coo[1], nd)
-        np.maximum.at(mx, coo[1], nd)
+        np.minimum.at(mn, coo[0], nd)
+        np.maximum.at(mx, coo[0], nd)
         s = np.zeros(n, np.float32)
-        np.add.at(s, coo[1], nd)
+        np.add.at(s, coo[0], nd)
         cnt = np.maximum(deg, 1)
         mean = s / cnt
         s2 = np.zeros(n, np.float32)
-        np.add.at(s2, coo[1], nd * nd)
+        np.add.at(s2, coo[0], nd * nd)
         var = np.maximum(s2 / cnt - mean ** 2, 0)
         mn[~np.isfinite(mn)] = 0
         mx[~np.isfinite(mx)] = 0
@@ -150,18 +155,31 @@ class AddLaplacianEigenvectorPE(BaseTransform):
                  is_undirected: bool = False):
         self.k = k
         self.attr_name = attr_name
+        self.is_undirected = is_undirected
 
     def __call__(self, data: Data) -> Data:
         n = data.num_nodes
         coo = _coo(data)
+        w = (np.asarray(data.edge_weight, np.float64)
+             if data.edge_weight is not None
+             else np.ones(coo.shape[1], np.float64))
+        # reference semantics (add_positional_encoding.py:36-66 +
+        # utils/laplacian.py:68): L = I - D^-1/2 A D^-1/2 with
+        # OUT-degree, graph as-is (no symmetrisation); directed graphs
+        # use the general eigendecomposition sorted by eigenvalue.
+        # Deterministic signs (the reference multiplies by random +-1).
+        keep = coo[0] != coo[1]   # get_laplacian drops self-loops
         a = np.zeros((n, n), np.float64)
-        a[coo[0], coo[1]] = 1
-        a = np.maximum(a, a.T)
+        np.add.at(a, (coo[0][keep], coo[1][keep]), w[keep])
         deg = a.sum(1)
-        dis = 1 / np.sqrt(np.maximum(deg, 1e-12))
+        dis = np.where(deg > 0, 1 / np.sqrt(np.maximum(deg, 1e-12)), 0)
         lap = np.eye(n) - dis[:, None] * a * dis[None, :]
-        vals, vecs = np.linalg.eigh(lap)
-        pe = vecs[:, 1:self.k + 1]
+        if self.is_undirected:
+            vals, vecs = np.linalg.eigh(lap)
+        else:
+            vals, vecs = np.linalg.eig(lap)
+            vecs = np.real(vecs[:, vals.argsort()])
+        pe = np.real(vecs[:, 1:self.k + 1])
         if pe.shape[1] < self.k:
             pe = np.pad(pe, ((0, 0), (0, self.k - pe.shape[1])))
         up = {self.attr_name: jnp.asarray(pe.astype(np.float32))} \

@@ -120,7 +120,9 @@ class Cartesian(BaseTransform):
     def __call__(self, data: Data) -> Data:
         pos = np.asarray(data.pos)
         coo = _coo(data)
-        cart = pos[coo[1]] - pos[coo[0]]
+        # reference cartesian.py:44 is pos[row] - pos[col] (NOTE: the
+        # reference's polar/spherical use the opposite direction)
+        cart = pos[coo[0]] - pos[coo[1]]
         if self.norm and cart.size and np.abs(cart).max() > 0:
             cart = cart / (2 * np.abs(cart).max()) + 0.5
         if data.edge_attr is not None and self.cat:
@@ -141,9 +143,10 @@ class Polar(BaseTransform):
         d = pos[coo[1]] - pos[coo[0]]
         rho = np.linalg.norm(d, axis=-1)
         theta = np.arctan2(d[:, 1], d[:, 0])
+        theta = np.where(theta < 0, theta + 2 * np.pi, theta)
         if self.norm:
             rho = rho / max(rho.max(), 1e-12)
-            theta = theta / (2 * np.pi) + 0.5
+            theta = theta / (2 * np.pi)
         ea = np.stack([rho, theta], -1)
         if data.edge_attr is not None and self.cat:
             ea = np.concatenate([np.asarray(data.edge_attr), ea], -1)
@@ -163,10 +166,13 @@ class Spherical(BaseTransform):
         d = pos[coo[1]] - pos[coo[0]]
         rho = np.linalg.norm(d, axis=-1)
         theta = np.arctan2(d[:, 1], d[:, 0])
+        theta = np.where(theta < 0, theta + 2 * np.pi, theta)
+        # clip keeps zero-length (self-loop) edges finite where the
+        # reference emits nan (spherical.py: acos(z/0))
         phi = np.arccos(np.clip(d[:, 2] / np.maximum(rho, 1e-12), -1, 1))
         if self.norm:
             rho = rho / max(rho.max(), 1e-12)
-            theta = theta / (2 * np.pi) + 0.5
+            theta = theta / (2 * np.pi)
             phi = phi / np.pi
         ea = np.stack([rho, theta, phi], -1)
         if data.edge_attr is not None and self.cat:

@@ -137,12 +137,13 @@ class TwoHop(BaseTransform):
         a = sp.coo_matrix((np.ones(coo.shape[1]), (coo[0], coo[1])),
                           shape=(n, n)).tocsr()
         a2 = (a @ a).tocoo()
-        row = np.concatenate([coo[0], a2.row])
-        col = np.concatenate([coo[1], a2.col])
+        # self-loops are removed from the NEW 2-hop edges only; original
+        # loops survive (reference two_hop.py: remove_self_loops on
+        # edge_index2 before the union)
+        keep2 = a2.row != a2.col
+        row = np.concatenate([coo[0], a2.row[keep2]])
+        col = np.concatenate([coo[1], a2.col[keep2]])
         pairs = np.unique(np.stack([row, col]), axis=1)
-        keep = pairs[0] != pairs[1]
-        extra_mask = np.ones(pairs.shape[1], bool)
-        pairs = pairs[:, keep]
         return data.replace(edge_index=jnp.asarray(
             pairs.astype(np.int32)), edge_attr=None)
 
