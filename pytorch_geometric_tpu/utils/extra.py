@@ -38,12 +38,15 @@ def get_laplacian(edge_index, edge_weight: Optional[jnp.ndarray] = None,
         off_w = -w
         diag_w = deg
     elif normalization == 'sym':
-        dis = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+        # reference laplacian.py:77-79 masks inf -> 0 for isolated nodes
+        dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)),
+                        0.0)
         off_w = -dis[src] * w * dis[dst]
         diag_w = jnp.ones((n,))
     elif normalization == 'rw':
-        dinv = 1.0 / jnp.maximum(deg, 1e-12)
-        off_w = -dinv[dst] * w
+        # reference laplacian.py:83: deg_inv[ROW] * w, inf masked to 0
+        dinv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
+        off_w = -dinv[src] * w
         diag_w = jnp.ones((n,))
     else:
         raise ValueError(f"Unknown normalization '{normalization}'")
@@ -67,8 +70,8 @@ def homophily(edge_index, y: jnp.ndarray, method: str = 'edge',
         cnt = np.zeros(n)
         np.add.at(per_node, coo[1], same)
         np.add.at(cnt, coo[1], 1)
-        mask = cnt > 0
-        return float((per_node[mask] / cnt[mask]).mean())
+        # reference _homophily.py: mean over ALL nodes (isolated -> 0)
+        return float((per_node / np.maximum(cnt, 1)).mean())
     if method == 'edge_insensitive':
         classes = np.unique(y)
         h_edge = same.mean()
@@ -175,9 +178,11 @@ def normalized_cut(edge_index, edge_weight: jnp.ndarray,
     coo = jnp.asarray(edge_index.coo if hasattr(edge_index, 'coo')
                       else edge_index)
     n = num_nodes if num_nodes is not None else int(coo.max()) + 1
-    deg = degree(coo[0], n) + degree(coo[1], n)
-    return edge_weight * (1.0 / jnp.maximum(deg[coo[0]], 1)
-                          + 1.0 / jnp.maximum(deg[coo[1]], 1))
+    # reference _normalized_cut.py:33: deg over COL; zero-degree rows
+    # produce inf exactly like the reference
+    deg = degree(coo[1], n)
+    inv = 1.0 / deg
+    return edge_weight * (inv[coo[0]] + inv[coo[1]])
 
 
 def unbatch(x: np.ndarray, batch: np.ndarray) -> List[np.ndarray]:
