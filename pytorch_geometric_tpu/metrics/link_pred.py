@@ -197,8 +197,9 @@ class LinkPredPersonalization(LinkPredMetric):
         for i in range(n):
             for j in range(i + 1, n):
                 inter = len(self._lists[i] & self._lists[j])
-                union = len(self._lists[i] | self._lists[j])
-                sims.append(inter / max(union, 1))
+                # reference link_pred.py: similarity = |A n B| / k
+                # ("inverse cosine"), not Jaccard
+                sims.append(inter / max(self.k, 1))
         return 1.0 - float(np.mean(sims))
 
 
