@@ -39,7 +39,8 @@ def pad_request(x, coo, nb):
     x_p = np.zeros((nb, x.shape[1]), np.float32)
     x_p[:n] = x
     coo_p = np.full((2, eb), nb, np.int32)
-    coo_p[:, :e] = coo[:, :eb]
+    k = min(e, eb)          # truncate requests past the edge budget
+    coo_p[:, :k] = coo[:, :k]
     return jnp.asarray(x_p), jnp.asarray(coo_p), n
 
 

@@ -87,6 +87,7 @@ def main():
         nbr = LastNeighborLoader(N_NODES, size=10)
         loader = TemporalDataLoader(train, batch_size=B,
                                     neg_sampling_ratio=1.0)
+        ev_base = 0         # cumulative event offset for e_id lookups
         for batch in loader:
             if len(batch.src) < B:
                 continue
@@ -111,7 +112,8 @@ def main():
                 jnp.asarray(batch.msg), jnp.asarray(batch.neg_dst[:B]),
                 jnp.asarray(ei_pad.astype(np.int32)),
                 jnp.asarray(et_pad))
-            nbr.insert(batch.src, batch.dst)
+            nbr.insert(batch.src, batch.dst, e_id0=ev_base)
+            ev_base += len(batch.src)
         print(f'epoch {epoch}: loss {float(loss):.4f}')
 
 

@@ -49,6 +49,18 @@ def load():
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
+        if not hasattr(lib, 'multilevel_partition'):
+            # stale .so from before partition.cpp (mtime check can be
+            # fooled by archive extraction): force one rebuild
+            del lib
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
+            if not hasattr(lib, 'multilevel_partition'):
+                return None
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.neighbor_sample.restype = ctypes.c_int64

@@ -137,7 +137,13 @@ class RocksDatabase(Database):
 
     def insert(self, index: int, data: Any):
         key = self._key(index)
-        if self._db.get(key) is None:
+        # cheap existence check keeps the O(1) counter without a value
+        # read on the bulk-ingest path; key_may_exist false-positives
+        # fall back to one get
+        may = getattr(self._db, 'key_may_exist', None)
+        exists = (self._db.get(key) is not None
+                  if may is None or may(key) else False)
+        if not exists:
             self._count += 1
         self._db[key] = _serialize(data)
 

@@ -245,8 +245,8 @@ class EdgeIndex:
                 # fewer blocks (utils/reorder.py). The relabel is baked
                 # into the cached layout; spmm un-permutes, so callers
                 # never see it.
-                perm_np, inv_np, cap_frac = choose_block_order(
-                    coo_np, ns, nd)
+                perm_np, inv_np, cap_frac, blk_mask = \
+                    choose_block_order(coo_np, ns, nd)
                 if perm_np is not None:
                     # padded endpoints (== ns sentinel) pass through
                     inv_ext = np.concatenate([inv_np, [ns]])
@@ -254,10 +254,12 @@ class EdgeIndex:
                         coo_np.astype(np.int64), ns)]
                 else:
                     coo_b = coo_np
-                if block_sparse or bsr_profitable(coo_b, ns, nd,
-                                                  capture=cap_frac):
+                if block_sparse or bsr_profitable(
+                        coo_b, ns, nd, capture=cap_frac,
+                        in_blk=blk_mask):
                     bsr, bsr_t, bsr_res = build_bsr_pair(
-                        coo_b, np.asarray(dense_weight), ns, nd)
+                        coo_b, np.asarray(dense_weight), ns, nd,
+                        in_blk=blk_mask)
                     if perm_np is not None:
                         if bsr_res is not None:
                             # residual COO back to ORIGINAL ids so the

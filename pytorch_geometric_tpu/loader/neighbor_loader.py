@@ -142,12 +142,27 @@ class NeighborLoader:
     def __iter__(self):
         batches = self._batches()
         if self.num_workers > 0:
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
+            # bounded in-flight window (num_workers + 2): Executor.map
+            # would submit the WHOLE epoch upfront and let finished
+            # batches pile up faster than the consumer drains them
             # no `with`: a consumer that abandons the generator would
             # otherwise run the executor's __exit__ during GC/shutdown
             pool = ThreadPoolExecutor(self.num_workers)
+            inflight = deque()
+            it = iter(batches)
             try:
-                yield from pool.map(lambda b: self._one(*b), batches)
+                for b in it:
+                    inflight.append(pool.submit(self._one, *b))
+                    if len(inflight) >= self.num_workers + 2:
+                        break
+                while inflight:
+                    out = inflight.popleft().result()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        inflight.append(pool.submit(self._one, *nxt))
+                    yield out
             finally:
                 try:
                     pool.shutdown(wait=False, cancel_futures=True)

@@ -44,25 +44,42 @@ class PrefetchLoader:
         import threading
         q: 'queue.Queue' = queue.Queue(maxsize=max(self.queue_size, 1))
         done = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment: without
+            # the stop check, an abandoned iterator leaves the producer
+            # blocked in q.put forever (leaked thread + device batches)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self.loader:
-                    q.put(('item', self._put(b)))
+                    if not put(('item', self._put(b))):
+                        return
             except BaseException as e:          # propagate to consumer
-                q.put(('error', e))
+                put(('error', e))
                 return
-            q.put(('done', done))
+            put(('done', done))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            kind, payload = q.get()
-            if kind == 'error':
-                raise payload
-            if kind == 'done':
-                return
-            yield payload
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == 'error':
+                    raise payload
+                if kind == 'done':
+                    return
+                yield payload
+        finally:
+            stop.set()
 
     def __iter__(self) -> Iterator:
         if self.num_threads > 0:

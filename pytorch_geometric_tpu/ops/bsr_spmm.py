@@ -233,15 +233,24 @@ def split_by_block_fill(coo: np.ndarray, weight: np.ndarray,
 
 
 def build_bsr_pair(coo: np.ndarray, weight: np.ndarray, num_src: int,
-                   num_dst: int, dtype=np.float32, hybrid: bool = True):
+                   num_dst: int, dtype=np.float32, hybrid: bool = True,
+                   in_blk: Optional[np.ndarray] = None):
     """Forward (dst-major) + transpose (src-major) block layouts —
     the pair the custom VJP needs — plus the residual COO
     ``(src, dst, w)`` of edges left on the gather path (``None`` if
-    every edge was captured or ``hybrid=False``)."""
+    every edge was captured or ``hybrid=False``). ``in_blk``: a
+    precomputed block-fill mask (skips the re-analysis)."""
     res = None
     if hybrid:
-        coo_blk, w_blk, coo_res, w_res, _ = split_by_block_fill(
-            coo, weight, num_src, num_dst)
+        if in_blk is not None:
+            w = np.asarray(weight)
+            valid = (coo[0] < num_src) & (coo[1] < num_dst)
+            res_m = valid & ~in_blk
+            coo_blk, w_blk = coo[:, in_blk], w[in_blk]
+            coo_res, w_res = coo[:, res_m], w[res_m]
+        else:
+            coo_blk, w_blk, coo_res, w_res, _ = split_by_block_fill(
+                coo, weight, num_src, num_dst)
         if coo_res.shape[1] > 0:
             res = (jnp.asarray(coo_res[0].astype(np.int32)),
                    jnp.asarray(coo_res[1].astype(np.int32)),
@@ -256,8 +265,9 @@ def build_bsr_pair(coo: np.ndarray, weight: np.ndarray, num_src: int,
 
 
 def choose_block_order(coo: np.ndarray, num_src: int, num_dst: int):
-    """(perm, inv, capture_frac) of a hubs-first relabel if it
-    meaningfully improves 128x128 block fill, else (None, None, cap).
+    """(perm, inv, capture_frac, in_blk_mask) of a hubs-first relabel
+    if it meaningfully improves 128x128 block fill, else
+    (None, None, cap, mask).
     Square adjacency only — the same permutation must apply to rows and
     columns so the cached transpose stays P A^T P^T. The returned
     capture fraction (of whichever layout won) lets the caller skip
@@ -265,33 +275,38 @@ def choose_block_order(coo: np.ndarray, num_src: int, num_dst: int):
     graphs: captured-edge fraction 0.22 -> 0.71, nonempty blocks cut
     2.6x (benchmarks/reorder_quality.py)."""
     if num_src != num_dst or os.environ.get('PGT_DISABLE_BSR_REORDER'):
-        return None, None, None
+        return None, None, None, None
     from ..utils.reorder import degree_order
     n = num_src
-    w1 = np.ones(coo.shape[1], np.float32)
-    _, _, _, _, cap0 = split_by_block_fill(coo, w1, n, n)
+
+    def capture_of(c):
+        m = block_fill_mask(c, n, n)
+        valid = (c[0] < n) & (c[1] < n)
+        return float(m.sum()) / max(int(valid.sum()), 1), m
+
+    cap0, mask0 = capture_of(coo)
     if cap0 >= 0.85:            # natural order already block-dense
-        return None, None, cap0
+        return None, None, cap0, mask0
     perm = degree_order(coo, n)
     inv = np.empty(n, np.int64)
     inv[perm] = np.arange(n)
     # padded endpoints (== n sentinel) must survive the relabel
     inv_ext = np.concatenate([inv, [n]])
     coo_r = inv_ext[np.minimum(coo.astype(np.int64), n)]
-    _, _, _, _, cap1 = split_by_block_fill(coo_r, w1, n, n)
+    cap1, mask1 = capture_of(coo_r)
     if cap1 > cap0 * 1.25 and cap1 - cap0 > 0.05:
-        return perm, inv, cap1
-    return None, None, cap0
+        return perm, inv, cap1, mask1
+    return None, None, cap0, mask0
 
 
 def bsr_profitable(coo: np.ndarray, num_src: int, num_dst: int,
                    max_entries: Optional[int] = None,
-                   capture: Optional[float] = None) -> bool:
+                   capture: Optional[float] = None,
+                   in_blk: Optional[np.ndarray] = None) -> bool:
     """Gate for the hybrid split: enough of the edge mass lands in
     dense-enough blocks (``PGT_BSR_MIN_CAPTURE``, default 0.5) and the
-    captured blocks' storage fits the memory cap. ``capture``: the
-    already-computed captured-edge fraction (skips one O(E log E)
-    analysis pass when the caller ran choose_block_order)."""
+    captured blocks' storage fits the memory cap. ``capture``/``in_blk``
+    (from choose_block_order) skip the O(E log E) re-analysis."""
     if os.environ.get('PGT_DISABLE_BSR_SPMM'):
         return False
     min_capture = float(os.environ.get('PGT_BSR_MIN_CAPTURE', 0.5))
@@ -299,6 +314,12 @@ def bsr_profitable(coo: np.ndarray, num_src: int, num_dst: int,
         float(os.environ.get('PGT_BSR_MAX_ENTRIES', 5e8)))
     if capture is not None and capture < min_capture:
         return False
+    if capture is not None and in_blk is not None:
+        coo_blk = coo[:, in_blk]
+        if coo_blk.shape[1] == 0:
+            return False
+        nb, _ = bsr_stats(coo_blk, num_src, num_dst)
+        return nb * BS * BS <= cap
     coo_blk, _, _, _, frac = split_by_block_fill(
         coo, np.ones(coo.shape[1], np.float32), num_src, num_dst)
     if coo_blk.shape[1] == 0 or frac < min_capture:

@@ -222,7 +222,7 @@ def test_bsr_reorder_reduces_blocks():
     n, e = 20000, 60000
     coo, w, _ = _powerlaw_graph(n, e, 8, seed=4)
     from pytorch_geometric_tpu.ops.bsr_spmm import choose_block_order
-    perm, inv, cap = choose_block_order(coo, n, n)
+    perm, inv, cap, _ = choose_block_order(coo, n, n)
     assert perm is not None and cap > 0.5
     nb0, _ = bsr_stats(coo, n, n)
     nb1, _ = bsr_stats(inv[coo], n, n)
