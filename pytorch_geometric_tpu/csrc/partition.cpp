@@ -58,37 +58,63 @@ int64_t match(const Graph& g, std::mt19937_64& rng,
 
 Graph coarsen(const Graph& g, const std::vector<int64_t>& cmap,
               int64_t nc) {
-  std::vector<std::tuple<int64_t, int64_t, double>> edges;
-  edges.reserve(g.col.size());
-  for (int64_t v = 0; v < g.n; ++v)
+  // Counting-sort edges by coarse row (O(E)), then sort each row's
+  // short column run — replaces the global O(E log E) tuple sort that
+  // dominated partition time on multi-million-edge graphs.
+  const size_t m = g.col.size();
+  std::vector<int64_t> row_cnt(nc + 1, 0);
+  std::vector<int64_t> crow(m), ccol(m);
+  std::vector<double> cw(m);
+  size_t kept = 0;
+  for (int64_t v = 0; v < g.n; ++v) {
+    int64_t a = cmap[v];
     for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e) {
-      int64_t a = cmap[v], b = cmap[g.col[e]];
-      if (a != b) edges.emplace_back(a, b, g.w[e]);
+      int64_t b = cmap[g.col[e]];
+      if (a == b) continue;
+      crow[kept] = a;
+      ccol[kept] = b;
+      cw[kept] = g.w[e];
+      ++kept;
     }
-  std::sort(edges.begin(), edges.end(),
-            [](const auto& x, const auto& y) {
-              if (std::get<0>(x) != std::get<0>(y))
-                return std::get<0>(x) < std::get<0>(y);
-              return std::get<1>(x) < std::get<1>(y);
-            });
+  }
+  for (size_t i = 0; i < kept; ++i) row_cnt[crow[i] + 1]++;
+  for (int64_t v = 0; v < nc; ++v) row_cnt[v + 1] += row_cnt[v];
+  std::vector<int64_t> order(kept);
+  {
+    std::vector<int64_t> cursor(row_cnt.begin(), row_cnt.end() - 1);
+    for (size_t i = 0; i < kept; ++i) order[cursor[crow[i]]++] = i;
+  }
   Graph c;
   c.n = nc;
   c.ptr.assign(nc + 1, 0);
   c.nw.assign(nc, 0.0);
   for (int64_t v = 0; v < g.n; ++v) c.nw[cmap[v]] += g.nw[v];
-  for (size_t i = 0; i < edges.size();) {
-    size_t j = i;
-    double s = 0;
-    while (j < edges.size() &&
-           std::get<0>(edges[j]) == std::get<0>(edges[i]) &&
-           std::get<1>(edges[j]) == std::get<1>(edges[i])) {
-      s += std::get<2>(edges[j]);
-      ++j;
+  c.col.reserve(kept);
+  c.w.reserve(kept);
+  std::vector<std::pair<int64_t, double>> runbuf;
+  for (int64_t r = 0; r < nc; ++r) {
+    int64_t lo = row_cnt[r], hi = row_cnt[r + 1];
+    runbuf.clear();
+    for (int64_t i = lo; i < hi; ++i) {
+      size_t e = order[i];
+      runbuf.emplace_back(ccol[e], cw[e]);
     }
-    c.col.push_back(std::get<1>(edges[i]));
-    c.w.push_back(s);
-    c.ptr[std::get<0>(edges[i]) + 1]++;
-    i = j;
+    std::sort(runbuf.begin(), runbuf.end(),
+              [](const auto& x, const auto& y) {
+                return x.first < y.first;
+              });
+    for (size_t i = 0; i < runbuf.size();) {
+      size_t j = i;
+      double s = 0;
+      while (j < runbuf.size() && runbuf[j].first == runbuf[i].first) {
+        s += runbuf[j].second;
+        ++j;
+      }
+      c.col.push_back(runbuf[i].first);
+      c.w.push_back(s);
+      c.ptr[r + 1]++;
+      i = j;
+    }
   }
   for (int64_t v = 0; v < nc; ++v) c.ptr[v + 1] += c.ptr[v];
   return c;
