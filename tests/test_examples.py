@@ -20,6 +20,6 @@ def test_example_runs(name):
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
     out = subprocess.run(
         [sys.executable, osp.join(REPO, 'examples', f'{name}.py')],
-        capture_output=True, text=True, timeout=400, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert 'acc' in out.stdout
