@@ -129,13 +129,6 @@ class RENet(fnn.Module):
     seq_len: int = 5
     dropout: float = 0.0
 
-    @staticmethod
-    def _gru_cell(lin_zr, lin_h, h, x):
-        zr = lin_zr(jnp.concatenate([x, h], -1))
-        z, r = jnp.split(jax.nn.sigmoid(zr), 2, axis=-1)
-        hh = jnp.tanh(lin_h(jnp.concatenate([x, r * h], -1)))
-        return (1 - z) * h + z * hh
-
     @fnn.compact
     def __call__(self, sub, rel, obj, h_sub, h_sub_mask, h_obj,
                  h_obj_mask, deterministic: bool = True):
@@ -157,12 +150,14 @@ class RENet(fnn.Module):
         se, re_, oe = ent[sub], relp[rel], ent[obj]
 
         def run_gru(name, center, hist):
-            lin_zr = fnn.Dense(2 * hid, name=f'{name}_zr')
-            lin_h = fnn.Dense(hid, name=f'{name}_h')
+            # Standard GRU semantics (== torch.nn.GRU, reference
+            # re_net.py:75): flax GRUCell, statically unrolled with a
+            # shared cell, h0 = 0.
+            cell = fnn.GRUCell(features=hid, name=f'{name}')
             h = jnp.zeros((b, hid))
-            for t in range(self.seq_len):   # static unroll, shared cell
+            for t in range(self.seq_len):
                 x = jnp.concatenate([center, hist[:, t], re_], -1)
-                h = self._gru_cell(lin_zr, lin_h, h, x)
+                h, _ = cell(h, x)
             return h
 
         g_sub = run_gru('sub_gru', se, hs)

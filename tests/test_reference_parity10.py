@@ -240,3 +240,84 @@ def test_node2vec_loss():
     g = pm.Node2Vec.loss(params, jnp.asarray(pos_rw.astype(np.int32)),
                          jnp.asarray(neg_rw.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-5)
+
+
+# ---- RENet: GRU encoder over per-step mean-aggregated histories ----
+def _gru_overrides(name):
+    """Map torch nn.GRU(l0) weights onto a flax GRUCell named ``name``."""
+    def slc(key, i):
+        return lambda sd: np.split(sd[f'{name}.{key}'], 3, axis=0)[i]
+
+    def slcT(key, i):
+        return lambda sd: np.split(sd[f'{name}.{key}'], 3, axis=0)[i].T
+
+    def bias_rz(i):
+        return lambda sd: (np.split(sd[f'{name}.bias_ih_l0'], 3)[i]
+                           + np.split(sd[f'{name}.bias_hh_l0'], 3)[i])
+
+    return {
+        f'{name}.ir.kernel': slcT('weight_ih_l0', 0),
+        f'{name}.iz.kernel': slcT('weight_ih_l0', 1),
+        f'{name}.in.kernel': slcT('weight_ih_l0', 2),
+        f'{name}.hr.kernel': slcT('weight_hh_l0', 0),
+        f'{name}.hz.kernel': slcT('weight_hh_l0', 1),
+        f'{name}.hn.kernel': slcT('weight_hh_l0', 2),
+        f'{name}.ir.bias': bias_rz(0),
+        f'{name}.iz.bias': bias_rz(1),
+        f'{name}.in.bias': lambda sd: np.split(
+            sd[f'{name}.bias_ih_l0'], 3)[2],
+        f'{name}.hn.bias': lambda sd: np.split(
+            sd[f'{name}.bias_hh_l0'], 3)[2],
+    }
+
+
+def test_renet():
+    from torch_geometric.data import Data
+    NN, R, H, L, BS, K = 20, 4, 8, 3, 5, 4
+    r2 = np.random.default_rng(42)
+    sub = r2.integers(0, NN, BS)
+    rel = r2.integers(0, R, BS)
+    obj = r2.integers(0, NN, BS)
+
+    def make_hist():
+        flat_ids, flat_t, flat_b = [], [], []
+        pad_ids = np.zeros((BS, L, K), np.int64)
+        mask = np.zeros((BS, L, K), bool)
+        for b in range(BS):
+            for step in range(L):
+                c = int(r2.integers(0, K + 1))
+                ids = r2.integers(0, NN, c)
+                pad_ids[b, step, :c] = ids
+                mask[b, step, :c] = True
+                flat_ids += list(ids)
+                flat_t += [step] * c
+                flat_b += [b] * c
+        return (pad_ids, mask, np.asarray(flat_ids, np.int64),
+                np.asarray(flat_t, np.int64), np.asarray(flat_b, np.int64))
+
+    hs_pad, hs_mask, hs_f, hs_t, hs_b = make_hist()
+    ho_pad, ho_mask, ho_f, ho_t, ho_b = make_hist()
+
+    ref = tm.RENet(NN, R, hidden_channels=H, seq_len=L, dropout=0.0)
+    ref.eval()
+    data = Data(sub=t(sub), rel=t(rel), obj=t(obj), h_sub=t(hs_f),
+                h_sub_t=t(hs_t), h_sub_batch=t(hs_b), h_obj=t(ho_f),
+                h_obj_t=t(ho_t), h_obj_batch=t(ho_b))
+    with torch.no_grad():
+        r_obj, r_sub = ref(data)
+
+    ours = pm.RENet(num_nodes=NN, num_rels=R, hidden_channels=H,
+                    seq_len=L, dropout=0.0)
+    ja = lambda a: jnp.asarray(a.astype(np.int32))
+    args = (ja(sub), ja(rel), ja(obj), ja(hs_pad), jnp.asarray(hs_mask),
+            ja(ho_pad), jnp.asarray(ho_mask))
+    params = ours.init(jax.random.PRNGKey(0), *args)
+    ov = {'ent': lambda sd: sd['ent'], 'rel': lambda sd: sd['rel']}
+    ov.update(_gru_overrides('sub_gru'))
+    ov.update(_gru_overrides('obj_gru'))
+    params = transplant(ref, params, ov)
+    g_obj, g_sub = ours.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(g_obj), r_obj.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sub), r_sub.numpy(),
+                               rtol=1e-4, atol=1e-5)
