@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..encoding import TemporalEncoding
+from ..encoding import TimeEncoder
 from ...ops import scatter
 from ...data.temporal import TemporalData  # noqa: F401 (canonical home)
 
@@ -46,7 +46,8 @@ class TGNMemory(fnn.Module):
                  ) -> Tuple[TGNMemoryState, jnp.ndarray]:
         """Process one event batch; returns (new_state, z_src_dst)."""
         n, d = self.num_nodes, self.memory_dim
-        enc = TemporalEncoding(self.time_dim, name='time_enc')
+        # Learned cos(W t + b) encoder (reference tgn.py:215 TimeEncoder)
+        enc = TimeEncoder(self.time_dim, name='time_enc')
         rel_t_src = t - state.last_update[src]
         rel_t_dst = t - state.last_update[dst]
         # identity message: [mem_src, mem_dst, raw_msg, time_enc]

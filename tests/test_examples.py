@@ -17,7 +17,12 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 def test_example_runs(name):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
-    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+    # Drop the axon TPU plugin's sitecustomize dir from the child's
+    # PYTHONPATH: it overrides JAX_PLATFORMS to 'axon,cpu', and a wedged
+    # tunnel then hangs the example subprocess for minutes.
+    inherited = [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+                 if p and 'axon' not in p]
+    env['PYTHONPATH'] = os.pathsep.join([REPO] + inherited)
     out = subprocess.run(
         [sys.executable, osp.join(REPO, 'examples', f'{name}.py')],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
