@@ -18,6 +18,8 @@ run spmm_xla         benchmarks/spmm_bench.py --xla --steps 30
 run spmm_auto        benchmarks/spmm_bench.py --steps 30
 run spmm_dense       benchmarks/spmm_bench.py --dense --nodes 10000 --edges 200000 --steps 50
 run spmm_dense_bf16  benchmarks/spmm_bench.py --dense --bf16 --nodes 10000 --edges 200000 --steps 50
+run grouped_uniform  benchmarks/grouped_bench.py --skew uniform --reps 10
+run grouped_powerlaw benchmarks/grouped_bench.py --skew powerlaw --reps 10
 run spmm_bsr_clust   benchmarks/spmm_bench.py --bsr --clustered 256 --steps 30
 run spmm_bsr_plaw    benchmarks/spmm_bench.py --bsr --powerlaw --steps 30
 # products-scale (ogbn-products N/E on a synthetic graph): the honest

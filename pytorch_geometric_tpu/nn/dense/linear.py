@@ -47,8 +47,10 @@ class HeteroLinear(fnn.Module):
         w = self.param('weight', fnn.initializers.glorot_uniform(),
                        (self.num_types, f, self.out_channels))
         # Typed GEMM (TPU segment_matmul): dense einsum for small type
-        # counts; pass a host-built ``build_typed_layout(...)`` for the
-        # sort-and-batch grouped GEMM when num_types is large/skewed.
+        # counts; pass a host-built ``build_ragged_layout(...)`` for the
+        # lax.ragged_dot grouped GEMM (zero padding FLOPs) or
+        # ``build_typed_layout(...)`` for sort-and-batch when num_types
+        # is large/skewed.
         out = typed_matmul(x, type_vec, w, typed_layout)
         if self.use_bias:
             b = self.param('bias', fnn.initializers.zeros,

@@ -4,7 +4,8 @@ from .softmax import softmax
 from .spmm import spmm
 
 __all__ = [
-    'TypedLayout', 'build_typed_layout', 'typed_matmul', 'grouped_matmul',
+    'TypedLayout', 'RaggedLayout', 'build_typed_layout',
+    'build_ragged_layout', 'typed_matmul', 'grouped_matmul',
     'scatter', 'scatter_argmax', 'group_argsort',
     'segment', 'segment_logsumexp', 'ptr2index', 'index2ptr',
     'softmax', 'spmm',
@@ -13,7 +14,8 @@ __all__ = [
     'sampled_op', 'sampled_add', 'sampled_sub', 'sampled_mul',
     'sampled_div',
 ]
-from .grouped import (TypedLayout, build_typed_layout, typed_matmul,
+from .grouped import (TypedLayout, RaggedLayout, build_typed_layout,
+                      build_ragged_layout, typed_matmul,
                       grouped_matmul)
 from .sddmm import (sddmm, edge_softmax, edge_softmax_aggregate,
                     multi_relation_softmax_aggregate,

@@ -2,7 +2,7 @@
 / ``grouped_matmul`` role (reference ``nn/dense/linear.py:301`` uses it
 inside HeteroLinear, ``rgcn_conv.py:224`` for typed message transforms).
 
-Two TPU strategies, picked by type skew:
+Three TPU strategies, picked by type skew:
 
 1. dense-einsum (default, small R): ``x @ W[r]`` for every (row, type)
    pair — one big MXU einsum, wastes R-1 of R FLOPs but no data
@@ -11,9 +11,15 @@ Two TPU strategies, picked by type skew:
    per-type runs padded to a shared bucket ``T``; compute is ONE
    batched GEMM ``[R, T, F] @ [R, F, C]`` — FLOPs proportional to
    rows + padding instead of rows * R.
+3. ragged (large/skewed R, preferred): rows sorted by type, then
+   ``jax.lax.ragged_dot`` — XLA's MoE grouped-GEMM primitive tiles
+   variable-length type runs straight onto the MXU with **zero
+   padding FLOPs**, the same role CUTLASS grouped GEMM plays for
+   pyg-lib's ``segment_matmul``.
 
-``TypedLayout`` is the host-precomputed sort (analogous to the cached
-CSC permutations); build it once per graph/batch shape.
+``TypedLayout`` / ``RaggedLayout`` are host-precomputed sorts
+(analogous to the cached CSC permutations); build once per
+graph/batch shape.
 """
 
 from typing import NamedTuple, Optional
@@ -64,15 +70,45 @@ def build_typed_layout(types: np.ndarray, num_types: int,
                        bucket=T)
 
 
+class RaggedLayout(NamedTuple):
+    """Host-precomputed type-major sort for ``lax.ragged_dot``.
+
+    order:       [N] row indices sorted by type (stable)
+    unorder:     [N] inverse permutation (sorted slot -> original row)
+    group_sizes: [R] rows per type
+    """
+    order: jnp.ndarray
+    unorder: jnp.ndarray
+    group_sizes: jnp.ndarray
+
+
+def build_ragged_layout(types: np.ndarray, num_types: int) -> RaggedLayout:
+    """Stable type-sort of rows; no padding (see :class:`RaggedLayout`)."""
+    types = np.asarray(types)
+    order = np.argsort(types, kind='stable')
+    unorder = np.empty_like(order)
+    unorder[order] = np.arange(len(order))
+    sizes = np.bincount(types, minlength=num_types)
+    return RaggedLayout(order=jnp.asarray(order.astype(np.int32)),
+                        unorder=jnp.asarray(unorder.astype(np.int32)),
+                        group_sizes=jnp.asarray(sizes.astype(np.int32)))
+
+
 def typed_matmul(x: jnp.ndarray, types: jnp.ndarray, weights: jnp.ndarray,
-                 layout: Optional[TypedLayout] = None) -> jnp.ndarray:
+                 layout: Optional[NamedTuple] = None) -> jnp.ndarray:
     """out[i] = x[i] @ weights[types[i]].
 
     x: [N, F]; types: [N] int; weights: [R, F, C].
-    With ``layout`` (from :func:`build_typed_layout`) uses the
-    sort-and-batch grouped GEMM; otherwise the dense einsum.
+    With a :class:`RaggedLayout` (from :func:`build_ragged_layout`)
+    uses ``lax.ragged_dot`` (zero padding FLOPs); with a
+    :class:`TypedLayout` the sort-and-batch grouped GEMM; otherwise
+    the dense einsum.
     """
     r = weights.shape[0]
+    if isinstance(layout, RaggedLayout):
+        out = jax.lax.ragged_dot(x[layout.order], weights,
+                                 layout.group_sizes)
+        return out[layout.unorder]
     if layout is None:
         # dense: [N, R, C] then select each row's type
         all_out = jnp.einsum('nf,rfc->nrc', x, weights)

@@ -180,3 +180,33 @@ def test_typed_matmul_grouped_matches_dense():
     o1 = m.apply(params, x, jnp.asarray(types))
     o2 = m.apply(params, x, jnp.asarray(types), typed_layout=lay)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_typed_matmul_ragged_matches_dense():
+    """lax.ragged_dot path == dense einsum path (incl. empty types,
+    under jit, and through HeteroLinear)."""
+    import jax
+    from pytorch_geometric_tpu.ops import build_ragged_layout, typed_matmul
+    rng2 = np.random.default_rng(8)
+    N, F, C, R = 200, 8, 12, 15
+    x = jnp.asarray(rng2.normal(size=(N, F)).astype(np.float32))
+    types = rng2.integers(0, R, N)
+    types[types == 3] = 4          # leave type 3 empty
+    W = jnp.asarray(rng2.normal(size=(R, F, C)).astype(np.float32))
+    dense = typed_matmul(x, jnp.asarray(types), W)
+    lay = build_ragged_layout(types, R)
+    ragged = jax.jit(typed_matmul)(x, jnp.asarray(types), W, lay)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ragged),
+                               atol=1e-4)
+    # gradients flow through the ragged path
+    g = jax.grad(lambda w: typed_matmul(x, jnp.asarray(types), w,
+                                        lay).sum())(W)
+    gd = jax.grad(lambda w: typed_matmul(x, jnp.asarray(types),
+                                         w).sum())(W)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd), atol=1e-3)
+    from pytorch_geometric_tpu.nn.dense import HeteroLinear
+    m = HeteroLinear(out_channels=C, num_types=R)
+    params = m.init(jax.random.PRNGKey(0), x, jnp.asarray(types))
+    o1 = m.apply(params, x, jnp.asarray(types))
+    o2 = m.apply(params, x, jnp.asarray(types), typed_layout=lay)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
