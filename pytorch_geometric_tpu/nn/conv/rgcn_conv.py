@@ -32,7 +32,14 @@ class RGCNConv(MessagePassing):
 
     @fnn.compact
     def __call__(self, x, edge_index, edge_type: jnp.ndarray,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 typed_layout=None) -> jnp.ndarray:
+        """``typed_layout``: optional host-built
+        ``ops.build_ragged_layout(edge_type, num_relations)`` — switches
+        the relation transform from the dense [R, N, F'] einsum
+        (R x N x F' FLOPs/memory) to an edge-wise ``lax.ragged_dot``
+        grouped GEMM (E x F' — wins when E << R*N, i.e. many
+        relations)."""
         x_src, x_dst = x if isinstance(x, tuple) else (x, x)
         n_src, n_dst = x_src.shape[0], x_dst.shape[0]
         f_in = x_src.shape[-1]
@@ -55,21 +62,26 @@ class RGCNConv(MessagePassing):
             weight = self.param('weight', fnn.initializers.glorot_uniform(),
                                 (R, f_in, self.out_channels))
 
-        # Batched typed GEMM: h[r] = x @ W_r  (single MXU einsum; the TPU
-        # replacement for segment_matmul).
-        if weight is not None:
-            h = jnp.einsum('nf,rfo->rno', x_src, weight)   # [R, N, F']
-        else:
-            B = self.num_blocks
-            xb = x_src.reshape(n_src, B, f_in // B)
-            h = jnp.einsum('nbf,rbfo->rnbo', xb, blocks).reshape(
-                R, n_src, self.out_channels)
-
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         src = jnp.minimum(coo[0], n_src - 1)
         dst = jnp.minimum(coo[1], n_dst - 1)
         et = jnp.minimum(edge_type, R - 1)
-        msg = h[et, src]                                    # [E, F']
+
+        if typed_layout is not None and weight is not None:
+            # Edge-wise grouped GEMM (the segment_matmul formulation):
+            # gather source rows, one ragged MXU pass over relation runs.
+            from ...ops.grouped import typed_matmul
+            msg = typed_matmul(x_src[src], et, weight, typed_layout)
+        else:
+            # Batched typed GEMM: h[r] = x @ W_r (single MXU einsum).
+            if weight is not None:
+                h = jnp.einsum('nf,rfo->rno', x_src, weight)  # [R, N, F']
+            else:
+                B = self.num_blocks
+                xb = x_src.reshape(n_src, B, f_in // B)
+                h = jnp.einsum('nbf,rbfo->rnbo', xb, blocks).reshape(
+                    R, n_src, self.out_channels)
+            msg = h[et, src]                                  # [E, F']
 
         # Per (dst, relation) normalisation when aggr == 'mean'
         if self._aggr() == 'mean':

@@ -210,3 +210,22 @@ def test_typed_matmul_ragged_matches_dense():
     o1 = m.apply(params, x, jnp.asarray(types))
     o2 = m.apply(params, x, jnp.asarray(types), typed_layout=lay)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+
+def test_rgcn_ragged_layout_matches_dense():
+    import jax
+    from pytorch_geometric_tpu.nn.conv import RGCNConv
+    from pytorch_geometric_tpu.ops import build_ragged_layout
+    rng2 = np.random.default_rng(9)
+    N, E, F, C, R = 30, 120, 8, 10, 6
+    x = jnp.asarray(rng2.normal(size=(N, F)).astype(np.float32))
+    coo = jnp.asarray(rng2.integers(0, N, (2, E)).astype(np.int32))
+    et_np = rng2.integers(0, R, E)
+    et = jnp.asarray(et_np.astype(np.int32))
+    m = RGCNConv(out_channels=C, num_relations=R)
+    params = m.init(jax.random.PRNGKey(0), x, coo, et)
+    dense = m.apply(params, x, coo, et)
+    lay = build_ragged_layout(et_np, R)
+    ragged = m.apply(params, x, coo, et, typed_layout=lay)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ragged),
+                               rtol=1e-4, atol=1e-5)
