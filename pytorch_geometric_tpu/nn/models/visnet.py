@@ -71,15 +71,27 @@ class VecLayerNorm(fnn.Module):
     norm_type: Optional[str] = None
     trainable: bool = False
 
+    @staticmethod
+    def _max_min(vec: jnp.ndarray) -> jnp.ndarray:
+        norm = jnp.linalg.norm(vec, axis=1)                  # [N, C]
+        mx = norm.max(-1, keepdims=True)
+        mn = norm.min(-1, keepdims=True)
+        delta = mx - mn
+        delta = jnp.where(delta == 0, 1.0, delta)
+        scale = jax.nn.relu((norm - mn) / delta)
+        unit = vec / jnp.maximum(norm, 1e-12)[:, None, :]
+        return unit * scale[:, None, :]
+
     @fnn.compact
     def __call__(self, vec: jnp.ndarray) -> jnp.ndarray:
         if self.norm_type == 'max_min':
-            norm = jnp.linalg.norm(vec, axis=1)              # [N, C]
-            mx = norm.max(-1, keepdims=True)
-            mn = norm.min(-1, keepdims=True)
-            scale = (norm - mn) / jnp.maximum(mx - mn, 1e-6)
-            unit = vec / jnp.maximum(norm, 1e-6)[:, None, :]
-            vec = unit * scale[:, None, :]
+            if vec.shape[1] == 8:
+                # lmax=2: normalize the l=1 (3) and l=2 (5) harmonic
+                # blocks separately (reference visnet.py:255-264)
+                vec = jnp.concatenate([self._max_min(vec[:, :3]),
+                                       self._max_min(vec[:, 3:])], 1)
+            else:
+                vec = self._max_min(vec)
         if self.trainable:
             w = self.param('weight', fnn.initializers.ones,
                            (self.channels,))
@@ -153,13 +165,20 @@ class ViS_MP(fnn.Module):
         w2 = rejection(fnn.Dense(C, use_bias=False, name='w_src')(
             vec[src]), -d_ij)
         w_dot = (w1 * w2).sum(1)
-        if self.vertex:   # ViS_MP_Vertex (reference ``:657``)
+        if self.vertex:
+            # ViS_MP_Vertex (reference ``:657``): both t-rejections act
+            # on vec_i (the target), and f_proj gates w_dot / t_dot
+            # with separate halves.
             t1 = rejection(fnn.Dense(C, use_bias=False, name='t_trg')(
                 vec[dst]), d_ij)
             t2 = rejection(fnn.Dense(C, use_bias=False, name='t_src')(
-                vec[src]), -d_ij)
-            w_dot = w_dot + (t1 * t2).sum(1)
-        df = fnn.silu(fnn.Dense(C, name='f_proj')(f_ij)) * w_dot
+                vec[dst]), -d_ij)
+            t_dot = (t1 * t2).sum(1)
+            f1, f2 = jnp.split(fnn.silu(
+                fnn.Dense(2 * C, name='f_proj')(f_ij)), 2, -1)
+            df = f1 * w_dot + f2 * t_dot
+        else:
+            df = fnn.silu(fnn.Dense(C, name='f_proj')(f_ij)) * w_dot
         df = jnp.where(valid[:, None], df, 0)
         return dx, dvec, df
 
@@ -274,10 +293,13 @@ class ViSNet(fnn.Module):
         forces = -jax.grad(energy_fn)(pos)
     """
     lmax: int = 1
+    vecnorm_type: Optional[str] = None
+    trainable_vecnorm: bool = False
     num_heads: int = 8
     num_layers: int = 4
     hidden_channels: int = 128
     num_rbf: int = 32
+    trainable_rbf: bool = False
     cutoff: float = 5.0
     max_z: int = 100
     reduce_op: str = 'sum'
@@ -293,10 +315,14 @@ class ViSNet(fnn.Module):
             edge_mask = jnp.ones((coo.shape[1],), bool)
         if batch is None:
             batch = jnp.zeros((n,), jnp.int32)
-        x, v = ViSNetBlock(lmax=self.lmax, num_heads=self.num_heads,
+        x, v = ViSNetBlock(lmax=self.lmax, vecnorm_type=self.vecnorm_type,
+                           trainable_vecnorm=self.trainable_vecnorm,
+                           num_heads=self.num_heads,
                            num_layers=self.num_layers,
                            hidden_channels=self.hidden_channels,
-                           num_rbf=self.num_rbf, cutoff=self.cutoff,
+                           num_rbf=self.num_rbf,
+                           trainable_rbf=self.trainable_rbf,
+                           cutoff=self.cutoff,
                            max_z=self.max_z, vertex=self.vertex,
                            name='representation')(z, pos, coo, edge_mask)
         x = EquivariantScalar(self.hidden_channels, name='output')(x, v)
