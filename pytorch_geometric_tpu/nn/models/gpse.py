@@ -70,19 +70,54 @@ class GPSE(fnn.Module):
 
 
 class GPSENodeEncoder(fnn.Module):
-    """Maps PSE encodings up and concatenates onto ``x``
+    """Maps PSE encodings up (linear or relu-MLP, with raw batch-norm
+    and before/after dropout) and concatenates onto ``x``
     (reference ``gpse.py:615``)."""
     dim_emb: int
     dim_pe_in: int
     dim_pe_out: int
-    expand_x: bool = True
+    dim_in: Optional[int] = None
+    expand_x: bool = False
+    norm_type: Optional[str] = 'batchnorm'
+    model_type: str = 'mlp'
+    n_layers: int = 2
+    dropout_be: float = 0.5
+    dropout_ae: float = 0.2
 
     @fnn.compact
-    def __call__(self, x, pos_enc):
-        pe = fnn.Dense(self.dim_pe_out, name='pe_lin')(pos_enc)
+    def __call__(self, x, pos_enc, deterministic: bool = True,
+                 training: bool = False):
+        if self.dim_emb <= self.dim_pe_out:
+            raise ValueError(
+                "Desired GPSE dimension (dim_pe_out) must be smaller "
+                "than the final node embedding dimension (dim_emb).")
+
+        def drop(h, p, name):
+            if p == 0.0 or deterministic:
+                return h
+            return fnn.Dropout(p, deterministic=False, name=name)(h)
+
+        pe = drop(pos_enc, self.dropout_be, 'dropout_be')
+        if self.norm_type == 'batchnorm':
+            pe = fnn.BatchNorm(use_running_average=not training,
+                               epsilon=1e-5, momentum=0.9,
+                               name='raw_norm')(pe)
+        if self.model_type == 'mlp':
+            # reference layer stack: in -> 2*out -> ... -> out, relu each
+            dims = ([self.dim_pe_out] if self.n_layers == 1 else
+                    [2 * self.dim_pe_out] * (self.n_layers - 1)
+                    + [self.dim_pe_out])
+            for i, d in enumerate(dims):
+                pe = fnn.relu(fnn.Dense(d, name=f'pe_encoder_{2 * i}')(pe))
+        elif self.model_type == 'linear':
+            pe = fnn.Dense(self.dim_pe_out, name='pe_encoder')(pe)
+        else:
+            raise ValueError(f"GPSENodeEncoder: Does not support "
+                             f"'{self.model_type}' encoder model.")
+        pe = drop(pe, self.dropout_ae, 'dropout_ae')
         if self.expand_x:
             x = fnn.Dense(self.dim_emb - self.dim_pe_out,
-                          name='x_lin')(x)
+                          name='linear_x')(x)
         return jnp.concatenate([x, pe], -1)
 
 

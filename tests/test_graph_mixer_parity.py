@@ -86,3 +86,34 @@ def test_link_encoder():
     params = transplant(ref, params, ov)
     g = ours.apply(params, *args)
     np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-5)
+
+
+def test_gpse_node_encoder():
+    """GPSENodeEncoder oracle (reference gpse.py:615): mlp and linear
+    encoders, eval mode (fresh batch-norm running stats = identity)."""
+    from torch_geometric.nn.models import GPSENodeEncoder as TEnc
+    from pytorch_geometric_tpu.nn.models import GPSENodeEncoder
+    x = rng.standard_normal((N, 6)).astype(np.float32)
+    pe_in = rng.standard_normal((N, 4)).astype(np.float32)
+    for model_type in ('mlp', 'linear'):
+        ref = TEnc(dim_emb=16, dim_pe_in=4, dim_pe_out=8, dim_in=6,
+                   expand_x=True, model_type=model_type, n_layers=3)
+        ref.eval()
+        with torch.no_grad():
+            r = ref(t(x), t(pe_in)).numpy()
+        ours = GPSENodeEncoder(dim_emb=16, dim_pe_in=4, dim_pe_out=8,
+                               dim_in=6, expand_x=True,
+                               model_type=model_type, n_layers=3)
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                              jnp.asarray(pe_in))
+        ov = {'raw_norm.scale': lambda sd: sd['raw_norm.weight'],
+              'raw_norm.bias': lambda sd: sd['raw_norm.bias']}
+        if model_type == 'linear':
+            _lin(ov, 'pe_encoder', 'pe_encoder')
+        else:
+            for i in range(3):
+                _lin(ov, f'pe_encoder_{2 * i}', f'pe_encoder.{2 * i}')
+        _lin(ov, 'linear_x', 'linear_x')
+        variables = transplant(ref, variables, ov)
+        g = ours.apply(variables, jnp.asarray(x), jnp.asarray(pe_in))
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-5)

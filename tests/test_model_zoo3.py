@@ -148,7 +148,8 @@ def test_gpse_pipeline():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(d.pestat_GPSE), axis=-1),
         np.ones(N), rtol=1e-4)
-    enc = GPSENodeEncoder(dim_emb=32, dim_pe_in=8, dim_pe_out=12)
+    enc = GPSENodeEncoder(dim_emb=32, dim_pe_in=8, dim_pe_out=12,
+                          dim_in=5, expand_x=True)
     ep = enc.init(jax.random.PRNGKey(1), jnp.asarray(d.x), d.pestat_GPSE)
     assert enc.apply(ep, jnp.asarray(d.x),
                      d.pestat_GPSE).shape == (N, 32)
