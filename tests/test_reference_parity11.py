@@ -125,3 +125,34 @@ def test_tgn_memory():
     np.testing.assert_allclose(np.asarray(state.last_update),
                                last_ref.numpy().astype(np.float32),
                                rtol=0, atol=0)
+
+
+def test_last_neighbor_loader():
+    """Behavioral oracle for LastNeighborLoader (reference tgn.py:228):
+    after 3 event batches the set of (neighbor, center, e_id) triples
+    returned for a query must match, including ring-buffer eviction."""
+    from torch_geometric.nn.models.tgn import LastNeighborLoader as TLoader
+    N, SIZE = 12, 3
+    ref = TLoader(N, size=SIZE)
+    ours = pm.LastNeighborLoader(N, size=SIZE)
+    r2 = np.random.default_rng(7)
+    offset = 0
+    for _ in range(3):
+        src = r2.integers(0, N, 10)
+        dst = r2.integers(0, N, 10)
+        ref.insert(t(src), t(dst))
+        ours.insert(src, dst, e_id0=offset)
+        offset += len(src)
+
+    query = np.array([0, 3, 5, 7, 11])
+    rn_id, redge, re_id = ref(t(query))
+    triples_ref = {(int(rn_id[a]), int(rn_id[b]), int(e))
+                   for a, b, e in zip(redge[0], redge[1], re_id)}
+
+    n_id, edge, e_ids, mask = ours(query)
+    triples_ours = set()
+    for k in range(edge.shape[1]):
+        if mask[k]:
+            triples_ours.add((int(n_id[edge[0, k]]),
+                              int(query[edge[1, k]]), int(e_ids[k])))
+    assert triples_ours == triples_ref
