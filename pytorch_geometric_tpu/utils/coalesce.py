@@ -132,9 +132,23 @@ def contains_isolated_nodes(edge_index, num_nodes: int) -> bool:
 def remove_isolated_nodes(edge_index, num_nodes: int
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Relabel away isolated nodes (reference ``utils/isolated.py``).
-    Returns (edge_index, node_mask, relabel_map)."""
+    Returns (edge_index, node_mask, relabel_map).
+
+    Reference semantics: isolation is decided from NON-loop edges (a
+    node with only self-loops is isolated); surviving nodes keep at
+    most their LAST self-loop, re-appended after the non-loop edges."""
     e = _to_np(edge_index)
+    loop = e[0] == e[1]
+    plain = e[:, ~loop]
     mask = np.zeros(num_nodes, bool)
-    mask[e.reshape(-1)] = True
+    mask[plain.reshape(-1)] = True
     new_id = np.cumsum(mask) - 1
-    return new_id[e], mask, new_id
+    # last self-loop per surviving node, in node order
+    loop_e = e[:, loop]
+    last = np.full(num_nodes, -1, np.int64)
+    last[loop_e[0]] = np.arange(loop_e.shape[1])
+    keep = last[mask]
+    keep = keep[keep >= 0]
+    loops = loop_e[:, keep]
+    out = np.concatenate([new_id[plain], new_id[loops]], axis=1)
+    return out, mask, new_id

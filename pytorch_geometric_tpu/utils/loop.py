@@ -62,12 +62,14 @@ def add_remaining_self_loops(
                                    n + 1)[:n]
     has_loop = last_pos >= 0
     w_exist = edge_weight[jnp.clip(last_pos, 0, e - 1)]
-    loop_w = jnp.where(has_loop, w_exist,
+    tail = (1,) * (edge_weight.ndim - 1)   # broadcast over attr dims
+    loop_w = jnp.where(has_loop.reshape((n,) + tail), w_exist,
                        jnp.asarray(fill_value,
                                    edge_weight.dtype)).astype(
                                        edge_weight.dtype)
     # zero out (mask) original loop entries; keep shapes static
-    edge_weight = jnp.where(loop_mask, 0, edge_weight)
+    edge_weight = jnp.where(loop_mask.reshape((e,) + tail), 0,
+                            edge_weight)
     loops = jnp.arange(n, dtype=coo.dtype)
     out = jnp.concatenate([coo, jnp.stack([loops, loops])], axis=1)
     edge_weight = jnp.concatenate([edge_weight, loop_w])

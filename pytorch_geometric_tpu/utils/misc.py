@@ -115,15 +115,19 @@ def get_self_loop_attr(edge_index, edge_attr=None,
     """(reference ``loop.py:get_self_loop_attr``)."""
     coo = jnp.asarray(_coo(edge_index))
     n = maybe_num_nodes(coo, num_nodes)
+    e = coo.shape[1]
     is_loop = coo[0] == coo[1]
-    vals = (jnp.ones(coo.shape[1]) if edge_attr is None
+    vals = (jnp.ones(e) if edge_attr is None
             else jnp.asarray(edge_attr))
-    shape = (n,) + vals.shape[1:]
+    # reference loop.py assigns loop_attr by index_put: for duplicate
+    # self-loops the LAST occurrence wins (not a sum)
     idx = jnp.where(is_loop, coo[0], n)
-    out = jnp.zeros((n + 1,) + vals.shape[1:]).at[idx].add(
-        jnp.where(is_loop.reshape((-1,) + (1,) * (vals.ndim - 1)),
-                  vals, 0))
-    return out[:n]
+    pos = jnp.where(is_loop, jnp.arange(e), -1)
+    last = jnp.full((n + 1,), -1, jnp.int32).at[idx].max(
+        pos.astype(jnp.int32))[:n]
+    out = jnp.where(last >= 0, 1.0, 0.0).reshape(
+        (n,) + (1,) * (vals.ndim - 1)) * vals[jnp.maximum(last, 0)]
+    return out
 
 
 def segregate_self_loops(edge_index, edge_attr=None):
@@ -271,36 +275,58 @@ def grid(height: int, width: int, dtype=np.int64):
 
 def get_mesh_laplacian(pos: np.ndarray, face: np.ndarray,
                        normalization: Optional[str] = None):
-    """Cotangent mesh Laplacian (reference ``mesh_laplacian.py``)."""
-    pos, face = np.asarray(pos), np.asarray(face)
-
-    def cot(a, b):
-        num = (a * b).sum(-1)
-        den = np.linalg.norm(np.cross(a, b), axis=-1)
-        return num / np.maximum(den, 1e-12)
-
-    rows, cols, vals = [], [], []
-    for k in range(3):
-        i, j, l = face[k], face[(k + 1) % 3], face[(k + 2) % 3]
-        w = 0.5 * cot(pos[i] - pos[l], pos[j] - pos[l])
-        rows += [i, j]
-        cols += [j, i]
-        vals += [w, w]
-    row = np.concatenate(rows)
-    col = np.concatenate(cols)
-    val = np.concatenate(vals)
+    """Cotangent mesh Laplacian (reference ``mesh_laplacian.py``):
+    off-diagonal = half-cot weights, diagonal = -degree; ``sym``/``rw``
+    normalize by the barycentric-area mass matrix."""
+    pos, face = np.asarray(pos, np.float64), np.asarray(face)
     n = pos.shape[0]
     import scipy.sparse as sp
-    W = sp.coo_matrix((val, (row, col)), shape=(n, n)).tocsr()
-    d = np.asarray(W.sum(1)).ravel()
-    L = sp.diags(d) - W
-    if normalization == 'sym':
-        dinv = 1.0 / np.sqrt(np.maximum(d, 1e-12))
-        L = sp.diags(dinv) @ L @ sp.diags(dinv)
-    elif normalization == 'rw':
-        L = sp.diags(1.0 / np.maximum(d, 1e-12)) @ L
-    L = L.tocoo()
-    return np.stack([L.row, L.col]), L.data.astype(np.float32)
+
+    def corner_vals(fn):
+        """fn(left_vec, right_vec) per corner; undirected sym sum."""
+        vals, rows, cols = [], [], []
+        for left, centre, right in ((0, 2, 1), (1, 0, 2), (0, 1, 2)):
+            lv = pos[face[left]] - pos[face[centre]]
+            rv = pos[face[right]] - pos[face[centre]]
+            w = fn(lv, rv)
+            # the edge opposite the centre corner gets this weight
+            i, j = face[left], face[right]
+            rows += [i, j]; cols += [j, i]; vals += [w, w]
+        m = sp.coo_matrix((np.concatenate(vals),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        return m
+
+    # NOTE reference pairing: edge (f0,f1) <- cot at f2; (f1,f2) <- cot
+    # at f0; (f0,f2) <- cot at f1. corner_vals iterates (left, centre,
+    # right) accordingly and assigns to (left, right).
+    def cot(lv, rv):
+        dot = (lv * rv).sum(-1)
+        cross = np.linalg.norm(np.cross(lv, rv), axis=-1)
+        return dot / cross / 2.0
+
+    W = corner_vals(cot)
+    deg = np.asarray(W.sum(1)).ravel()
+    Wc = W.tocoo()
+    edge_index = np.concatenate(
+        [np.stack([Wc.row, Wc.col]),
+         np.stack([np.arange(n), np.arange(n)])], 1)
+    weight = np.concatenate([Wc.data, -deg])
+
+    if normalization is not None:
+        def area(lv, rv):
+            cross = np.linalg.norm(np.cross(lv, rv), axis=-1)
+            return cross / 6.0 / 2.0
+
+        area_deg = np.asarray(corner_vals(area).sum(1)).ravel()
+        if normalization == 'sym':
+            dis = np.where(area_deg > 0, area_deg ** -0.5, 0.0)
+            weight = dis[edge_index[0]] * weight * dis[edge_index[1]]
+        elif normalization == 'rw':
+            di = np.where(area_deg > 0, 1.0 / area_deg, 0.0)
+            weight = di[edge_index[0]] * weight
+    return edge_index, weight.astype(np.float32)
 
 
 def geodesic_distance(pos: np.ndarray, face: np.ndarray,
@@ -486,13 +512,14 @@ to_trimesh = _gated('to_trimesh', 'trimesh')
 from_trimesh = _gated('from_trimesh', 'trimesh')
 
 
-def group_cat(tensors, indices, dim: int = 0):
+def group_cat(tensors, indices, dim: int = 0, return_index: bool = False):
     """Concatenate groups keeping per-group order
     (reference ``_scatter.py:group_cat``)."""
     cat = np.concatenate([np.asarray(t) for t in tensors], dim)
     idx = np.concatenate([np.asarray(i) for i in indices])
     order = np.argsort(idx, kind='stable')
-    return np.take(cat, order, axis=dim), idx[order]
+    out = np.take(cat, order, axis=dim)
+    return (out, idx[order]) if return_index else out
 
 
 def get_embeddings_hetero(model, params, *args, **kwargs):
