@@ -220,8 +220,11 @@ class FeaturePropagation(BaseTransform):
     """Fill missing features by diffusion (reference
     ``feature_propagation.py``)."""
 
-    def __init__(self, missing_mask_key: str = 'missing_mask',
-                 num_iterations: int = 40):
+    def __init__(self, missing_mask=None, num_iterations: int = 40,
+                 missing_mask_key: str = 'missing_mask'):
+        # reference feature_propagation.py takes the mask directly; a
+        # data-key fallback is kept for pipeline-style use
+        self.missing_mask = missing_mask
         self.key = missing_mask_key
         self.num_iterations = num_iterations
 
@@ -229,7 +232,8 @@ class FeaturePropagation(BaseTransform):
         from ..nn.conv.gcn_conv import gcn_norm
         from ..ops import scatter
         n = data.num_nodes
-        miss = data[self.key]
+        miss = (self.missing_mask if self.missing_mask is not None
+                else data[self.key])
         miss = (np.asarray(miss) if miss is not None
                 else np.isnan(np.asarray(data.x)))
         x = np.nan_to_num(np.asarray(data.x)).astype(np.float32)

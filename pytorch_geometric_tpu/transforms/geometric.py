@@ -324,6 +324,13 @@ class GridSampling(BaseTransform):
             nx = np.zeros((k, x.shape[-1]))
             np.add.at(nx, cluster, x)
             up['x'] = jnp.asarray((nx / counts[:, None]).astype(np.float32))
+        if 'y' in data.keys() and data.y is not None:
+            # reference grid_sampling.py: per-cluster majority vote
+            y = np.asarray(data.y)
+            c = int(y.max()) + 1
+            votes = np.zeros((k, c), np.int64)
+            np.add.at(votes, (cluster, y), 1)
+            up['y'] = jnp.asarray(votes.argmax(-1))
         if data.edge_index is not None:
             coo = _coo(data)
             new_coo = cluster[coo]

@@ -131,6 +131,12 @@ class LaplacianLambdaMax(BaseTransform):
         import scipy.sparse.linalg as spl
         from ..utils.extra import get_laplacian
         w = data.edge_weight if 'edge_weight' in data.keys() else None
+        if w is None and 'edge_attr' in data.keys():
+            ea = data.edge_attr
+            # reference laplacian_lambda_max.py: 1-D edge_attr is the
+            # edge weight
+            if ea is not None and np.asarray(ea).ndim == 1:
+                w = ea
         coo, lw = get_laplacian(jnp.asarray(_coo(data)), w,
                                 normalization=self.normalization,
                                 num_nodes=data.num_nodes)
@@ -302,12 +308,14 @@ class PointPairFeatures(BaseTransform):
         coo = _coo(data)
         pos = jnp.asarray(data.pos)
         norm = jnp.asarray(data.norm)
-        d = pos[coo[0]] - pos[coo[1]]
+        # reference ppf_conv.point_pair_features: d = pos_j - pos_i with
+        # i = row (edge_index[0]), j = col; angles vs n_i first
+        d = pos[coo[1]] - pos[coo[0]]
         ppf = jnp.stack([
             jnp.linalg.norm(d, axis=-1),
-            self._angle(norm[coo[1]], d),
             self._angle(norm[coo[0]], d),
-            self._angle(norm[coo[1]], norm[coo[0]])], -1)
+            self._angle(norm[coo[1]], d),
+            self._angle(norm[coo[0]], norm[coo[1]])], -1)
         ea = data.edge_attr if 'edge_attr' in data.keys() else None
         if ea is not None:
             data.edge_attr = jnp.concatenate(
