@@ -148,19 +148,29 @@ class RootedEgoNets(BaseTransform):
         self.num_hops = num_hops
 
     def __call__(self, data: Data) -> Data:
-        from ..utils.subgraph import k_hop_subgraph
         coo = _coo(data)
         n = data.num_nodes
-        roots, members = [], []
-        for v in range(n):
-            subset, _, _, _ = k_hop_subgraph(v, self.num_hops, coo,
-                                             num_nodes=n)
-            roots.append(np.full(len(subset), v))
-            members.append(subset)
+        # reference rooted_subgraph.py: dense reachability over INCOMING
+        # edges from each root, then (n_id, e_id) nonzero maps and a
+        # per-subgraph relabeled sub_edge_index
+        A = np.zeros((n, n), bool)
+        A[coo[0], coo[1]] = True
+        reach = np.eye(n, dtype=bool)
+        for _ in range(self.num_hops):
+            reach = reach | (reach @ A.T)
+        n_sub_batch, n_id = np.nonzero(reach)
+        e_mask = reach[:, coo[0]] & reach[:, coo[1]]
+        e_sub_batch, e_id = np.nonzero(e_mask)
+        node_map = np.zeros((n, n), np.int64)
+        node_map[n_sub_batch, n_id] = np.arange(len(n_id))
+        sub_edge_index = node_map[e_sub_batch, coo[:, e_id]]
+        i32 = lambda a: jnp.asarray(a.astype(np.int32))
         return data.replace(
-            sub_root=jnp.asarray(np.concatenate(roots).astype(np.int32)),
-            sub_node_index=jnp.asarray(
-                np.concatenate(members).astype(np.int32)))
+            sub_edge_index=i32(sub_edge_index), n_id=i32(n_id),
+            e_id=i32(e_id), n_sub_batch=i32(n_sub_batch),
+            e_sub_batch=i32(e_sub_batch),
+            # aliases kept from the round-1 API
+            sub_root=i32(n_sub_batch), sub_node_index=i32(n_id))
 
 
 class HalfHop(BaseTransform):
@@ -175,20 +185,26 @@ class HalfHop(BaseTransform):
 
     def __call__(self, data: Data) -> Data:
         coo = _coo(data)
-        n, e = data.num_nodes, coo.shape[1]
-        sel = self.rng.random(e) < self.p
+        n = data.num_nodes
+        # reference half_hop.py: self-loops are never half-hopped, and
+        # the p-sampling is per DESTINATION NODE, not per edge
+        loop = coo[0] == coo[1]
+        loops, plain = coo[:, loop], coo[:, ~loop]
+        node_sel = self.rng.random(n) < self.p
+        sel = node_sel[plain[1]]
         k = int(sel.sum())
         new_ids = n + np.arange(k)
-        src, dst = coo[0][sel], coo[1][sel]
-        kept = coo[:, ~sel]
+        src, dst = plain[0][sel], plain[1][sel]
+        kept = plain[:, ~sel]
         new_edges = np.concatenate([
-            kept,
+            kept, loops,
             np.stack([src, new_ids]),
             np.stack([new_ids, dst]),
-            np.stack([dst, new_ids]),       # reference adds v->w too
+            np.stack([dst, new_ids]),
         ], axis=1)
         x = np.asarray(data.x)
-        x_new = (1 - self.alpha) * x[src] + self.alpha * x[dst]
+        # x_slow = alpha * x_src + (1 - alpha) * x_dst (reference :76)
+        x_new = self.alpha * x[src] + (1 - self.alpha) * x[dst]
         slow_mask = np.zeros(n + k, bool)
         slow_mask[n:] = True
         return data.replace(

@@ -280,16 +280,26 @@ class NormalizeRotation(BaseTransform):
         self.max_points, self.sort = max_points, sort
 
     def __call__(self, data):
-        pos = np.asarray(data.pos, np.float64)
+        pos = np.asarray(data.pos, np.float32)
         sample = pos
         if 0 < self.max_points < pos.shape[0]:
             sample = pos[np.random.default_rng(0).permutation(
                 pos.shape[0])[:self.max_points]]
         sample = sample - sample.mean(0)
-        _, _, vt = np.linalg.svd(sample, full_matrices=False)
+        # reference normalize_rotation.py: eigenvectors of C = pos^T pos
+        # via LAPACK geev (same order/sign as torch.linalg.eig), sorted
+        # by eigenvalue only when sort=True
+        C = sample.T @ sample
+        e, v = np.linalg.eig(C)
+        e, v = e.real, v.real
         if self.sort:
-            pass  # svd already sorts by singular value
-        data.pos = (pos @ vt.T).astype(np.float32)
+            v = v[:, np.argsort(-e)]
+        data.pos = (pos @ v).astype(np.float32)
+        if 'normal' in data.keys() and data.normal is not None:
+            nrm = np.asarray(data.normal, np.float32) @ v
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+            data.normal = jnp.asarray(nrm)
         if 'norm' in data.keys():
             data.norm = (np.asarray(data.norm) @ vt.T).astype(np.float32)
         return data

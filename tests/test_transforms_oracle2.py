@@ -248,3 +248,50 @@ def test_feature_propagation():
         ours(x=x, edge_index=COO))
     np.testing.assert_allclose(np.asarray(g.x), r.x.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_compose():
+    r = RT.Compose([RT.Center(), RT.NormalizeScale()])(refd(pos=POS))
+    g = T.Compose([T.Center(), T.NormalizeScale()])(ours(pos=POS))
+    np.testing.assert_allclose(np.asarray(g.pos), r.pos.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_normalize_rotation():
+    r = RT.NormalizeRotation()(refd(pos=POS))
+    g = T.NormalizeRotation()(ours(pos=POS))
+    # eigenvector sign is arbitrary: compare |pos| columns
+    np.testing.assert_allclose(np.abs(np.asarray(g.pos)),
+                               np.abs(r.pos.numpy()), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_half_hop():
+    x = X.copy()
+    r = RT.HalfHop(alpha=0.3, p=1.0)(refd(x=x, edge_index=COO))
+    g = T.HalfHop(alpha=0.3, p=1.0)(ours(x=x, edge_index=COO))
+    assert np.asarray(g.x).shape == tuple(r.x.shape)
+    # compare as canonical edge multisets after matching slow-node ids
+    # via their feature rows
+    def canon(xv, e):
+        xv, e = np.asarray(xv), np.asarray(e)
+        keymap = {i: tuple(np.round(xv[i], 4)) for i in range(len(xv))}
+        return sorted((keymap[a], keymap[b]) for a, b in e.T.tolist())
+    assert canon(g.x, _coo(g)) == canon(r.x.numpy(), r.edge_index.numpy())
+    np.testing.assert_allclose(
+        np.asarray(g.slow_node_mask if hasattr(g, 'slow_node_mask')
+                   else g['slow_node_mask']).sum(),
+        r.slow_node_mask.sum().item())
+
+
+def test_rooted_ego_nets():
+    r = RT.RootedEgoNets(num_hops=1)(refd(x=X, edge_index=COO))
+    g = T.RootedEgoNets(num_hops=1)(ours(x=X, edge_index=COO))
+    # per-root node sets must match
+    rn = {}
+    for node, root in zip(r.n_id.numpy(), r.n_sub_batch.numpy()):
+        rn.setdefault(int(root), set()).add(int(node))
+    gn = {}
+    for node, root in zip(np.asarray(g.n_id), np.asarray(g.n_sub_batch)):
+        gn.setdefault(int(root), set()).add(int(node))
+    assert rn == gn
