@@ -51,9 +51,10 @@ class DenseSAGEConv(fnn.Module):
     def __call__(self, x, adj, mask: Optional[jnp.ndarray] = None
                  ) -> jnp.ndarray:
         mean = (adj @ x) / jnp.maximum(adj.sum(-1, keepdims=True), 1.0)
-        out = (fnn.Dense(self.out_channels, use_bias=self.use_bias,
+        # reference dense_sage_conv.py: bias lives on lin_root
+        out = (fnn.Dense(self.out_channels, use_bias=False,
                          name='lin_rel')(mean)
-               + fnn.Dense(self.out_channels, use_bias=False,
+               + fnn.Dense(self.out_channels, use_bias=self.use_bias,
                            name='lin_root')(x))
         if self.normalize:
             out = out / jnp.maximum(
@@ -103,6 +104,7 @@ class DenseGATConv(fnn.Module):
     heads: int = 1
     concat: bool = True
     negative_slope: float = 0.2
+    use_bias: bool = True
 
     @fnn.compact
     def __call__(self, x, adj, mask: Optional[jnp.ndarray] = None,
@@ -129,4 +131,7 @@ class DenseGATConv(fnn.Module):
         out = jnp.einsum('bijh,bjhc->bihc', alpha, h)
         out = (out.reshape(B, N, H * C) if self.concat
                else out.mean(2))
+        if self.use_bias:
+            out = out + self.param('bias', fnn.initializers.zeros,
+                                   (H * C if self.concat else C,))
         return _mask_x(out, mask)

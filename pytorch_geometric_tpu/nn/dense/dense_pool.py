@@ -75,33 +75,45 @@ def dense_mincut_pool(x: jnp.ndarray, adj: jnp.ndarray, s: jnp.ndarray,
 def dense_dmon_pool(x: jnp.ndarray, adj: jnp.ndarray, s: jnp.ndarray,
                     mask: Optional[jnp.ndarray] = None):
     """(x', adj', spectral_loss, ortho_loss, cluster_loss)
-    (reference ``dmon_pool.py``, Tsitsulin et al.)."""
-    s = jax.nn.softmax(s, axis=-1)
-    if mask is not None:
-        s = s * mask[..., None]
+    (reference ``dmon_pool.py``, Tsitsulin et al.). ``s`` are cluster
+    probabilities (already softmaxed). Matches the reference exactly:
+    masked x/s, selu on pooled features, masked-degree modularity,
+    zeroed-diagonal degree-normalized coarse adjacency, and
+    valid-node-count cluster-loss normalization."""
     B, N, k = s.shape
+    m1 = (jnp.ones((B, N, 1), x.dtype) if mask is None
+          else mask[..., None].astype(x.dtype))
+    x = x * m1
+    s = s * m1
     st = jnp.swapaxes(s, 1, 2)
-    out = st @ x
+    out = jax.nn.selu(st @ x)
     out_adj = st @ adj @ s
 
-    deg = adj.sum(-1)                                   # [B, N]
-    m2 = jnp.maximum(deg.sum(-1, keepdims=True), EPS)   # 2m
-    # modularity: Tr(S^T A S - S^T d d^T S / 2m) / 2m
-    ds = jnp.einsum('bn,bnk->bk', deg, s)
-    spectral = -(jnp.trace(out_adj, axis1=-2, axis2=-1)
-                 - jnp.einsum('bk,bk->b', ds, ds) / m2[:, 0]) / m2[:, 0]
-    spectral_loss = spectral.mean()
+    degrees = adj.sum(-1)[..., None] * m1               # [B, N, 1]
+    m = degrees.sum((1, 2)) / 2                         # [B]
+    ca = st @ degrees                                   # [B, k, 1]
+    cb = jnp.swapaxes(degrees, 1, 2) @ s                # [B, 1, k]
+    normalizer = (ca @ cb) / 2 / m[:, None, None]
+    decompose = out_adj - normalizer
+    spectral_loss = (-jnp.trace(decompose, axis1=-2, axis2=-1)
+                     / 2 / m).mean()
 
     ss = st @ s
-    ss_n = ss / jnp.maximum(
-        jnp.linalg.norm(ss, axis=(-2, -1), keepdims=True), EPS)
-    i_n = jnp.eye(k, dtype=x.dtype) / jnp.sqrt(jnp.asarray(k, x.dtype))
+    i_norm = jnp.sqrt(jnp.asarray(k, x.dtype))
+    ss_n = ss / (jnp.linalg.norm(ss, axis=(-2, -1), keepdims=True))
+    i_n = jnp.eye(k, dtype=x.dtype) / i_norm
     ortho_loss = jnp.linalg.norm(ss_n - i_n[None], axis=(-2, -1)).mean()
 
     cluster_size = s.sum(1)                             # [B, k]
-    cluster_loss = (jnp.linalg.norm(cluster_size, axis=-1)
-                    / jnp.maximum(jnp.asarray(N, x.dtype), 1.0)
-                    * jnp.sqrt(jnp.asarray(k, x.dtype)) - 1).mean()
+    # reference dmon_pool.py:207: norm [B] / mask.sum [B,1] broadcasts
+    # to [B, B] before the mean — replicated verbatim for parity
+    cl = (jnp.linalg.norm(cluster_size, axis=-1)[None, :]
+          / m1.sum((1, 2))[:, None])
+    cluster_loss = (cl * i_norm - 1).mean()
+
+    out_adj = out_adj * (1 - jnp.eye(k, dtype=x.dtype))
+    d = jnp.sqrt(out_adj.sum(-1))[:, None] + EPS        # [B, 1, k]
+    out_adj = out_adj / d / jnp.swapaxes(d, 1, 2)
     return out, out_adj, spectral_loss, ortho_loss, cluster_loss
 
 
@@ -111,7 +123,12 @@ class DMoNPooling(fnn.Module):
     dropout: float = 0.0
 
     @fnn.compact
-    def __call__(self, x, adj, mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, adj, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
         s = fnn.Dense(self.k, name='mlp')(x)
+        if self.dropout > 0 and not deterministic:
+            s = fnn.Dropout(self.dropout, deterministic=False)(s)
+        s = jax.nn.softmax(s, -1)
         out, out_adj, sp, on, cl = dense_dmon_pool(x, adj, s, mask)
-        return jax.nn.softmax(s, -1), out, out_adj, sp, on, cl
+        s_out = s if mask is None else s * mask[..., None]
+        return s_out, out, out_adj, sp, on, cl
