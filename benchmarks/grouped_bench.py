@@ -9,6 +9,9 @@ Usage: python benchmarks/grouped_bench.py [--rows N] [--types R]
        [--features F] [--out C] [--skew {uniform,powerlaw}]
 Prints one JSON line per arm.
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import time

@@ -6,6 +6,9 @@ Usage: python benchmarks/spmm_bench.py [--nodes N] [--edges E]
 Prints one JSON line per configuration with edges/s, effective GB/s and
 % of the roofline (v5e: ~819 GB/s HBM).
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import time

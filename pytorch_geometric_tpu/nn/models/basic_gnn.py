@@ -56,7 +56,10 @@ class BasicGNN(fnn.Module):
             if supports_attr and edge_attr is not None:
                 kwargs['edge_attr'] = edge_attr
             x = conv(x, edge_index, edge_mask=edge_mask, **kwargs)
-            if is_last and self._final_in_loop:
+            # reference basic_gnn.py:258: norm/act/dropout are skipped on
+            # the last layer whenever jk is None (with or without a
+            # trailing projection).
+            if is_last and self.jk is None:
                 xs.append(x)
                 break
             if self.norm == 'layer_norm':
@@ -106,8 +109,11 @@ class GIN(BasicGNN):
     supports_edge_attr: bool = False
 
     def init_conv(self, out_channels: int, idx: int):
+        # reference basic_gnn.py:517 builds MLP([in, out, out]) with the
+        # default plain_last=True: the conv's last linear stays plain and
+        # BasicGNN's own norm/act run afterwards.
         mlp = MLP(channel_list=[out_channels, out_channels],
-                  plain_last=False, name=f'mlp_{idx}')
+                  act=self.act, name=f'mlp_{idx}')
         return GINConv(mlp=mlp, **(self.conv_kwargs or {}),
                        name=f'conv_{idx}')
 
@@ -150,8 +156,10 @@ class EdgeCNN(BasicGNN):
     def init_conv(self, out_channels: int, idx: int):
         from ..conv import EdgeConv
         from .mlp import MLP
+        # reference basic_gnn.py:681: MLP([2*in, out, out]) with the
+        # default plain_last=True (see GIN note above).
         mlp = MLP(channel_list=[out_channels, out_channels],
-                  plain_last=False, name=f'mlp_{idx}')
+                  act=self.act, name=f'mlp_{idx}')
         return EdgeConv(nn=mlp, **(self.conv_kwargs or {}),
                         name=f'conv_{idx}')
 
