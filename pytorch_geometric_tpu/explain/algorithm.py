@@ -61,25 +61,49 @@ class GNNExplainer(ExplainerAlgorithm):
         self.seed = seed
         self.task_level = task_level
 
-    def __call__(self, model_fn: Callable, x: jnp.ndarray, edge_index,
-                 target: jnp.ndarray,
-                 index: Optional[int] = None, **kwargs) -> Explanation:
-        """``model_fn(x, edge_weight) -> logits`` closes over params and
-        the graph; masks are sigmoid-parameterised."""
-        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
-        e = coo.shape[1]
+    def _init_masks(self, x, e, node_mask_type):
+        n, f = x.shape
         rng = jax.random.PRNGKey(self.seed)
         k1, k2 = jax.random.split(rng)
-        # reference init: N(1, 0.1) node feat, scaled normal edges
-        feat_mask = 0.1 * jax.random.normal(k1, (1, x.shape[1]))
-        std = float(np.sqrt(2.0 / (2 * max(x.shape[0], 2))))
-        edge_mask = std * jax.random.normal(k2, (e,))
+        # reference gnn_explainer.py:403-421: node std 0.1; edge std
+        # gain('relu') * sqrt(2 / (2N)).
+        if node_mask_type == 'object':
+            feat = 0.1 * jax.random.normal(k1, (n, 1))
+        elif node_mask_type == 'attributes':
+            feat = 0.1 * jax.random.normal(k1, (n, f))
+        elif node_mask_type == 'common_attributes':
+            feat = 0.1 * jax.random.normal(k1, (1, f))
+        else:
+            raise ValueError(f"Invalid node mask type: {node_mask_type}")
+        std = float(np.sqrt(2.0) * np.sqrt(2.0 / (2 * max(n, 1))))
+        edge = std * jax.random.normal(k2, (e,))
+        return feat, edge
+
+    def __call__(self, model_fn: Callable, x: jnp.ndarray, edge_index,
+                 target: jnp.ndarray, index: Optional[int] = None,
+                 node_mask_type: str = 'attributes',
+                 feat_mask_init: Optional[jnp.ndarray] = None,
+                 edge_mask_init: Optional[jnp.ndarray] = None,
+                 **kwargs) -> Explanation:
+        """``model_fn(x, edge_weight) -> logits`` closes over params and
+        the graph; masks are sigmoid-parameterised.
+
+        ``feat_mask_init``/``edge_mask_init`` override the random init
+        (used by the oracle parity tests to transplant the reference's
+        initial masks)."""
+        coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        e = coo.shape[1]
+        feat_mask, edge_mask = self._init_masks(x, e, node_mask_type)
+        if feat_mask_init is not None:
+            feat_mask = jnp.asarray(feat_mask_init)
+        if edge_mask_init is not None:
+            edge_mask = jnp.asarray(edge_mask_init)
         params = {'feat': feat_mask, 'edge': edge_mask}
         tx = optax.adam(self.lr)
         opt = tx.init(params)
         c = self.coeffs
 
-        def loss_fn(p):
+        def base_loss(p):
             em = jax.nn.sigmoid(p['edge'])
             fm = jax.nn.sigmoid(p['feat'])
             h = x * fm
@@ -93,32 +117,59 @@ class GNNExplainer(ExplainerAlgorithm):
                     else logits
                 tgt = target
             logp = jax.nn.log_softmax(logits, -1)
-            ce = -jnp.take_along_axis(
+            return -jnp.take_along_axis(
                 logp.reshape(1, -1),
                 jnp.asarray(tgt).reshape(1, 1), axis=1).sum()
-            loss = ce
-            loss = loss + c['edge_size'] * em.sum()
-            ent = -em * jnp.log(em + c['EPS']) \
-                - (1 - em) * jnp.log(1 - em + c['EPS'])
-            loss = loss + c['edge_ent'] * ent.mean()
-            loss = loss + c['node_feat_size'] * fm.mean()
-            fent = -fm * jnp.log(fm + c['EPS']) \
-                - (1 - fm) * jnp.log(1 - fm + c['EPS'])
-            loss = loss + c['node_feat_ent'] * fent.mean()
+
+        def _reg(loss, raw, hard, size_c, reduction, ent_c):
+            # reference gnn_explainer.py:543-556: size + entropy over
+            # the hard-mask (grad != 0) entries only.
+            m = jax.nn.sigmoid(raw)
+            cnt = jnp.maximum(hard.sum(), 1)
+            if reduction == 'sum':
+                loss = loss + size_c * jnp.where(hard, m, 0.0).sum()
+            else:
+                loss = loss + size_c * jnp.where(hard, m, 0.0).sum() / cnt
+            ent = -m * jnp.log(m + c['EPS']) \
+                - (1 - m) * jnp.log(1 - m + c['EPS'])
+            return loss + ent_c * jnp.where(hard, ent, 0.0).sum() / cnt
+
+        def full_loss(p, hard_edge, hard_feat):
+            loss = base_loss(p)
+            loss = _reg(loss, p['edge'], hard_edge, c['edge_size'],
+                        'sum', c['edge_ent'])
+            loss = _reg(loss, p['feat'], hard_feat,
+                        c['node_feat_size'], 'mean', c['node_feat_ent'])
             return loss
 
+        # Epoch 0 (reference _train: hard masks are still None, so no
+        # regularization); the gradients define the hard masks.
         @jax.jit
-        def step(params, opt):
-            l, g = jax.value_and_grad(loss_fn)(params)
+        def step0(params, opt):
+            l, g = jax.value_and_grad(base_loss)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), opt, g
+
+        @jax.jit
+        def step(params, opt, hard_edge, hard_feat):
+            l, g = jax.value_and_grad(full_loss)(params, hard_edge,
+                                                 hard_feat)
             up, opt = tx.update(g, opt)
             return optax.apply_updates(params, up), opt, l
 
-        for _ in range(self.epochs):
-            params, opt, _ = step(params, opt)
+        params, opt, g0 = step0(params, opt)
+        hard_edge = g0['edge'] != 0.0
+        hard_feat = g0['feat'] != 0.0
+        for _ in range(1, self.epochs):
+            params, opt, _ = step(params, opt, hard_edge, hard_feat)
 
+        # reference base.py:97 _post_process_mask: zero out entries not
+        # involved in message passing (grad == 0 at epoch 0).
         return Explanation(
-            node_mask=jax.nn.sigmoid(params['feat']),
-            edge_mask=jax.nn.sigmoid(params['edge']),
+            node_mask=jnp.where(hard_feat,
+                                jax.nn.sigmoid(params['feat']), 0.0),
+            edge_mask=jnp.where(hard_edge,
+                                jax.nn.sigmoid(params['edge']), 0.0),
             x=x, edge_index=coo, target=target)
 
 

@@ -43,6 +43,11 @@ class Explainer:
                     "explanation_type='phenomenon' requires a target")
             pred = self.get_prediction(x)
             target = pred.argmax(-1)
+        from .algorithm import GNNExplainer
+        if (isinstance(self.algorithm, GNNExplainer)
+                and 'node_mask_type' not in kwargs
+                and self.config.node_mask_type is not None):
+            kwargs['node_mask_type'] = self.config.node_mask_type
         out = self.algorithm(self.model_fn, x, edge_index, target,
                              index=index, **kwargs)
         if self.threshold_config is not None:

@@ -46,7 +46,9 @@ def test_gnn_explainer():
     explainer = Explainer(model_fn, GNNExplainer(epochs=20))
     out = explainer(x, coo, target=target, index=3)
     assert out.edge_mask.shape == (coo.shape[1],)
-    assert out.node_mask.shape == (1, x.shape[1])
+    # facade default node_mask_type='attributes' -> [N, F] mask
+    # (reference gnn_explainer.py:409)
+    assert out.node_mask.shape == (x.shape[0], x.shape[1])
     m = np.asarray(out.edge_mask)
     assert ((m >= 0) & (m <= 1)).all()
     # thresholding
