@@ -65,7 +65,9 @@ def main():
     platform = jax.devices()[0].platform
 
     arms = {}
-    if r <= 64:           # dense einsum materializes [N, R, C]
+    # dense einsum materializes [N, R, C] (plus grads): cap at ~1.5 GB
+    # so the arm never OOMs the 16 GB v5e HBM at big --rows
+    if r <= 64 and 4.0 * n * r * c <= 1.5e9:
         arms['dense_einsum'] = (None, useful_flops * r)
     lay_b = build_typed_layout(types_np, r)
     arms['bucket_batch'] = (lay_b, 2.0 * r * lay_b.bucket * f * c)

@@ -127,26 +127,29 @@ def main():
     else:
         ei = EdgeIndex(coo_np, (n, n)).fill_cache()
 
+    # Pass the EdgeIndex pytree as a jit ARGUMENT: closing over it would
+    # bake the cached [N,N] adjacency into the HLO as a constant (slow
+    # compiles; oversized remote-compile requests through the tunnel).
     if args.bsr or args.dense:
         @jax.jit
-        def fwd_bwd(x, w):
+        def fwd_bwd(ei, x, w):
             def loss(x):
                 return (spmm(ei, x) ** 2).sum()
             l, gx = jax.value_and_grad(loss)(x)
             return l, gx
     else:
         @jax.jit
-        def fwd_bwd(x, w):
+        def fwd_bwd(ei, x, w):
             def loss(x, w):
                 return (spmm(ei, x, w) ** 2).sum()
             l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
             return l, gx, gw
 
-    out = fwd_bwd(x, w)
+    out = fwd_bwd(ei, x, w)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        out = fwd_bwd(x, w)
+        out = fwd_bwd(ei, x, w)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.steps
 
