@@ -97,7 +97,10 @@ class MD17(InMemoryDataset):
             energy = f['E'].astype(np.float32).reshape(-1)
             force = f['F'].astype(np.float32)
         data_list = [
+            # reference md17.py:430: per-frame `energy`/`force` attrs
+            # (y kept as an alias for training convenience)
             Data(z=z, pos=pos[i], y=np.array([energy[i]]),
+                 energy=np.array(energy[i], np.float32),
                  force=force[i], num_nodes=len(z))
             for i in range(min(len(pos), 10000))
         ]

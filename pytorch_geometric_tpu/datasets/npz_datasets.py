@@ -27,10 +27,12 @@ def read_npz(path: str) -> Data:
                                f['attr_indptr']),
                               f['attr_shape']).todense()
             x = np.asarray(x, np.float32)
+            x[x > 0] = 1              # reference io/npz.py:22 binarizes
         else:
             x = None
         y = f['labels'].astype(np.int64)
     coo = np.stack([adj.row, adj.col]).astype(np.int64)
+    coo = coo[:, coo[0] != coo[1]]    # reference io/npz.py:29
     from ..utils.coalesce import to_undirected
     coo = to_undirected(coo, num_nodes=y.shape[0])
     return Data(x=x, edge_index=coo.astype(np.int32),

@@ -87,8 +87,14 @@ def read_planetoid_data(folder: str, prefix: str) -> Data:
             rows.append(src)
             cols.append(dst)
     coo = np.stack([np.array(rows), np.array(cols)]).astype(np.int32)
-    from ..utils.coalesce import to_undirected
-    coo = to_undirected(coo, num_nodes=n)
+    # reference io/planetoid.py:139-143: remove self-loops then coalesce
+    # (dedupe); the stored direction is kept — NOT symmetrized (the raw
+    # graph dicts are already symmetric; pubmed/citeseer contain
+    # duplicate edges and self-loops that the reference strips/dedupes).
+    keep = coo[0] != coo[1]
+    coo = coo[:, keep]
+    from ..utils.coalesce import coalesce
+    coo = coalesce(coo, num_nodes=n)
 
     train_mask = np.zeros(n, bool)
     val_mask = np.zeros(n, bool)
