@@ -111,6 +111,11 @@ def bsr_stats(coo: np.ndarray, num_src: int, num_dst: int):
 def _make_kernel(precision):
     from jax.experimental import pallas as pl
 
+    # Inputs are cast to f32 below, so HIGH (bf16x3) is meaningless here
+    # and Mosaic rejects it — use exact f32 instead.
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
+
     def kernel(rows_ref, cols_ref, first_ref, vals_ref, x_ref, out_ref):
         i = pl.program_id(1)
 
