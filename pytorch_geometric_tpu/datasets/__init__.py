@@ -1,3 +1,4 @@
+from . import graph_generator, motif_generator
 from .fake import FakeDataset, planetoid_like
 from .generators import (KarateClub, StochasticBlockModelDataset,
                          ExplainerDataset, FakeHeteroDataset, ba_graph,

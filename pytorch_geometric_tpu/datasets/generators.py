@@ -119,13 +119,30 @@ def ba_graph(rng, num_nodes: int, num_edges_per_node: int = 5
 
 class ExplainerDataset:
     """BA-shapes: BA base graph + attached house motifs with ground-truth
-    masks (reference ``datasets/explainer_dataset.py``)."""
+    masks (reference ``datasets/explainer_dataset.py``).
+
+    Accepts either the legacy ``num_nodes`` form (BA base + house motifs)
+    or the reference's generator-object form:
+    ``ExplainerDataset(graph_generator, motif_generator='house',
+    num_motifs=80)`` with generators resolved through
+    :class:`datasets.graph_generator.GraphGenerator` /
+    :class:`datasets.motif_generator.MotifGenerator`.
+    """
 
     HOUSE_EDGES = np.array([(0, 1), (1, 2), (2, 3), (3, 0), (3, 4),
                             (4, 0)], np.int64).T
 
-    def __init__(self, num_nodes: int = 300, num_motifs: int = 80,
-                 seed: int = 0, transform=None):
+    def __init__(self, num_nodes=300, num_motifs: int = 80,
+                 seed: int = 0, transform=None, motif_generator=None,
+                 graph_generator=None):
+        if graph_generator is None and not isinstance(num_nodes, int):
+            # reference positional form: first arg is a graph generator
+            graph_generator = num_nodes
+        if graph_generator is not None:
+            self._init_from_generators(graph_generator, motif_generator
+                                       or 'house', num_motifs, seed,
+                                       transform)
+            return
         rng = np.random.default_rng(seed)
         base = ba_graph(rng, num_nodes)
         edges = [base]
@@ -146,6 +163,46 @@ class ExplainerDataset:
         x = np.ones((n, 10), np.float32)
         data = Data(x=x, edge_index=coo, y=node_label,
                     node_mask=node_mask, num_nodes=n)
+        self._data = transform(data) if transform else data
+
+    def _init_from_generators(self, graph_generator, motif_generator,
+                              num_motifs, seed, transform):
+        """Reference generator-object path
+        (``explainer_dataset.py:64-124``): base graph from the graph
+        generator, ``num_motifs`` motif copies attached at random base
+        nodes; ground-truth ``node_mask``/``edge_mask`` mark motif
+        nodes/edges; labels are 0 for base and motif ``y + 1``."""
+        from .graph_generator import GraphGenerator
+        from .motif_generator import MotifGenerator
+        rng = np.random.default_rng(seed)
+        graph_generator = GraphGenerator.resolve(graph_generator)
+        motif_generator = MotifGenerator.resolve(motif_generator)
+        base = graph_generator()
+        motif = motif_generator()
+        nb = int(base.num_nodes)
+        nm = int(motif.num_nodes)
+        edges = [np.asarray(base.edge_index, np.int64)]
+        edge_masks = [np.zeros(edges[0].shape[1], bool)]
+        ys = [np.zeros(nb, np.int64)]
+        node_mask = [np.zeros(nb, bool)]
+        n = nb
+        attach = rng.permutation(nb)[:num_motifs]
+        for i in range(num_motifs):
+            me = np.asarray(motif.edge_index, np.int64) + n
+            link = np.array([[int(attach[i]), n], [n, int(attach[i])]],
+                            np.int64).T
+            edges.extend([me, link])
+            edge_masks.extend([np.ones(me.shape[1], bool),
+                               np.zeros(2, bool)])
+            my = getattr(motif, 'y', None)
+            ys.append(np.asarray(my, np.int64) + 1 if my is not None
+                      else np.ones(nm, np.int64))
+            node_mask.append(np.ones(nm, bool))
+            n += nm
+        data = Data(edge_index=np.concatenate(edges, axis=1),
+                    y=np.concatenate(ys),
+                    node_mask=np.concatenate(node_mask),
+                    edge_mask=np.concatenate(edge_masks), num_nodes=n)
         self._data = transform(data) if transform else data
 
     def __len__(self):

@@ -1,4 +1,4 @@
-from .models import LLM, SentenceTransformer, GRetriever
+from .models import LLM, SentenceTransformer, GRetriever, VisionTransformer
 from .rag import LargeGraphIndexer, RAGQueryLoader
 from .glem import GLEM, glem_loss
 from .protein_mpnn import ProteinMPNN
@@ -14,4 +14,5 @@ __all__ = [
     'TXT2KG', 'LLMJudge', 'chunk_text', 'parse_n_check_triples',
     'merge_triples', 'VectorRetriever', 'DocumentRetriever',
     'MoleculeGPT', 'GITMol', 'GitMolGraphEncoder', 'pad_or_truncate',
+    'VisionTransformer',
 ]
