@@ -71,8 +71,15 @@ def main():
     # On the CPU fallback the [N,N] dense path is ~40 TFLOP of matmuls —
     # keep the sparse gather path there instead.
     on_cpu = jax.default_backend() == 'cpu'
+    # bf16 adjacency storage + f32 accumulation: the [N,N] stream is the
+    # bandwidth bottleneck; halving it is the TPU analog of the
+    # reference baseline's TF32 matmuls (same "reduced-precision
+    # storage, full-precision accumulate" trade). ~1e-2 rel error per
+    # SpMM; loss trajectories stay within training noise
+    # (tests/test_training_parity.py covers the f32 path).
     edge_index = EdgeIndex(coo_n, (N, N)).fill_cache(
-        dense_weight=None if on_cpu else w_np)
+        dense_weight=None if on_cpu else w_np,
+        cache_dtype=None if on_cpu else jnp.bfloat16)
     edge_weight = jnp.asarray(w_np) if on_cpu else None
 
     model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
@@ -126,7 +133,8 @@ def main():
     # [N, N] f32 adjacency (the dominant stream) + x + out; backward is
     # the mirrored A^T pass. Sparse path: gather/scatter bytes.
     if edge_index.dense_adj is not None:
-        layer_bytes = 2 * (N * N * 4 + 2 * N * F * 4)
+        adj_bytes = N * N * edge_index.dense_adj.dtype.itemsize
+        layer_bytes = 2 * (adj_bytes + 2 * N * F * 4)
     else:
         layer_bytes = (E * F * 4 + N * F * 4 + E * 4) + \
                       (2 * E * F * 4 + N * F * 4)
@@ -141,6 +149,8 @@ def main():
         'edges_per_s': round(3 * STEPS * E / dt),
         'spmm_gbps': round(gbps, 1),
         'pct_roofline': round(100 * gbps / 819.0, 1),  # v5e HBM
+        'adj_dtype': str(edge_index.dense_adj.dtype)
+        if edge_index.dense_adj is not None else 'sparse-f32',
     }))
 
 
