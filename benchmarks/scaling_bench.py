@@ -1,0 +1,228 @@
+"""Multi-chip scaling benchmark — halo-exchange traffic + efficiency model.
+
+The north-star scaling target (BASELINE.md) is >=75% edges/s efficiency
+at 2+ hosts. Real multi-chip hardware is not reachable from this
+environment (one v5e chip through a tunnel), so this benchmark produces
+the honest decomposition of that number:
+
+1. MEASURED partition quality: edge-cut and per-device boundary (halo)
+   sizes from the production partitioner (`parallel.Partitioner`, the
+   same multilevel HEM+LDG pipeline `csrc/partition.cpp` runs) on a
+   clustered benchmark graph, for P = 2..32 devices.
+2. MEASURED traffic: bytes/layer each device ships under (a) the sparse
+   halo `all_to_all` (`parallel/spmm.py::partition_spmm_halo`) and (b)
+   the dense `all_gather` baseline — straight from the partition books,
+   not a model.
+3. MODELED step time on v5e: local aggregation time from the measured
+   single-chip SpMM rate (CLI `--chip-edges-per-s`, default the 192M
+   edges/s BSR fwd+bwd record from BENCH_TPU/bench_windows) + halo
+   bytes over ICI (CLI `--ici-gbps`, default 2 links x 45 GB/s). XLA
+   overlaps the async collective with the local-edge reduction
+   (independent dataflow), so both bounds are reported:
+   no-overlap (comm fully serialized) and full-overlap
+   (max(comp, comm)).
+4. EXECUTED: the same sharded train step runs end-to-end on a virtual
+   8-device CPU mesh (parity with single-device asserted in
+   tests/test_parallel.py) — validating the program, not the clock.
+
+Reference protocol being replaced: pull-based RPC sampling
+(``torch_geometric/distributed/dist_neighbor_sampler.py:875-947``).
+
+Usage:
+    python benchmarks/scaling_bench.py [--nodes 200000 --degree 10]
+        [--features 128] [--parts 2,4,8,16,32] [--write-md]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def clustered_graph(n: int, degree: int, num_clusters: int = 64,
+                    p_in: float = 0.9, seed: int = 0):
+    """SBM-style graph: `p_in` of edges intra-cluster — the locality a
+    real partitioned workload (ogbn-products after METIS) exhibits."""
+    rng = np.random.default_rng(seed)
+    e = n * degree // 2
+    cluster = rng.integers(0, num_clusters, n)
+    order = np.argsort(cluster, kind='stable')
+    # nodes relabeled cluster-contiguous (what Partitioner would do)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    starts = np.searchsorted(np.sort(cluster), np.arange(num_clusters))
+    ends = np.append(starts[1:], n)
+    src = rng.integers(0, n, e)
+    intra = rng.random(e) < p_in
+    c_src = cluster[src]
+    lo, hi = starts[c_src], np.maximum(ends[c_src], starts[c_src] + 1)
+    dst_intra = lo + (rng.integers(0, 1 << 62, e) % np.maximum(hi - lo, 1))
+    dst_rand = rng.integers(0, n, e)
+    # intra edges drawn in cluster-sorted id space; map src there too
+    s = np.where(intra, inv[src], src)
+    d = np.where(intra, dst_intra, dst_rand)
+    coo = np.stack([np.concatenate([s, d]), np.concatenate([d, s])])
+    return coo.astype(np.int64)
+
+
+def measure(parts, F: int, chip_eps: float, ici_gbps: float,
+            num_edges: int):
+    """Per-partition-count record: measured traffic + modeled time."""
+    P = parts.num_parts
+    itemsize = 4
+    # per-device send volume under the sparse halo exchange
+    per_dev_halo = parts.halo_send_mask.sum(axis=(1, 2)) * F * itemsize
+    halo_max = int(per_dev_halo.max())
+    halo_sum = int(per_dev_halo.sum())
+    gather_per_dev = (P - 1) * parts.n_max * F * itemsize
+    # modeled per-layer times on v5e (seconds)
+    local_edges = parts.edge_mask.sum(axis=1)
+    t_comp = float(local_edges.max()) / chip_eps
+    t_comm = halo_max / (ici_gbps * 1e9)
+    t_serial = t_comp + t_comm
+    t_overlap = max(t_comp, t_comm)
+    t_single = num_edges / chip_eps
+    return {
+        'P': P,
+        'n_max': int(parts.n_max),
+        'edge_cut_frac': round(float(
+            (parts.node_part[np.asarray(parts._coo[0])] !=
+             parts.node_part[np.asarray(parts._coo[1])]).mean()), 4)
+        if hasattr(parts, '_coo') else None,
+        'halo_nodes_max_per_dev': int(parts.halo_send_mask.sum(
+            axis=(1, 2)).max()),
+        'halo_mb_per_dev_layer': round(halo_max / 1e6, 3),
+        'allgather_mb_per_dev_layer': round(gather_per_dev / 1e6, 3),
+        'traffic_reduction_x': round(gather_per_dev
+                                     / max(halo_max, 1), 1),
+        'halo_mb_total_layer': round(halo_sum / 1e6, 3),
+        'eff_no_overlap_pct': round(100 * t_single / (P * t_serial), 1),
+        'eff_full_overlap_pct': round(100 * t_single / (P * t_overlap),
+                                      1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--nodes', type=int, default=200_000)
+    ap.add_argument('--degree', type=int, default=10)
+    ap.add_argument('--features', type=int, default=128)
+    ap.add_argument('--parts', default='2,4,8,16,32')
+    ap.add_argument('--chip-edges-per-s', type=float, default=192e6,
+                    help='measured single-chip SpMM fwd+bwd rate '
+                         '(BENCH_TPU: BSR kernel on v5e)')
+    ap.add_argument('--ici-gbps', type=float, default=90.0,
+                    help='per-device ICI bandwidth (v5e: 2 links x '
+                         '45 GB/s each way)')
+    ap.add_argument('--execute', action='store_true',
+                    help='also run the sharded step on a virtual '
+                         '8-device CPU mesh')
+    ap.add_argument('--write-md', action='store_true')
+    args = ap.parse_args()
+
+    from pytorch_geometric_tpu.data import Data
+    from pytorch_geometric_tpu.parallel import Partitioner
+
+    coo = clustered_graph(args.nodes, args.degree)
+    E = coo.shape[1]
+    data = Data(edge_index=coo.astype(np.int32), num_nodes=args.nodes)
+    print(f'# graph: {args.nodes} nodes / {E} edges (directed, '
+          f'clustered), F={args.features}', file=sys.stderr)
+
+    records = []
+    for P in [int(p) for p in args.parts.split(',')]:
+        t0 = time.perf_counter()
+        parts = Partitioner(data, P).generate_partition()
+        parts._coo = coo  # for edge-cut accounting in measure()
+        rec = measure(parts, args.features, args.chip_edges_per_s,
+                      args.ici_gbps, E)
+        rec['partition_s'] = round(time.perf_counter() - t0, 1)
+        records.append(rec)
+        print(json.dumps(rec))
+
+    if args.execute:
+        # the axon sitecustomize forces jax_platforms='axon,cpu' at
+        # interpreter start; the virtual 8-device mesh needs the CPU
+        # backend (set XLA_FLAGS=--xla_force_host_platform_device_count=8)
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        from jax.sharding import Mesh
+        from pytorch_geometric_tpu.parallel import (
+            init_gcn_params, make_partition_gcn_step,
+            partition_gcn_apply, shard_partitions)
+        import optax
+        small = Data(
+            edge_index=clustered_graph(4096, 8).astype(np.int32),
+            x=np.random.default_rng(0).standard_normal(
+                (4096, 32)).astype(np.float32),
+            y=np.random.default_rng(1).integers(0, 4, 4096),
+            num_nodes=4096)
+        devices = jax.devices('cpu')
+        if len(devices) < 8:
+            raise SystemExit(
+                'need XLA_FLAGS=--xla_force_host_platform_device_count=8')
+        parts = Partitioner(small, 8).generate_partition()
+        mesh = Mesh(np.array(devices[:8]), ('graph',))
+        shard = shard_partitions(mesh, parts, np.ones(4096, bool))
+        params = init_gcn_params(jax.random.PRNGKey(0), 32, 64, 4)
+        tx = optax.adam(1e-2)
+        step = make_partition_gcn_step(mesh, partition_gcn_apply, tx)
+        opt_state = tx.init(params)
+        with mesh:
+            params, opt_state, loss = step(params, opt_state, shard)
+            jax.block_until_ready(loss)
+        print(json.dumps({'executed_P8': True,
+                          'loss': round(float(loss), 4),
+                          'mesh_platform': devices[0].platform}))
+
+    if args.write_md:
+        lines = [
+            '# SCALING — multi-chip efficiency decomposition',
+            '',
+            f'Graph: {args.nodes:,} nodes / {E:,} directed edges '
+            f'(clustered SBM, the post-METIS locality profile), '
+            f'F={args.features}.',
+            '',
+            'Measured: partition boundary sizes and per-device '
+            'bytes/layer from the production partitioner. Modeled: '
+            'step-time bounds on v5e from the measured single-chip '
+            f'SpMM rate ({args.chip_edges_per_s:.0f} edges/s fwd+bwd) '
+            f'and ICI bandwidth ({args.ici_gbps:.0f} GB/s/device). '
+            'See benchmarks/scaling_bench.py for the protocol; real '
+            'N-chip validation requires hardware this environment '
+            'does not expose (single tunneled chip).',
+            '',
+            '| P | halo MB/dev/layer | all-gather MB/dev/layer | '
+            'traffic cut | eff. (no overlap) | eff. (full overlap) |',
+            '|---|---|---|---|---|---|',
+        ]
+        for r in records:
+            lines.append(
+                f"| {r['P']} | {r['halo_mb_per_dev_layer']} | "
+                f"{r['allgather_mb_per_dev_layer']} | "
+                f"{r['traffic_reduction_x']}x | "
+                f"{r['eff_no_overlap_pct']}% | "
+                f"{r['eff_full_overlap_pct']}% |")
+        lines += [
+            '',
+            'The sparse halo exchange moves O(boundary x F) per device; '
+            'the all-gather baseline O((P-1) x n_max x F). Efficiency '
+            'is edges/s vs P x single-chip; "full overlap" assumes '
+            "XLA's async all_to_all hides under the local-edge "
+            'reduction (independent dataflow), "no overlap" is the '
+            'serialized lower bound. The executed path (8-device '
+            'virtual mesh) is asserted numerically equal to '
+            'single-device training in tests/test_parallel.py.',
+            '',
+        ]
+        Path(__file__).resolve().parent.parent.joinpath(
+            'SCALING.md').write_text('\n'.join(lines))
+        print('wrote SCALING.md', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
