@@ -1,0 +1,149 @@
+"""End-to-end sampled-training benchmark (reference training harness).
+
+Protocol from the reference's training benchmark
+(``benchmark/training/README.md:24-47``, cited in BASELINE.md): 2-layer
+GraphSAGE, hidden 64, batch 512, neighbor fanouts [15, 10], 50
+optimiser steps — but measured END TO END: C++ neighbor sampling +
+feature collation on the host, padded static-shape batches, one
+compiled train step on the device, host/device overlap via
+PrefetchLoader's producer threads.
+
+The graph defaults to Reddit scale (233k nodes / 115M directed edges /
+602 features, synthetic — zero-egress environment); --small runs a
+500k/10M/128 graph that fits modest host RAM.
+
+Prints one JSON line: batches/s, sampled-edges/s, and the split between
+host sampling and device compute.
+
+Usage:
+    python benchmarks/sampled_train_bench.py [--small] [--steps 50]
+        [--workers 4] [--batch-size 512]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--small', action='store_true')
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--batch-size', type=int, default=512)
+    ap.add_argument('--workers', type=int, default=4)
+    ap.add_argument('--fanouts', default='15,10')
+    ap.add_argument('--hidden', type=int, default=64)
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    import jax.numpy as jnp
+    import optax
+    from pytorch_geometric_tpu.data import Data
+    from pytorch_geometric_tpu.loader import NeighborLoader, PrefetchLoader
+    from pytorch_geometric_tpu.nn.models import GraphSAGE
+
+    if args.small:
+        N, E, F, C = 500_000, 10_000_000, 128, 16
+    else:
+        N, E, F, C = 232_965, 114_615_892, 602, 41  # Reddit shape
+    rng = np.random.default_rng(0)
+    coo = np.stack([rng.integers(0, N, E), rng.integers(0, N, E)])
+    data = Data(x=rng.standard_normal((N, F)).astype(np.float32),
+                edge_index=coo.astype(np.int32),
+                y=rng.integers(0, C, N).astype(np.int32), num_nodes=N)
+    fanouts = [int(f) for f in args.fanouts.split(',')]
+
+    t_build = time.perf_counter()
+    loader = NeighborLoader(data, num_neighbors=fanouts,
+                            batch_size=args.batch_size, shuffle=True)
+    t_build = time.perf_counter() - t_build
+
+    model = GraphSAGE(hidden_channels=args.hidden, num_layers=len(fanouts),
+                      out_channels=C)
+    b0 = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0), b0.x,
+                        np.asarray(b0.edge_index))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, x, coo, emask, y, seed_mask):
+        def loss_fn(p):
+            logits = model.apply(p, x, coo, edge_mask=emask)
+            l = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.where(seed_mask, l, 0).sum() / seed_mask.sum()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    def make_iter():
+        return iter(PrefetchLoader(loader, num_threads=args.workers)
+                    if args.workers > 0 else loader)
+
+    def run(n_steps):
+        nonlocal params, opt
+        it = make_iter()
+        host_s = 0.0
+        loss = None
+        try:
+            for i in range(n_steps):
+                t0 = time.perf_counter()
+                try:
+                    b = next(it)
+                except StopIteration:
+                    it.close()
+                    it = make_iter()
+                    b = next(it)
+                host_s += time.perf_counter() - t0
+                seed_mask = jnp.arange(b.x.shape[0]) < int(b.batch_size)
+                params, opt, loss = step(
+                    params, opt, jnp.asarray(np.asarray(b.x)),
+                    jnp.asarray(np.asarray(b.edge_index)),
+                    jnp.asarray(np.asarray(b.edge_mask)),
+                    jnp.asarray(np.asarray(b.y)), seed_mask)
+        finally:
+            # close the generator so the producer thread sees the stop
+            # event and exits before interpreter teardown (an abandoned
+            # thread dies mid-C++-sampler-call -> std::terminate)
+            if hasattr(it, 'close'):
+                it.close()
+        jax.block_until_ready(loss)
+        return host_s
+
+    # warmup: compile + fill padding buckets
+    run(3)
+    t0 = time.perf_counter()
+    host_wait_s = run(args.steps)
+    total = time.perf_counter() - t0
+
+    # sampled edges per batch (static padded shape => constant)
+    e_pad = int(np.asarray(b0.edge_index).shape[1])
+    e_real = int(np.asarray(b0.edge_mask).sum())
+    print(json.dumps({
+        'metric': 'sage_sampled_train',
+        'graph': f'{N}n/{E}e/F{F}',
+        'batch_size': args.batch_size,
+        'fanouts': fanouts,
+        'steps': args.steps,
+        'value': round(total, 3),
+        'unit': 's',
+        'batches_per_s': round(args.steps / total, 2),
+        'sampled_edges_per_s': round(args.steps * e_real / total),
+        'host_wait_frac': round(host_wait_s / total, 3),
+        'edge_pad_frac': round(1 - e_real / e_pad, 3),
+        'loader_build_s': round(t_build, 1),
+        'workers': args.workers,
+        'backend': jax.default_backend(),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -80,6 +80,15 @@ class PrefetchLoader:
                 yield payload
         finally:
             stop.set()
+            # drain so a producer blocked in q.put returns, then join
+            # briefly: a daemon thread killed at interpreter teardown
+            # mid-C++-sampler-call aborts with std::terminate
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+            t.join(timeout=5.0)
 
     def __iter__(self) -> Iterator:
         if self.num_threads > 0:
