@@ -39,6 +39,12 @@ def main():
     ap.add_argument('--fanouts', default='15,10')
     ap.add_argument('--hidden', type=int, default=64)
     ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--device-gather', action='store_true',
+                    help='TPU-native layout: features/labels resident '
+                         'on device, structure-only batches, rows '
+                         'gathered by n_id inside the jitted step '
+                         '(loader filter_features=False). Only indices '
+                         'cross the host->device link per batch.')
     args = ap.parse_args()
 
     import jax
@@ -63,26 +69,71 @@ def main():
 
     t_build = time.perf_counter()
     loader = NeighborLoader(data, num_neighbors=fanouts,
-                            batch_size=args.batch_size, shuffle=True)
+                            batch_size=args.batch_size, shuffle=True,
+                            filter_features=not args.device_gather)
     t_build = time.perf_counter() - t_build
 
     model = GraphSAGE(hidden_channels=args.hidden, num_layers=len(fanouts),
                       out_channels=C)
     b0 = next(iter(loader))
-    params = model.init(jax.random.PRNGKey(0), b0.x,
-                        np.asarray(b0.edge_index))
+    n_cap = int(b0.num_nodes)
     tx = optax.adam(1e-3)
-    opt = tx.init(params)
 
-    @jax.jit
-    def step(params, opt, x, coo, emask, y, seed_mask):
-        def loss_fn(p):
-            logits = model.apply(p, x, coo, edge_mask=emask)
-            l = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            return jnp.where(seed_mask, l, 0).sum() / seed_mask.sum()
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt = tx.update(grads, opt)
-        return optax.apply_updates(params, updates), opt, loss
+    if args.device_gather:
+        # one-time residency; X/Y are jit ARGUMENTS (closure capture
+        # would serialize 256MB+ into the remote-compile request)
+        X = jax.device_put(np.asarray(data.x))
+        Y = jax.device_put(np.asarray(data.y).astype(np.int32))
+        jax.block_until_ready(Y)
+        params = model.init(jax.random.PRNGKey(0), X[:n_cap],
+                            np.asarray(b0.edge_index))
+        opt = tx.init(params)
+
+        @jax.jit
+        def dstep(params, opt, X, Y, n_id, node_mask, coo, emask,
+                  seed_mask):
+            safe = jnp.where(node_mask, n_id, 0)
+            x = jnp.where(node_mask[:, None], X[safe], 0)
+            y = Y[safe]
+
+            def loss_fn(p):
+                logits = model.apply(p, x, coo, edge_mask=emask)
+                l = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return jnp.where(seed_mask, l, 0).sum() / seed_mask.sum()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        def device_step(params, opt, b):
+            seed_mask = jnp.arange(n_cap) < int(b.batch_size)
+            return dstep(params, opt, X, Y,
+                         jnp.asarray(np.asarray(b.n_id)),
+                         jnp.asarray(np.asarray(b.node_mask)),
+                         jnp.asarray(np.asarray(b.edge_index)),
+                         jnp.asarray(np.asarray(b.edge_mask)), seed_mask)
+    else:
+        params = model.init(jax.random.PRNGKey(0), b0.x,
+                            np.asarray(b0.edge_index))
+        opt = tx.init(params)
+
+        @jax.jit
+        def hstep(params, opt, x, coo, emask, y, seed_mask):
+            def loss_fn(p):
+                logits = model.apply(p, x, coo, edge_mask=emask)
+                l = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return jnp.where(seed_mask, l, 0).sum() / seed_mask.sum()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        def device_step(params, opt, b):
+            seed_mask = jnp.arange(b.x.shape[0]) < int(b.batch_size)
+            return hstep(params, opt, jnp.asarray(np.asarray(b.x)),
+                         jnp.asarray(np.asarray(b.edge_index)),
+                         jnp.asarray(np.asarray(b.edge_mask)),
+                         jnp.asarray(np.asarray(b.y)), seed_mask)
 
     def make_iter():
         return iter(PrefetchLoader(loader, num_threads=args.workers)
@@ -103,12 +154,7 @@ def main():
                     it = make_iter()
                     b = next(it)
                 host_s += time.perf_counter() - t0
-                seed_mask = jnp.arange(b.x.shape[0]) < int(b.batch_size)
-                params, opt, loss = step(
-                    params, opt, jnp.asarray(np.asarray(b.x)),
-                    jnp.asarray(np.asarray(b.edge_index)),
-                    jnp.asarray(np.asarray(b.edge_mask)),
-                    jnp.asarray(np.asarray(b.y)), seed_mask)
+                params, opt, loss = device_step(params, opt, b)
         finally:
             # close the generator so the producer thread sees the stop
             # event and exits before interpreter teardown (an abandoned
@@ -141,6 +187,10 @@ def main():
         'edge_pad_frac': round(1 - e_real / e_pad, 3),
         'loader_build_s': round(t_build, 1),
         'workers': args.workers,
+        'device_gather': bool(args.device_gather),
+        'h2d_mb_per_batch': round(
+            (n_cap * (4 + 1) + e_pad * 12) / 1e6 if args.device_gather
+            else (n_cap * (F + 1) * 4 + e_pad * 12) / 1e6, 2),
         'backend': jax.default_backend(),
     }))
 
