@@ -22,7 +22,10 @@ from pytorch_geometric_tpu.nn.models import GCN
 
 N, E, F, H, C = 10_000, 200_000, 64, 64, 10
 STEPS = 500
-BASELINE_EAGER_S = 4.8093  # compile.rst:95-117
+# reference eager baselines, compile.rst:95-142 (unspecified GPU)
+BASELINES = {'gcn': 4.8093, 'sage': 3.2451, 'gin': 3.3690}
+MODEL = __import__('os').environ.get('PGT_BENCH_MODEL', 'gcn')
+BASELINE_EAGER_S = BASELINES[MODEL]
 
 
 def _ensure_backend():
@@ -63,8 +66,12 @@ def main():
     y = jnp.asarray(rng.integers(0, C, N).astype(np.int32))
     # cached normalisation (reference GCNConv(cached=True) protocol):
     # precompute D^-1/2(A+I)D^-1/2 once; the conv then runs the fused
-    # SpMM path (Pallas MXU kernel on TPU).
-    coo_n, w_np = _gcn_norm_np(coo_np, N)
+    # SpMM path (Pallas MXU kernel on TPU). SAGE/GIN aggregate the raw
+    # adjacency (unit weights).
+    if MODEL == 'gcn':
+        coo_n, w_np = _gcn_norm_np(coo_np, N)
+    else:
+        coo_n, w_np = coo_np, np.ones(E, np.float32)
     # bake the cached norm into a dense adjacency (the TPU analog of
     # GCNConv(cached=True)): spmm then runs as an MXU matmul at ~78% of
     # HBM roofline vs ~7% for the gather path (benchmarks/profile_step.py).
@@ -82,10 +89,21 @@ def main():
         cache_dtype=None if on_cpu else jnp.bfloat16)
     edge_weight = jnp.asarray(w_np) if on_cpu else None
 
-    model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
-                conv_kwargs={'normalize': False,
-                             'add_self_loops': False})
-    kw = {} if edge_weight is None else {'edge_weight': edge_weight}
+    if MODEL == 'gcn':
+        model = GCN(hidden_channels=H, num_layers=3, out_channels=C,
+                    conv_kwargs={'normalize': False,
+                                 'add_self_loops': False})
+        kw = ({} if edge_weight is None
+              else {'edge_weight': edge_weight})
+    elif MODEL == 'sage':
+        from pytorch_geometric_tpu.nn.models import GraphSAGE
+        model = GraphSAGE(hidden_channels=H, num_layers=3,
+                          out_channels=C)
+        kw = {}
+    else:
+        from pytorch_geometric_tpu.nn.models import GIN
+        model = GIN(hidden_channels=H, num_layers=3, out_channels=C)
+        kw = {}
     params = model.init(jax.random.PRNGKey(0), x, edge_index, **kw)
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
@@ -128,25 +146,27 @@ def main():
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    # roofline accounting for the active SpMM algorithm, 3 layers
-    # fwd+bwd per step. Dense cached-adjacency path: each pass reads the
-    # [N, N] f32 adjacency (the dominant stream) + x + out; backward is
-    # the mirrored A^T pass. Sparse path: gather/scatter bytes.
+    # roofline accounting for the active SpMM algorithm per step. Dense
+    # cached-adjacency path: each pass reads the [N, N] adjacency (the
+    # dominant stream) + x + out; backward is the mirrored A^T pass.
+    # GCN runs 3 fwd + 3 bwd passes; SAGE/GIN aggregate the raw input
+    # at layer 1 (no parameters upstream), so its backward A^T pass is
+    # dead code — 5 passes. Sparse path: gather/scatter bytes.
+    passes = 6 if MODEL == 'gcn' else 5
     if edge_index.dense_adj is not None:
         adj_bytes = N * N * edge_index.dense_adj.dtype.itemsize
-        layer_bytes = 2 * (adj_bytes + 2 * N * F * 4)
+        pass_bytes = adj_bytes + 2 * N * F * 4
     else:
-        layer_bytes = (E * F * 4 + N * F * 4 + E * 4) + \
-                      (2 * E * F * 4 + N * F * 4)
-    total_gb = 3 * STEPS * layer_bytes / 1e9
+        pass_bytes = (1.5 * E * F * 4 + N * F * 4 + E * 4)
+    total_gb = passes * STEPS * pass_bytes / 1e9
     gbps = total_gb / dt
     print(json.dumps({
-        'metric': 'gcn_train_500steps',
+        'metric': f'{MODEL}_train_500steps',
         'value': round(dt, 4),
         'unit': 's',
         'vs_baseline': round(BASELINE_EAGER_S / dt, 3),
         'backend': jax.default_backend(),
-        'edges_per_s': round(3 * STEPS * E / dt),
+        'edges_per_s': round(passes / 2 * STEPS * E / dt),
         'spmm_gbps': round(gbps, 1),
         'pct_roofline': round(100 * gbps / 819.0, 1),  # v5e HBM
         'adj_dtype': str(edge_index.dense_adj.dtype)
@@ -227,7 +247,7 @@ def _main_with_watchdog():
     except subprocess.TimeoutExpired:
         line = []
     print(line[-1] if line else json.dumps({
-        'metric': 'gcn_train_500steps', 'value': -1.0, 'unit': 's',
+        'metric': f'{MODEL}_train_500steps', 'value': -1.0, 'unit': 's',
         'vs_baseline': 0.0}))
 
 

@@ -36,6 +36,16 @@ class GINConv(MessagePassing):
             out = out + (1 + eps) * x_dst
         return self.mlp(out)
 
+    def message_and_aggregate(self, edge_index, x=None, **kwargs):
+        # fused sum-SpMM (message is the identity x_j): routes through
+        # the cached dense/BSR MXU adjacency when present
+        from ...edge_index import EdgeIndex
+        from ...ops import spmm
+        if not isinstance(edge_index, EdgeIndex) or edge_index.csc is None:
+            return NotImplemented
+        x_src, _ = x if isinstance(x, tuple) else (x, x)
+        return spmm(edge_index, x_src, reduce='sum')
+
 
 class GINEConv(MessagePassing):
     """GIN with edge features: message = relu(x_j + W edge_attr)

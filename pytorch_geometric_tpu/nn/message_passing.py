@@ -145,7 +145,11 @@ class MessagePassing(fnn.Module):
         _debug_check_bounds(j_idx, i_idx, num_src, num_dst)
 
         # Fused SpMM path (reference message_passing.py:479-497).
+        # edge_mask is not threaded through message_and_aggregate
+        # (padding lives in the EdgeIndex's sentinel endpoints there),
+        # so an explicit mask forces the gather path.
         if (hasattr(self, 'message_and_aggregate')
+                and edge_mask is None
                 and isinstance(edge_index, EdgeIndex)
                 and self._aggr() in ('sum', 'mean', 'min', 'max')):
             out = self.message_and_aggregate(edge_index, **kwargs)
