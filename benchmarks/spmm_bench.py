@@ -66,6 +66,11 @@ def main():
                     help='scale-free degree distribution + scrambled '
                          'ids (exercises the auto reorder in the BSR '
                          'path)')
+    ap.add_argument('--int8', action='store_true',
+                    help='quantized inference cache (per-row int8 + f32 '
+                         'scales); forward-only (implies --infer)')
+    ap.add_argument('--infer', action='store_true',
+                    help='time the forward pass only (inference)')
     ap.add_argument('--bf16', action='store_true',
                     help='store the cached dense adjacency in bf16 '
                          '(halves the dominant HBM stream)')
@@ -119,18 +124,23 @@ def main():
         print(json.dumps({'bsr_blocks': nb, 'residual_edges': n_res,
                           'block_mb': round(nb * BS * BS * 4 / 1e6, 1),
                           'captured_frac': round(1 - n_res / e, 4)}))
-    elif args.dense:
+    elif args.dense or args.int8:
         import jax.numpy as _jnp
         ei = EdgeIndex(coo_np, (n, n)).fill_cache(
             dense_weight=w_np,
-            cache_dtype=_jnp.bfloat16 if args.bf16 else None)
+            cache_dtype=(_jnp.int8 if args.int8 else
+                         _jnp.bfloat16 if args.bf16 else None))
     else:
         ei = EdgeIndex(coo_np, (n, n)).fill_cache()
 
     # Pass the EdgeIndex pytree as a jit ARGUMENT: closing over it would
     # bake the cached [N,N] adjacency into the HLO as a constant (slow
     # compiles; oversized remote-compile requests through the tunnel).
-    if args.bsr or args.dense:
+    if args.int8 or args.infer:
+        @jax.jit
+        def fwd_bwd(ei, x, w):
+            return spmm(ei, x)
+    elif args.bsr or args.dense:
         @jax.jit
         def fwd_bwd(ei, x, w):
             def loss(x):
@@ -153,7 +163,8 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.steps
 
-    gb = roofline_bytes(e, n, f) / 1e9
+    gb = roofline_bytes(
+        e, n, f, fwd_and_bwd=not (args.int8 or args.infer)) / 1e9
     gbps = gb / dt
     peak = HBM_GBPS.get(args.gen, 819.0)
     print(json.dumps({
@@ -164,10 +175,12 @@ def main():
         'effective_gbps': round(gbps, 1),
         'roofline_frac': round(gbps / peak, 3),
         'backend': jax.default_backend(),
-        'path': ('bsr' if args.bsr else
+        'path': ('dense_int8_infer' if args.int8 else
+                 'bsr' if args.bsr else
                  'dense_bf16' if (args.dense and args.bf16) else
                  'dense' if args.dense else
                  'xla' if args.xla else 'auto'),
+        'fwd_only': bool(args.int8 or args.infer),
         'clustered': args.clustered,
         'powerlaw': bool(args.powerlaw),
     }))

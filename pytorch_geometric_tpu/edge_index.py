@@ -74,7 +74,9 @@ class EdgeIndex:
                  blocked_t: Optional[BlockedCSC] = None,
                  dense_adj: Optional[jnp.ndarray] = None,
                  bsr=None, bsr_t=None, bsr_res=None,
-                 bsr_perm=None, bsr_inv=None):
+                 bsr_perm=None, bsr_inv=None,
+                 dense_scale: Optional[Tuple[jnp.ndarray,
+                                             jnp.ndarray]] = None):
         # Host copy kept when constructed from numpy: fill_cache's
         # blocked-layout build is a host pass, and a device->host pull
         # of the COO can cost minutes over a remote-device tunnel.
@@ -109,12 +111,16 @@ class EdgeIndex:
         # x[bsr_perm] before and out[bsr_inv] after the block matmul.
         self.bsr_perm = bsr_perm
         self.bsr_inv = bsr_inv
+        # int8 quantized dense cache: (row, col) f32 dequantization
+        # scale pair of the two-sided factorization diag(r) Q diag(c)
+        self.dense_scale = dense_scale
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coo, self.csr, self.csc, self.blocked,
                     self.blocked_t, self.dense_adj, self.bsr, self.bsr_t,
-                    self.bsr_res, self.bsr_perm, self.bsr_inv)
+                    self.bsr_res, self.bsr_perm, self.bsr_inv,
+                    self.dense_scale)
         aux = (self.sparse_size, self.num_real_edges)
         return children, aux
 
@@ -123,7 +129,8 @@ class EdgeIndex:
         obj = object.__new__(cls)
         (obj.coo, obj.csr, obj.csc, obj.blocked,
          obj.blocked_t, obj.dense_adj, obj.bsr, obj.bsr_t,
-         obj.bsr_res, obj.bsr_perm, obj.bsr_inv) = children
+         obj.bsr_res, obj.bsr_perm, obj.bsr_inv,
+         obj.dense_scale) = children
         obj.sparse_size, obj.num_real_edges = aux
         obj._coo_host = None
         return obj
@@ -211,6 +218,7 @@ class EdgeIndex:
         else:
             csr, csc = self.get_csr(), self.get_csc()
         dense = self.dense_adj
+        dense_scale = self.dense_scale
         bsr, bsr_t, bsr_res = self.bsr, self.bsr_t, self.bsr_res
         bsr_perm, bsr_inv = self.bsr_perm, self.bsr_inv
         if dense_weight is not None and dense is None and bsr is None:
@@ -228,7 +236,34 @@ class EdgeIndex:
                 dense = _dense_build(self.coo,
                                      jnp.asarray(dense_weight),
                                      ns, nd, jnp.float32)
-                if cache_dtype is not None:
+                if cache_dtype == jnp.int8:
+                    # inference-only quantized cache with TWO-SIDED
+                    # scaling A ~= diag(r) Q diag(c) (int8 Q): one copy
+                    # serves both orientations (A x = r*(Q @ (c*x)),
+                    # A^T x = c*(Q^T @ (r*x))), and balancing both sides
+                    # keeps the dynamically quantized (scale*x) vector
+                    # well-conditioned (a single per-row scheme lets one
+                    # hot row poison the per-tensor x quantization step).
+                    # int8 halves the bf16 HBM stream again and doubles
+                    # MXU throughput. Gradients do NOT flow through this
+                    # path (round() kills them) — use bf16/f32 caches
+                    # for training.
+                    # empty rows/columns get scale 0 (their adjacency
+                    # entries are all zero): a nonzero guard would dwarf
+                    # the real scales and poison the per-tensor dynamic
+                    # quantization of (scale * x) at spmm time
+                    rowmax = jnp.max(jnp.abs(dense), axis=1)
+                    r = jnp.where(rowmax > 0, jnp.sqrt(rowmax), 0.0)
+                    a1 = dense / jnp.where(r > 0, r, 1.0)[:, None]
+                    colmax = jnp.max(jnp.abs(a1), axis=0)
+                    c = jnp.where(colmax > 0, colmax / 127.0, 0.0)
+                    dense_scale = (r.astype(jnp.float32),
+                                   c.astype(jnp.float32))
+                    dense = jnp.clip(
+                        jnp.round(a1 / jnp.where(c > 0, c,
+                                                 1.0)[None, :]),
+                        -127, 127).astype(jnp.int8)
+                elif cache_dtype is not None:
                     dense = dense.astype(cache_dtype)
             elif block_sparse is not False:
                 # too big to densify: cache the nonempty 128x128 blocks
@@ -275,7 +310,7 @@ class EdgeIndex:
                         blocked=blk, blocked_t=blk_t,
                         dense_adj=dense, bsr=bsr, bsr_t=bsr_t,
                         bsr_res=bsr_res, bsr_perm=bsr_perm,
-                        bsr_inv=bsr_inv)
+                        bsr_inv=bsr_inv, dense_scale=dense_scale)
         out._coo_host = self._coo_host
         return out
 
@@ -305,7 +340,12 @@ class EdgeIndex:
                                   if self.bsr_res is not None else None),
                          # square relabel: A^T under P A P^T keeps the
                          # same perm on both sides
-                         bsr_perm=self.bsr_perm, bsr_inv=self.bsr_inv)
+                         bsr_perm=self.bsr_perm, bsr_inv=self.bsr_inv,
+                         # A = diag(r) Q diag(c) => A^T = diag(c) Q^T
+                         # diag(r): swap the scale pair with Q^T
+                         dense_scale=(self.dense_scale[::-1]
+                                      if self.dense_scale is not None
+                                      else None))
 
     def to_dense_adj(self, edge_weight: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:

@@ -146,7 +146,22 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
     if (dense is not None and edge_weight is None
             and reduce in ('sum', 'mean') and x.ndim == 2
             and not os.environ.get('PGT_DISABLE_DENSE_SPMM')):
-        if dense.dtype == jnp.bfloat16:
+        if dense.dtype == jnp.int8:
+            # quantized inference path (fill_cache(cache_dtype=int8)):
+            # A ~= diag(r) Q diag(c), so A x = r * (Q @ (c * x)) with
+            # (c * x) dynamically per-tensor int8-quantized; the
+            # int8 x int8 -> int32 matmul runs the MXU at 2x bf16 with
+            # half the HBM bytes. No gradients (round() kills them).
+            r, c = adj.dense_scale
+            xs = x.astype(jnp.float32) * c[:, None]
+            x_scale = jnp.maximum(jnp.max(jnp.abs(xs)), 1e-30) / 127.0
+            xq = jnp.clip(jnp.round(xs / x_scale), -127,
+                          127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                dense, xq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * (x_scale * r[:, None])
+        elif dense.dtype == jnp.bfloat16:
             # half-width cached adjacency (fill_cache cache_dtype=bf16):
             # the [N,N] stream is the bandwidth bottleneck; bf16 halves
             # it, f32 accumulation keeps the ~1e-2 rel error of a single
