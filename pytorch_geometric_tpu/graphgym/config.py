@@ -60,9 +60,12 @@ def set_cfg(c: Optional[CfgNode] = None) -> CfgNode:
     c.dataset = CfgNode(name='fake', task='node', task_type='classification',
                        num_graphs=1, avg_num_nodes=300, avg_degree=8,
                        num_channels=16, num_classes=4, split=[0.8, 0.1, 0.1])
-    c.model = CfgNode(type='gnn', loss_fun='cross_entropy')
+    c.model = CfgNode(type='gnn', loss_fun='cross_entropy',
+                     graph_pooling='add')
     c.gnn = CfgNode(layer_type='gcnconv', layers_mp=2, dim_inner=64,
-                   act='relu', dropout=0.0, jk=None, heads=1)
+                   act='relu', dropout=0.0, jk=None, heads=1,
+                   layers_pre_mp=0, layers_post_mp=1,
+                   stage_type='stack', batchnorm=False, l2norm=False)
     c.train = CfgNode(batch_size=32, epochs=10, eval_period=1,
                      ckpt_period=5, enable_ckpt=True)
     c.optim = CfgNode(optimizer='adam', base_lr=0.01, weight_decay=5e-4,
