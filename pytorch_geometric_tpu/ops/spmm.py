@@ -117,6 +117,83 @@ def _dense_spmm_bwd(n_src, n_dst, res, g):
 _dense_spmm.defvjp(_dense_spmm_fwd, _dense_spmm_bwd)
 
 
+# Edge-chunked path for giant graphs: every other path materialises the
+# gathered [E, F] messages in HBM (40 GB at ogbn-products scale, a
+# guaranteed OOM on a 16 GB chip). Above this many gathered bytes, run
+# the edge list through a lax.scan in ~1 GB chunks with an [N, F]
+# accumulator; the custom VJP mirrors the two passes (grad_x is the
+# transposed chunked pass, grad_w a chunked per-edge dot).
+_CHUNK_TRIGGER_BYTES = float(os.environ.get('PGT_SPMM_CHUNK_TRIGGER',
+                                            4e9))
+_CHUNK_BUF_BYTES = float(os.environ.get('PGT_SPMM_CHUNK_BUF', 1e9))
+
+
+def _chunk_pass(src, dst, w, x, num_out, chunk):
+    """sum_e w_e * x[src_e] into out[dst_e], edges processed in chunks.
+    Invalid endpoints (>= sizes) drop out."""
+    e = src.shape[0]
+    n_chunks = max(-(-e // chunk), 1)
+    pad = n_chunks * chunk - e
+    srcp = jnp.pad(src, (0, pad), constant_values=x.shape[0])
+    dstp = jnp.pad(dst, (0, pad), constant_values=num_out)
+    wp = jnp.pad(w, (0, pad))
+    xs = (srcp.reshape(n_chunks, chunk), dstp.reshape(n_chunks, chunk),
+          wp.reshape(n_chunks, chunk))
+
+    def body(acc, args):
+        s, d, ww = args
+        valid = (s < x.shape[0]) & (d < num_out)
+        msg = x[jnp.minimum(s, x.shape[0] - 1)]
+        msg = jnp.where(valid[:, None], msg * ww[:, None].astype(
+            msg.dtype), 0)
+        part = jax.ops.segment_sum(msg, jnp.where(valid, d, num_out),
+                                   num_out + 1)
+        return acc + part[:num_out], None
+
+    acc0 = jnp.zeros((num_out, x.shape[1]), x.dtype)
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _chunked_spmm(src, dst, w, x, num_out, chunk):
+    return _chunk_pass(src, dst, w, x, num_out, chunk)
+
+
+def _chunked_spmm_fwd(src, dst, w, x, num_out, chunk):
+    return _chunk_pass(src, dst, w, x, num_out, chunk), (src, dst, w, x)
+
+
+def _chunked_spmm_bwd(num_out, chunk, res, g):
+    src, dst, w, x = res
+    # grad_x = A^T g: the same chunked pass with edge roles swapped
+    grad_x = _chunk_pass(dst, src, w, g, x.shape[0], chunk)
+    # grad_w: per-edge <x[src], g[dst]>, chunked to avoid an [E, F]
+    e = src.shape[0]
+    n_chunks = max(-(-e // chunk), 1)
+    pad = n_chunks * chunk - e
+    srcp = jnp.pad(src, (0, pad), constant_values=x.shape[0])
+    dstp = jnp.pad(dst, (0, pad), constant_values=num_out)
+
+    def body(_, args):
+        s, d = args
+        valid = (s < x.shape[0]) & (d < num_out)
+        dot = (x[jnp.minimum(s, x.shape[0] - 1)]
+               * g[jnp.minimum(d, num_out - 1)]).sum(-1)
+        return None, jnp.where(valid, dot, 0)
+
+    _, gw = jax.lax.scan(body, None,
+                         (srcp.reshape(n_chunks, chunk),
+                          dstp.reshape(n_chunks, chunk)))
+    grad_w = gw.reshape(-1)[:e].astype(w.dtype)
+    return (np.zeros(src.shape, jax.dtypes.float0),
+            np.zeros(dst.shape, jax.dtypes.float0),
+            grad_w, grad_x)
+
+
+_chunked_spmm.defvjp(_chunked_spmm_fwd, _chunked_spmm_bwd)
+
+
 def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
          edge_weight: Optional[jnp.ndarray] = None, reduce: str = 'sum',
          transpose: bool = False, use_pallas: Optional[bool] = None
@@ -213,6 +290,23 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
         w = (edge_weight if edge_weight is not None
              else jnp.ones((adj.num_edges,), x.dtype))
         out = _dense_spmm(adj.coo, w, x, adj.num_src_nodes, num_out)
+        if reduce == 'mean':
+            ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
+            deg = jax.ops.segment_sum(
+                ones, jnp.minimum(dst, num_out - 1), num_out)
+            out = out / jnp.maximum(deg, 1)[:, None]
+        return out
+
+    # Giant-E chunked path: every other sparse path materialises the
+    # gathered [E, F] messages; at ogbn-products scale that alone
+    # exceeds chip HBM.
+    if (reduce in ('sum', 'mean') and x.ndim == 2
+            and adj.num_edges * x.shape[1] * 4 > _CHUNK_TRIGGER_BYTES):
+        w = (edge_weight if edge_weight is not None
+             else jnp.ones((adj.num_edges,), x.dtype))
+        chunk = max(1 << 16,
+                    int(_CHUNK_BUF_BYTES / max(x.shape[1] * 4, 1)))
+        out = _chunked_spmm(src, dst, w, x, num_out, chunk)
         if reduce == 'mean':
             ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
             deg = jax.ops.segment_sum(

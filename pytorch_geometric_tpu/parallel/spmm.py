@@ -114,6 +114,96 @@ def partition_spmm_halo_bsr(x_own: jnp.ndarray, halo_send: jnp.ndarray,
     return local + tail
 
 
+def build_ring_buckets(parts):
+    """Host-side: regroup each partition's edges by SOURCE partition for
+    the ring schedule (derived from the existing partition books:
+    ``edge_src // n_max`` is the source partition, ``% n_max`` its local
+    position). Returns [P, P, e_pp] arrays (ring_src local-in-q,
+    ring_dst local-in-p, ring_mask, ring_w or None)."""
+    import numpy as np
+    P, n_max = parts.num_parts, parts.n_max
+    src_q = np.asarray(parts.edge_src) // n_max          # [P, e_max]
+    src_local = np.asarray(parts.edge_src) % n_max
+    dst_local = np.asarray(parts.edge_dst)
+    mask = np.asarray(parts.edge_mask)
+    w = (np.asarray(parts.edge_weight)
+         if parts.edge_weight is not None else None)
+    counts = np.zeros((P, P), np.int64)
+    for p in range(P):
+        m = mask[p]
+        counts[p] = np.bincount(src_q[p][m], minlength=P)
+    e_pp = max(8, -(-int(counts.max()) // 8) * 8)
+    ring_src = np.full((P, P, e_pp), n_max, np.int64)
+    ring_dst = np.full((P, P, e_pp), n_max, np.int64)
+    ring_mask = np.zeros((P, P, e_pp), bool)
+    ring_w = (np.zeros((P, P, e_pp), w.dtype)
+              if w is not None else None)
+    for p in range(P):
+        m = mask[p]
+        qs = src_q[p][m]
+        order = np.argsort(qs, kind='stable')
+        offs = np.concatenate([[0], np.cumsum(counts[p])])
+        pos = np.arange(len(qs)) - offs[qs[order]]
+        ring_src[p, qs[order], pos] = src_local[p][m][order]
+        ring_dst[p, qs[order], pos] = dst_local[p][m][order]
+        ring_mask[p, qs[order], pos] = True
+        if ring_w is not None:
+            ring_w[p, qs[order], pos] = w[p][m][order]
+    return ring_src, ring_dst, ring_mask, ring_w
+
+
+def partition_spmm_ring(x_own: jnp.ndarray, ring_src: jnp.ndarray,
+                        ring_dst: jnp.ndarray, ring_mask: jnp.ndarray,
+                        ring_w: Optional[jnp.ndarray],
+                        axis_name: str = 'graph') -> jnp.ndarray:
+    """Ring-pipelined A^T x — the graph analog of ring attention
+    (SURVEY §5). Call INSIDE shard_map.
+
+    Instead of one bulk exchange, each device's feature block rotates
+    around the ring (``ppermute``); at step s every device aggregates
+    the edges whose sources live in the block it currently holds, so
+    every hop's transfer overlaps the previous hop's segment-sum.
+    Traffic is O(P * n_max * F) like all_gather, but peak memory is one
+    block (O(n_max * F)) instead of the gathered O(P * n_max * F), and
+    compute/communication overlap is explicit in the schedule rather
+    than left to XLA. Prefer the sparse halo exchange
+    (:func:`partition_spmm_halo`) when boundaries are small; the ring
+    wins when nearly everything is boundary (high edge-cut) or when the
+    gathered buffer does not fit.
+
+    ring_src: [P, e_pp] this device's edges grouped by SOURCE partition
+              q (slot = position local to q's block; pad = n_max)
+    ring_dst: [P, e_pp] local dst positions
+    Backward (reverse-mode through scan + ppermute) is the reverse
+    ring — also pipelined.
+    """
+    n_max, f = x_own.shape
+    num_p = ring_src.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    fwd_ring = [(i, (i + 1) % num_p) for i in range(num_p)]
+
+    def step(carry, s):
+        out, blk = carry
+        q = (me - s) % num_p           # whose block we hold at step s
+        src = jax.lax.dynamic_index_in_dim(ring_src, q, 0, False)
+        dst = jax.lax.dynamic_index_in_dim(ring_dst, q, 0, False)
+        msk = jax.lax.dynamic_index_in_dim(ring_mask, q, 0, False)
+        msg = blk[jnp.minimum(src, n_max - 1)]
+        if ring_w is not None:
+            wq = jax.lax.dynamic_index_in_dim(ring_w, q, 0, False)
+            msg = msg * wq[:, None]
+        msg = jnp.where(msk[:, None], msg, 0)
+        d = jnp.where(msk, dst, n_max)
+        out = out + jax.ops.segment_sum(msg, d, n_max + 1)[:n_max]
+        blk = jax.lax.ppermute(blk, axis_name, fwd_ring)
+        return (out, blk), None
+
+    out0 = jnp.zeros_like(x_own)
+    (out, _), _ = jax.lax.scan(step, (out0, x_own),
+                               jnp.arange(num_p))
+    return out
+
+
 def make_partition_gcn_step(mesh: Mesh, model_apply, tx,
                             axis_name: str = 'graph'):
     """Build a jitted partition-parallel train step.
