@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .partition import GraphPartitions, Partitioner
 from .spmm import (partition_spmm, partition_spmm_halo,
+                   partition_spmm_ring, build_ring_buckets,
                    partition_spmm_halo_bsr, make_partition_gcn_step)
 
 
@@ -58,7 +59,14 @@ def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
     own_mask, train_mask = own_mask[0], train_mask[0]
     edge_src, edge_dst = edge_src[0], edge_dst[0]
     edge_mask, edge_weight = edge_mask[0], edge_weight[0]
-    if bsr:
+    if edge_src.ndim == 2:
+        # ring buckets ([P, e_pp] per device, shard_partitions
+        # exchange='ring'): ppermute block rotation with per-step
+        # aggregation
+        spmm = partial(partition_spmm_ring, ring_src=edge_src,
+                       ring_dst=edge_dst, ring_mask=edge_mask,
+                       ring_w=edge_weight, axis_name=axis_name)
+    elif bsr:
         hs, hm = halo[0][0], halo[1][0]
         bsr_leaves = tuple(b[0] for b in bsr)
         spmm = partial(partition_spmm_halo_bsr, halo_send=hs,
@@ -91,8 +99,12 @@ def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
 
 def shard_partitions(mesh: Mesh, parts: GraphPartitions,
                      train_mask: np.ndarray,
-                     axis_name: str = 'graph') -> Tuple:
-    """Device-put the stacked partition arrays sharded over the mesh."""
+                     axis_name: str = 'graph',
+                     exchange: str = 'auto') -> Tuple:
+    """Device-put the stacked partition arrays sharded over the mesh.
+
+    ``exchange``: 'auto' (sparse halo when available, else gather) or
+    'ring' (ppermute block rotation, ``partition_spmm_ring``)."""
     P_ = parts.num_parts
     n_max = parts.n_max
     tm = np.zeros((P_, n_max), bool)
@@ -101,7 +113,13 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
     tm = tm_flat & parts.own_mask
     ew = (parts.edge_weight if parts.edge_weight is not None
           else np.ones_like(parts.edge_src, np.float32))
-    if parts.halo_send is not None:
+    if exchange == 'ring':
+        rs, rd, rm, rw = build_ring_buckets(parts)
+        if rw is None:
+            rw = np.ones_like(rs, np.float32)
+        leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
+                  parts.own_mask, tm, rs, rd, rm, rw.astype(np.float32))
+    elif parts.halo_send is not None:
         # sparse halo: edge srcs address the [own | recv] buffer
         leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
                   parts.own_mask, tm, parts.edge_src_halo,
@@ -123,7 +141,8 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
 def train_partition_parallel(data, num_parts: int, hidden: int = 16,
                              num_steps: int = 5, lr: float = 1e-2,
                              mesh: Mesh = None, seed: int = 0,
-                             local_bsr: bool = False):
+                             local_bsr: bool = False,
+                             exchange: str = 'auto'):
     """End-to-end: partition -> shard -> jitted multi-chip train steps.
 
     Returns (params, losses). Used by tests and __graft_entry__.
@@ -147,7 +166,7 @@ def train_partition_parallel(data, num_parts: int, hidden: int = 16,
     if mesh is None:
         devs = jax.devices()[:num_parts]
         mesh = Mesh(np.array(devs), ('graph',))
-    shard = shard_partitions(mesh, parts, tm)
+    shard = shard_partitions(mesh, parts, tm, exchange=exchange)
 
     num_classes = int(np.asarray(data.y).max()) + 1
     params = init_gcn_params(jax.random.PRNGKey(seed),

@@ -181,3 +181,20 @@ def test_ring_gradients_match_halo():
     g_ring = np.asarray(jax.grad(loss_ring)(x_sh))
     g_halo = np.asarray(jax.grad(loss_halo)(x_sh))
     np.testing.assert_allclose(g_ring, g_halo, rtol=1e-4, atol=1e-4)
+
+
+def test_train_partition_parallel_ring_matches_halo():
+    from pytorch_geometric_tpu.parallel import train_partition_parallel
+    rng = np.random.default_rng(5)
+    n, e, f, c = 64, 300, 8, 3
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    data = Data(x=rng.standard_normal((n, f)).astype(np.float32),
+                edge_index=coo, y=rng.integers(0, c, n).astype(np.int32),
+                num_nodes=n)
+    mesh = Mesh(np.array(jax.devices('cpu')[:8]), ('graph',))
+    _, l_halo = train_partition_parallel(data, 8, hidden=16, num_steps=3,
+                                         mesh=mesh)
+    _, l_ring = train_partition_parallel(data, 8, hidden=16, num_steps=3,
+                                         mesh=mesh, exchange='ring')
+    np.testing.assert_allclose(l_ring, l_halo, rtol=1e-5, atol=1e-6)
