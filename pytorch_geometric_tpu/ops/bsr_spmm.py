@@ -79,12 +79,15 @@ def build_bsr(coo: np.ndarray, weight: np.ndarray, num_src: int,
     # block (col 0) into each empty row, keeping (row, col) order.
     empty_rows = np.setdiff1d(np.arange(d_blocks), uniq // s_blocks)
     all_keys = np.sort(np.concatenate([uniq, empty_rows * s_blocks]))
-    slot_of = {int(k): i for i, k in enumerate(all_keys)}
-    blk_slot = np.asarray([slot_of[int(k)] for k in uniq], np.int64)[inv]
+    # vectorized slot lookup (a python dict loop here cost ~30s at
+    # products scale); all_keys is sorted and contains every uniq key
+    blk_slot = np.searchsorted(all_keys, uniq)[inv]
 
     nb = len(all_keys)
-    vals = np.zeros((nb, BS, BS), np.float64)
-    np.add.at(vals, (blk_slot, dst % BS, src % BS), w)
+    # bincount beats np.add.at ~10x on tens of millions of edges
+    flat = blk_slot * (BS * BS) + (dst % BS) * BS + (src % BS)
+    vals = np.bincount(flat, weights=w,
+                       minlength=nb * BS * BS).reshape(nb, BS, BS)
     rows = (all_keys // s_blocks).astype(np.int32)
     cols = (all_keys % s_blocks).astype(np.int32)
     first = np.concatenate([[1], (rows[1:] != rows[:-1]).astype(np.int32)])
