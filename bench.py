@@ -149,10 +149,11 @@ def main():
     # roofline accounting for the active SpMM algorithm per step. Dense
     # cached-adjacency path: each pass reads the [N, N] adjacency (the
     # dominant stream) + x + out; backward is the mirrored A^T pass.
-    # GCN runs 3 fwd + 3 bwd passes; SAGE/GIN aggregate the raw input
-    # at layer 1 (no parameters upstream), so its backward A^T pass is
-    # dead code — 5 passes. Sparse path: gather/scatter bytes.
-    passes = 6 if MODEL == 'gcn' else 5
+    # All three models run 3 fwd + 2 bwd passes: layer 1 aggregates the
+    # leaf input (SAGE/GIN directly; GCN via propagate-first
+    # reassociation A(xW)=(Ax)W), so its backward A^T pass is dead
+    # code. Sparse path: gather/scatter bytes.
+    passes = 5
     if edge_index.dense_adj is not None:
         adj_bytes = N * N * edge_index.dense_adj.dtype.itemsize
         pass_bytes = adj_bytes + 2 * N * F * 4

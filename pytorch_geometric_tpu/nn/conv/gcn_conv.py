@@ -110,6 +110,12 @@ class GCNConv(MessagePassing):
     normalize: bool = True
     use_bias: bool = True
     aggr: str = 'sum'
+    # A(xW) == (Ax)W: propagate-first keeps the SpMM on the narrower
+    # side when in <= out, and at layer 1 (leaf input) it lets XLA
+    # dead-code the backward A^T pass (grad_W = (Ax)^T g needs no
+    # transpose SpMM) — one of 6 [N,N] passes on the GCN protocol
+    # bench. None = auto (propagate first iff in_channels <= out).
+    propagate_first: Optional[bool] = None
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray, edge_index,
@@ -126,12 +132,22 @@ class GCNConv(MessagePassing):
                     [edge_mask, jnp.ones((num_nodes,), bool)])
             edge_index = edge_index_n
 
-        x = fnn.Dense(self.out_channels, use_bias=False,
-                      kernel_init=fnn.initializers.glorot_uniform(),
-                      name='lin')(x)
-        out = self.propagate(edge_index, x=x, edge_weight=edge_weight,
-                             size=(num_nodes, num_nodes),
-                             edge_mask=edge_mask)
+        lin = fnn.Dense(self.out_channels, use_bias=False,
+                        kernel_init=fnn.initializers.glorot_uniform(),
+                        name='lin')
+        prop_first = self.propagate_first
+        if prop_first is None:
+            prop_first = x.shape[-1] <= self.out_channels
+        if prop_first:
+            out = lin(self.propagate(edge_index, x=x,
+                                     edge_weight=edge_weight,
+                                     size=(num_nodes, num_nodes),
+                                     edge_mask=edge_mask))
+        else:
+            out = self.propagate(edge_index, x=lin(x),
+                                 edge_weight=edge_weight,
+                                 size=(num_nodes, num_nodes),
+                                 edge_mask=edge_mask)
         if self.use_bias:
             bias = self.param('bias', fnn.initializers.zeros,
                               (self.out_channels,))
