@@ -33,3 +33,5 @@ __all__ = [
 from .optim import (OptimizerConfig, SchedulerConfig, create_optimizer,
                     create_scheduler)
 from .loss import compute_loss
+from .encoder import (IntegerFeatureEncoder, AtomEncoder, BondEncoder,
+                      OGB_ATOM_FEATURE_DIMS, OGB_BOND_FEATURE_DIMS)

@@ -79,3 +79,22 @@ def test_skipconcat_trains():
         params, opt, loss = step(params, opt)
         l0 = l0 if l0 is not None else float(loss)
     assert float(loss) < l0
+
+
+def test_feature_encoders():
+    from pytorch_geometric_tpu.graphgym import (AtomEncoder, BondEncoder,
+                                                IntegerFeatureEncoder)
+    from pytorch_geometric_tpu.graphgym.register import registry
+    assert 'Atom' in registry['node_encoder']
+    assert 'Bond' in registry['edge_encoder']
+    xi = jnp.asarray(np.random.default_rng(0).integers(0, 9, (10, 9)))
+    enc = AtomEncoder(emb_dim=16)
+    p = enc.init(jax.random.PRNGKey(0), xi)
+    assert enc.apply(p, xi).shape == (10, 16)
+    ei = jnp.asarray(np.random.default_rng(1).integers(0, 2, (20, 3)))
+    benc = BondEncoder(emb_dim=8)
+    p = benc.init(jax.random.PRNGKey(0), ei)
+    assert benc.apply(p, ei).shape == (20, 8)
+    ienc = IntegerFeatureEncoder(emb_dim=4, num_classes=10)
+    p = ienc.init(jax.random.PRNGKey(0), xi)
+    assert ienc.apply(p, xi).shape == (10, 4)
