@@ -1,0 +1,86 @@
+"""Fused attention-aggregation A/B — GAT softmax path.
+
+Same-window comparison of the fused blocked kernel
+(``ops/gat_fused.py::gat_aggregate`` — one MXU pass for the softmax
+numerator + denominator, LSE-stabilised) against the XLA 3-pass path
+(segment-max, exp/segment-sum, normalize + weighted segment-sum) on a
+synthetic GAT workload. fwd+bwd per step.
+
+Usage: python benchmarks/attention_bench.py [--nodes 100000
+       --edges 2000000 --heads 4 --features 64] [--xla]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--nodes', type=int, default=100_000)
+    ap.add_argument('--edges', type=int, default=2_000_000)
+    ap.add_argument('--heads', type=int, default=4)
+    ap.add_argument('--features', type=int, default=64)
+    ap.add_argument('--steps', type=int, default=20)
+    ap.add_argument('--xla', action='store_true',
+                    help='run the 3-pass XLA softmax baseline instead')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_tpu import EdgeIndex
+    from pytorch_geometric_tpu.ops.gat_fused import gat_aggregate
+    from pytorch_geometric_tpu.ops.softmax import _softmax_xla
+
+    n, e, h, f = args.nodes, args.edges, args.heads, args.features
+    rng = np.random.default_rng(0)
+    coo = rng.integers(0, n, (2, e)).astype(np.int32)
+    ei = EdgeIndex(coo, (n, n)).fill_cache(blocked=True)
+    logits = jnp.asarray(rng.standard_normal((e, h)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    dst = jnp.asarray(coo[1])
+    src = jnp.asarray(coo[0])
+
+    if args.xla:
+        @jax.jit
+        def fwd_bwd(logits, v):
+            def loss(logits, v):
+                alpha = _softmax_xla(logits, dst, n)        # 3 passes
+                msg = v[src] * alpha[:, :, None]
+                out = jax.ops.segment_sum(msg, dst, n)
+                return (out ** 2).sum()
+            l, g = jax.value_and_grad(loss, argnums=(0, 1))(logits, v)
+            return l, g
+    else:
+        @jax.jit
+        def fwd_bwd(logits, v):
+            def loss(logits, v):
+                out = gat_aggregate(ei, logits, v)
+                return (out ** 2).sum()
+            l, g = jax.value_and_grad(loss, argnums=(0, 1))(logits, v)
+            return l, g
+
+    out = fwd_bwd(logits, v)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = fwd_bwd(logits, v)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        'metric': 'gat_softmax_aggregate_fwd_bwd',
+        'nodes': n, 'edges': e, 'heads': h, 'features': f,
+        'seconds_per_step': round(dt, 6),
+        'edges_per_s': round(e / dt),
+        'path': 'xla3pass' if args.xla else 'fused',
+        'backend': jax.default_backend(),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -27,3 +27,5 @@ run spmm_bsr_plaw    benchmarks/spmm_bench.py --bsr --powerlaw --steps 30
 run spmm_products    benchmarks/spmm_bench.py --nodes 2449029 --edges 61859140 --features 100 --steps 3
 run int8_infer       benchmarks/spmm_bench.py --int8 --nodes 10000 --edges 200000 --steps 100
 run bf16_infer       benchmarks/spmm_bench.py --dense --bf16 --infer --nodes 10000 --edges 200000 --steps 100
+run attn_fused       benchmarks/attention_bench.py --steps 10
+run attn_xla         benchmarks/attention_bench.py --steps 10 --xla

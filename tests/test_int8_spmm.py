@@ -61,21 +61,28 @@ def test_int8_gcn_inference_argmax_agreement():
     to int8."""
     import optax
     from pytorch_geometric_tpu.nn.models import GCN
-    w = _gcn_w()
-    ei32 = EdgeIndex(COO, (N, N)).fill_cache(dense_weight=w)
-    ei8 = EdgeIndex(COO, (N, N)).fill_cache(dense_weight=w,
-                                            cache_dtype=jnp.int8)
-    model = GCN(hidden_channels=32, num_layers=2, out_channels=7,
-                conv_kwargs={'normalize': False,
-                             'add_self_loops': False})
-    # learnable task (class-separable features): deployment models are
-    # confident, which is what the argmax criterion measures
+    # learnable homophilous task (class-separable features AND
+    # mostly same-class edges): deployment models are confident,
+    # which is what the argmax criterion measures
     r2 = np.random.default_rng(7)
     y_np = r2.integers(0, 7, N).astype(np.int32)
     centers = r2.standard_normal((7, F)).astype(np.float32) * 2.0
     x_sep = jnp.asarray(centers[y_np]
                         + r2.standard_normal((N, F)).astype(np.float32))
     y = jnp.asarray(y_np)
+    order = np.argsort(y_np, kind='stable')
+    srcs = r2.integers(0, N, E)
+    near = np.clip(srcs + r2.integers(-8, 9, E), 0, N - 1)
+    coo_h = np.stack([order[srcs], order[near]]).astype(np.int32)
+    deg = np.bincount(coo_h[1], minlength=N).astype(np.float32)
+    dinv = 1 / np.sqrt(np.maximum(deg, 1))
+    w = (dinv[coo_h[0]] * dinv[coo_h[1]]).astype(np.float32)
+    ei32 = EdgeIndex(coo_h, (N, N)).fill_cache(dense_weight=w)
+    ei8 = EdgeIndex(coo_h, (N, N)).fill_cache(dense_weight=w,
+                                              cache_dtype=jnp.int8)
+    model = GCN(hidden_channels=32, num_layers=2, out_channels=7,
+                conv_kwargs={'normalize': False,
+                             'add_self_loops': False})
     params = model.init(jax.random.PRNGKey(0), x_sep, ei32)
     tx = optax.adam(1e-2)
     opt = tx.init(params)
@@ -90,7 +97,7 @@ def test_int8_gcn_inference_argmax_agreement():
         updates, opt = tx.update(grads, opt)
         return optax.apply_updates(params, updates), opt, loss
 
-    for _ in range(60):
+    for _ in range(150):
         params, opt, loss = step(params, opt)
     p32 = np.asarray(model.apply(params, x_sep, ei32))
     p8 = np.asarray(model.apply(params, x_sep, ei8))
