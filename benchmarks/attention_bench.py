@@ -40,7 +40,11 @@ def main():
     n, e, h, f = args.nodes, args.edges, args.heads, args.features
     rng = np.random.default_rng(0)
     coo = rng.integers(0, n, (2, e)).astype(np.int32)
-    ei = EdgeIndex(coo, (n, n)).fill_cache(blocked=True)
+    # blocked cache only for the fused arm; the EdgeIndex is a jit
+    # ARGUMENT (closure capture would bake the cache into HLO constants
+    # — oversized remote-compile requests, see bench.py)
+    ei = (EdgeIndex(coo, (n, n)).fill_cache(blocked=True)
+          if not args.xla else None)
     logits = jnp.asarray(rng.standard_normal((e, h)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
     dst = jnp.asarray(coo[1])
@@ -48,7 +52,7 @@ def main():
 
     if args.xla:
         @jax.jit
-        def fwd_bwd(logits, v):
+        def fwd_bwd(ei, logits, v, dst, src):
             def loss(logits, v):
                 alpha = _softmax_xla(logits, dst, n)        # 3 passes
                 msg = v[src] * alpha[:, :, None]
@@ -58,18 +62,18 @@ def main():
             return l, g
     else:
         @jax.jit
-        def fwd_bwd(logits, v):
+        def fwd_bwd(ei, logits, v, dst, src):
             def loss(logits, v):
                 out = gat_aggregate(ei, logits, v)
                 return (out ** 2).sum()
             l, g = jax.value_and_grad(loss, argnums=(0, 1))(logits, v)
             return l, g
 
-    out = fwd_bwd(logits, v)
+    out = fwd_bwd(ei, logits, v, dst, src)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        out = fwd_bwd(logits, v)
+        out = fwd_bwd(ei, logits, v, dst, src)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.steps
     print(json.dumps({

@@ -19,6 +19,7 @@ import optax
 
 import pytorch_geometric_tpu as pgt
 from pytorch_geometric_tpu import EdgeIndex
+from pytorch_geometric_tpu.nn import cache_gcn_norm
 from pytorch_geometric_tpu.nn.models import GCN
 
 
@@ -26,18 +27,11 @@ def main():
     data = pgt.datasets.FakeDataset(avg_num_nodes=2000, avg_degree=16,
                                     num_channels=64, num_classes=7)[0]
     n = data.num_nodes
-    coo = np.asarray(data.edge_index)
+    coo = np.asarray(data.edge_index).astype(np.int32)
     # gcn-norm weights baked once (GCNConv(cached=True) protocol)
-    loops = np.arange(n)
-    coo = np.concatenate([coo, np.stack([loops, loops])], 1)
-    deg = np.bincount(coo[1], minlength=n).astype(np.float32)
-    dinv = 1 / np.sqrt(np.maximum(deg, 1))
-    w = (dinv[coo[0]] * dinv[coo[1]]).astype(np.float32)
-
-    ei_f32 = EdgeIndex(coo.astype(np.int32), (n, n)).fill_cache(
-        dense_weight=w)
-    ei_int8 = EdgeIndex(coo.astype(np.int32), (n, n)).fill_cache(
-        dense_weight=w, cache_dtype=jnp.int8)
+    ei_f32 = cache_gcn_norm(EdgeIndex(coo, (n, n)))
+    ei_int8 = cache_gcn_norm(EdgeIndex(coo, (n, n)),
+                             cache_dtype=jnp.int8)
 
     x = jnp.asarray(np.asarray(data.x))
     y = jnp.asarray(np.asarray(data.y).astype(np.int32))

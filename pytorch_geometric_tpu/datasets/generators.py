@@ -135,9 +135,14 @@ class ExplainerDataset:
     def __init__(self, num_nodes=300, num_motifs: int = 80,
                  seed: int = 0, transform=None, motif_generator=None,
                  graph_generator=None):
-        if graph_generator is None and not isinstance(num_nodes, int):
+        if graph_generator is None and not isinstance(
+                num_nodes, (int, np.integer)):
             # reference positional form: first arg is a graph generator
             graph_generator = num_nodes
+        if graph_generator is None and motif_generator is not None:
+            raise ValueError(
+                'motif_generator requires a graph_generator (the legacy '
+                'num_nodes form always builds BA + house motifs)')
         if graph_generator is not None:
             self._init_from_generators(graph_generator, motif_generator
                                        or 'house', num_motifs, seed,

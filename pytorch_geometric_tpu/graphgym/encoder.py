@@ -35,8 +35,15 @@ class _SummedEmbeds(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[1] > len(self.dims):
+            # reference surfaces this as an IndexError into the
+            # embedding list; silent truncation would hide a
+            # data-pipeline mismatch
+            raise ValueError(
+                f'{type(self).__name__} expected <= {len(self.dims)} '
+                f'feature columns, got {x.shape[1]}')
         out = 0
-        n_cols = min(x.shape[1], len(self.dims))
+        n_cols = x.shape[1]
         for i in range(n_cols):
             emb = fnn.Embed(
                 self.dims[i], self.emb_dim, name=f'emb_{i}',

@@ -71,9 +71,11 @@ class GraphGymGNN(fnn.Module):
                 x = x + x_in
             elif stage == 'skipconcat' and i < gnn['layers_mp'] - 1:
                 x = jnp.concatenate([x_in, x], axis=-1)
-            if gnn.get('l2norm', False):
-                x = x / jnp.maximum(
-                    jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        # reference GNNStackStage normalizes ONCE after the stage
+        # (models/gnn.py), not per layer
+        if gnn.get('l2norm', False):
+            x = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
         if dataset.get('task', 'node') == 'graph':
             from ..nn.pool import global_add_pool, global_mean_pool, \

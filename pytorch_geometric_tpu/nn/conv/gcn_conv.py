@@ -56,7 +56,8 @@ def gcn_norm(edge_index, edge_weight: Optional[jnp.ndarray] = None,
 
 def cache_gcn_norm(edge_index: EdgeIndex, improved: bool = False,
                    add_self_loops: bool = True,
-                   block_sparse: Optional[bool] = None) -> EdgeIndex:
+                   block_sparse: Optional[bool] = None,
+                   cache_dtype=None) -> EdgeIndex:
     """TPU-idiomatic ``GCNConv(cached=True)`` (reference
     ``gcn_conv.py:116``): compute D^-1/2 (A+I) D^-1/2 ONCE on the host
     and bake it into the EdgeIndex caches — the dense ``[N, N]``
@@ -99,7 +100,8 @@ def cache_gcn_norm(edge_index: EdgeIndex, improved: bool = False,
     norm = (dinv[row] * w * dinv[col]).astype(np.float32)
     coo_n = np.stack([row, col]).astype(np.int32)
     return EdgeIndex(coo_n, (n, n)).fill_cache(
-        dense_weight=norm, block_sparse=block_sparse)
+        dense_weight=norm, block_sparse=block_sparse,
+        cache_dtype=cache_dtype)
 
 
 class GCNConv(MessagePassing):
@@ -137,7 +139,9 @@ class GCNConv(MessagePassing):
                         name='lin')
         prop_first = self.propagate_first
         if prop_first is None:
-            prop_first = x.shape[-1] <= self.out_channels
+            # reassociation only commutes with LINEAR aggregations
+            prop_first = (x.shape[-1] <= self.out_channels
+                          and self._aggr() in ('sum', 'add', 'mean'))
         if prop_first:
             out = lin(self.propagate(edge_index, x=x,
                                      edge_weight=edge_weight,

@@ -44,7 +44,7 @@ class GINConv(MessagePassing):
         if not isinstance(edge_index, EdgeIndex) or edge_index.csc is None:
             return NotImplemented
         x_src, _ = x if isinstance(x, tuple) else (x, x)
-        return spmm(edge_index, x_src, reduce='sum')
+        return spmm(edge_index, x_src, reduce=self._aggr())
 
 
 class GINEConv(MessagePassing):

@@ -238,6 +238,10 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
                 dense, xq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             out = acc.astype(jnp.float32) * (x_scale * r[:, None])
+            # enforce the inference-only contract: without this, grads
+            # would flow ONLY through the dynamic x_scale (round() kills
+            # the rest) — a garbage direction worse than zero
+            out = jax.lax.stop_gradient(out)
         elif dense.dtype == jnp.bfloat16:
             # half-width cached adjacency (fill_cache cache_dtype=bf16):
             # the [N,N] stream is the bandwidth bottleneck; bf16 halves
