@@ -115,8 +115,10 @@ def main():
     w_np = rng.random(e).astype(np.float32)
     w = jnp.asarray(w_np)
     if args.bsr:
-        ei = EdgeIndex(coo_np, (n, n)).fill_cache(dense_weight=w_np,
-                                                  block_sparse=True)
+        import jax.numpy as _jnp
+        ei = EdgeIndex(coo_np, (n, n)).fill_cache(
+            dense_weight=w_np, block_sparse=True,
+            cache_dtype=_jnp.bfloat16 if args.bf16 else None)
         from pytorch_geometric_tpu.ops.bsr_spmm import BS
         nb = int(ei.bsr.vals.shape[0])
         n_res = (int(ei.bsr_res[0].shape[0])
@@ -176,6 +178,7 @@ def main():
         'roofline_frac': round(gbps / peak, 3),
         'backend': jax.default_backend(),
         'path': ('dense_int8_infer' if args.int8 else
+                 'bsr_bf16' if (args.bsr and args.bf16) else
                  'bsr' if args.bsr else
                  'dense_bf16' if (args.dense and args.bf16) else
                  'dense' if args.dense else

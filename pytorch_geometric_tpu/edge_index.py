@@ -295,6 +295,14 @@ class EdgeIndex:
                     bsr, bsr_t, bsr_res = build_bsr_pair(
                         coo_b, np.asarray(dense_weight), ns, nd,
                         in_blk=blk_mask)
+                    if cache_dtype == jnp.bfloat16:
+                        # bf16 block storage: halves the dominant block
+                        # stream; the kernel runs one bf16 MXU pass
+                        # with f32 accumulation (ops/bsr_spmm.py)
+                        bsr = bsr._replace(
+                            vals=bsr.vals.astype(jnp.bfloat16))
+                        bsr_t = bsr_t._replace(
+                            vals=bsr_t.vals.astype(jnp.bfloat16))
                     if perm_np is not None:
                         if bsr_res is not None:
                             # residual COO back to ORIGINAL ids so the

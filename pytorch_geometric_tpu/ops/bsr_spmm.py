@@ -111,7 +111,7 @@ def bsr_stats(coo: np.ndarray, num_src: int, num_dst: int):
     return nb, e / nb
 
 
-def _make_kernel(precision):
+def _make_kernel(precision, bf16: bool = False):
     from jax.experimental import pallas as pl
 
     # Inputs are cast to f32 below, so HIGH (bf16x3) is meaningless here
@@ -126,11 +126,24 @@ def _make_kernel(precision):
         def _zero():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        out_ref[...] += jax.lax.dot(
-            vals_ref[0].astype(jnp.float32),
-            x_ref[...].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=precision)
+        if bf16:
+            # bf16-stored blocks (fill_cache cache_dtype=bf16): single
+            # MXU pass with f32 accumulation — halves the dominant
+            # block stream AND skips the 6-pass exact-f32 contraction.
+            # Explicit DEFAULT precision: the package-global
+            # jax_default_matmul_precision='highest' would stamp
+            # contract_precision<fp32> on a bf16 dot, which Mosaic
+            # rejects ("Bad lhs type").
+            out_ref[...] += jax.lax.dot(
+                vals_ref[0], x_ref[...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+        else:
+            out_ref[...] += jax.lax.dot(
+                vals_ref[0].astype(jnp.float32),
+                x_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=precision)
 
     return kernel
 
@@ -146,7 +159,9 @@ def _bsr_matmul_impl(bsr: BSR, x: jnp.ndarray, num_out: int,
     s_pad = ((n_src + BS - 1) // BS) * BS
     f_pad = ((max(f, 1) + BF - 1) // BF) * BF
     d_blocks = max((num_out + BS - 1) // BS, 1)
-    x_p = jnp.pad(x, ((0, s_pad - n_src), (0, f_pad - f)))
+    bf16 = bsr.vals.dtype == jnp.bfloat16
+    x_p = jnp.pad(x.astype(jnp.bfloat16) if bf16 else x,
+                  ((0, s_pad - n_src), (0, f_pad - f)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -167,7 +182,7 @@ def _bsr_matmul_impl(bsr: BSR, x: jnp.ndarray, num_out: int,
                  jax.ShapeDtypeStruct((d_blocks * BS, f_pad),
                                       jnp.float32, vma=frozenset(vma)))
     out = pl.pallas_call(
-        _make_kernel(_dense_precision()),
+        _make_kernel(_dense_precision(), bf16=bf16),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

@@ -244,3 +244,34 @@ def test_bsr_reorder_tolerates_padded_edges():
     out = np.asarray(spmm(ei, jnp.asarray(x)))
     ref = _ref_spmm(coo, w, x, n)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bsr_bf16_storage_matches_f32():
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_tpu import EdgeIndex
+    from pytorch_geometric_tpu.ops import spmm
+    rng = np.random.default_rng(11)
+    n, e, f = 600, 6000, 16
+    # clustered so the BSR path captures most edges
+    c = rng.integers(0, n // 128 + 1, e)
+    src = np.clip(c * 128 + rng.integers(0, 128, e), 0, n - 1)
+    dst = np.clip(c * 128 + rng.integers(0, 128, e), 0, n - 1)
+    coo = np.stack([src, dst]).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    ei32 = EdgeIndex(coo, (n, n)).fill_cache(dense_weight=w,
+                                             block_sparse=True)
+    eib = EdgeIndex(coo, (n, n)).fill_cache(dense_weight=w,
+                                            block_sparse=True,
+                                            cache_dtype=jnp.bfloat16)
+    assert eib.bsr.vals.dtype == jnp.bfloat16
+    a = np.asarray(spmm(ei32, x))
+    b = np.asarray(spmm(eib, x))
+    rel = np.abs(b - a).max() / np.abs(a).max()
+    assert rel < 0.02, rel
+    # gradient path (transpose layout) too
+    ga = np.asarray(jax.grad(lambda x: (spmm(ei32, x) ** 2).sum())(x))
+    gb = np.asarray(jax.grad(lambda x: (spmm(eib, x) ** 2).sum())(x))
+    relg = np.abs(gb - ga).max() / np.abs(ga).max()
+    assert relg < 0.03, relg
