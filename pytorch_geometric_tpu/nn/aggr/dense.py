@@ -103,11 +103,12 @@ class GRUAggregation(Aggregation):
                                       dense[:, 0].shape)
         # Python loop over the (static, small) padded length; flax shares
         # cell params across steps and XLA pipelines the unrolled chain.
+        # Reference quirk kept (``gru.py:57``): the GRU also consumes the
+        # zero-padded tail positions and the output is the hidden state at
+        # the FINAL padded step, so results depend on max_num_elements
+        # exactly as in the reference.
         for t in range(dense.shape[1]):
-            new_carry, _ = cell(carry, dense[:, t])
-            carry = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(valid[:, t][:, None], n, o),
-                new_carry, carry)
+            carry, _ = cell(carry, dense[:, t])
         return carry
 
 
@@ -125,11 +126,10 @@ class LSTMAggregation(Aggregation):
             features=self.out_channels or x.shape[-1], name='lstm')
         carry = cell.initialize_carry(jnp.zeros((2,), jnp.uint32),
                                       dense[:, 0].shape)
+        # Reference quirk kept (``lstm.py:57`` — ``lstm(x)[0][:, -1]``):
+        # zero-padded tail steps are processed too.
         for t in range(dense.shape[1]):
-            new_carry, _ = cell(carry, dense[:, t])
-            carry = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(valid[:, t][:, None], n, o),
-                new_carry, carry)
+            carry, _ = cell(carry, dense[:, t])
         c, h = carry
         return h
 
