@@ -113,87 +113,152 @@ class EdgePooling(fnn.Module):
     edges, greedily merge highest-scoring non-conflicting pairs.
     Greedy matching runs on the host between jitted halves, so this
     module exposes ``compute_edge_score`` (device) and ``merge`` (host)
-    plus a convenience ``__call__`` for eager use."""
+    plus a convenience ``__call__`` for eager use.
+
+    ``edge_score_method``: 'softmax' (per-dst segment softmax, reference
+    ``edge_pool.py:87``) | 'tanh' | 'sigmoid'. The reference adds
+    ``add_to_edge_score`` (default 0.5) after normalization.
+    """
     in_channels: int
+    edge_score_method: str = 'softmax'
+    add_to_edge_score: float = 0.5
 
     @fnn.compact
     def compute_edge_score(self, x, edge_index) -> jnp.ndarray:
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
+        n = x.shape[0]
         feat = jnp.concatenate([x[coo[0]], x[coo[1]]], -1)
         raw = fnn.Dense(1, name='lin')(feat)[:, 0]
-        return jax.nn.softmax(raw)
+        if self.edge_score_method == 'softmax':
+            score = segment_softmax(raw, coo[1], n)
+        elif self.edge_score_method == 'tanh':
+            score = jnp.tanh(raw)
+        else:
+            score = jax.nn.sigmoid(raw)
+        return score + self.add_to_edge_score
 
     def __call__(self, x, edge_index):
         return self.compute_edge_score(x, edge_index)
 
     @staticmethod
     def merge(x: np.ndarray, edge_index, score: np.ndarray):
-        """Host: greedy non-overlapping contraction; returns
+        """Host: greedy non-overlapping contraction (reference
+        ``edge_pool.py:_merge_edges``; self edges may be chosen and
+        contracted cluster self-loops are kept). Returns
         (new_x, new_edge_index, cluster)."""
         from ...utils.coalesce import coalesce
         coo = np.asarray(edge_index.coo
                          if hasattr(edge_index, 'coo') else edge_index)
         n = x.shape[0]
-        order = np.argsort(-np.asarray(score))
+        order = np.argsort(-np.asarray(score), kind='stable')
         cluster = np.full(n, -1, np.int64)
         nxt = 0
-        chosen_score = np.zeros(n)
+        chosen_score = []
         for e in order:
             s, d = int(coo[0, e]), int(coo[1, e])
-            if cluster[s] < 0 and cluster[d] < 0 and s != d:
-                cluster[s] = cluster[d] = nxt
-                chosen_score[nxt] = score[e]
-                nxt += 1
+            if cluster[s] >= 0 or cluster[d] >= 0:
+                continue
+            cluster[s] = cluster[d] = nxt
+            chosen_score.append(float(score[e]))
+            nxt += 1
         for v in range(n):
             if cluster[v] < 0:
                 cluster[v] = nxt
-                chosen_score[nxt] = 1.0
+                chosen_score.append(1.0)
                 nxt += 1
+        chosen = np.asarray(chosen_score, x.dtype)
         new_x = np.zeros((nxt, x.shape[1]), x.dtype)
         np.add.at(new_x, cluster, np.asarray(x))
-        new_x = new_x * (chosen_score[:nxt, None])
-        new_coo = cluster[coo]
-        keep = new_coo[0] != new_coo[1]
-        new_coo = (coalesce(new_coo[:, keep], num_nodes=nxt)
-                   if keep.any() else np.zeros((2, 0), np.int64))
+        new_x = new_x * chosen[:, None]
+        new_coo = coalesce(cluster[coo], num_nodes=nxt)
         return new_x, new_coo.astype(np.int32), cluster
 
 
 class ASAPooling(fnn.Module):
-    """Adaptive structure-aware pooling (reference ``asap.py``),
-    static-shape: keeps ceil(ratio * max_nodes) slots via select_topk."""
+    """Adaptive structure-aware pooling, reference-exact semantics
+    (reference ``asap.py:84-165``): self-loops added with weight 1
+    (existing loop weights preserved), ego-network attention from a
+    max-pooled master query, LEConv fitness, SelectTopK(1) selection,
+    and :math:`S^\\top A S` coarsening. Static shapes: the coarsened
+    adjacency is returned **dense** ``[B*k, B*k]`` (ASAP targets
+    graph-classification-sized graphs; the dense product is the
+    MXU-friendly form of the reference's sparse ``S.t() @ (A @ S)``).
+
+    Returns ``(x, adj, batch, mask, perm, fitness)``.
+    """
     in_channels: int
     ratio: float = 0.5
+    negative_slope: float = 0.2
+    add_self_loops_out: bool = False
 
     @fnn.compact
-    def __call__(self, x, edge_index, batch=None, batch_size: int = 1,
+    def __call__(self, x, edge_index,
+                 edge_weight: Optional[jnp.ndarray] = None,
+                 batch=None, batch_size: int = 1,
                  max_nodes_per_graph: Optional[int] = None,
                  edge_mask: Optional[jnp.ndarray] = None):
-        from .select import select_topk, filter_edges
+        from .select import SelectTopK
+        from ..conv.graph_conv import LEConv
         n = x.shape[0]
         if batch is None:
             batch = jnp.zeros((n,), jnp.int32)
         L = max_nodes_per_graph or n
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
-        src = jnp.minimum(coo[0], n - 1)
-        dst = jnp.minimum(coo[1], n - 1)
-        # cluster representation: attention over the 1-hop ego network
-        m = scatter(x[src], dst, n, 'max', mask=edge_mask)
-        q = fnn.Dense(self.in_channels, name='lin_q')(m)
-        score_e = fnn.leaky_relu(
+        src0 = jnp.minimum(coo[0], n - 1)
+        dst0 = jnp.minimum(coo[1], n - 1)
+        w0 = (edge_weight if edge_weight is not None
+              else jnp.ones((src0.shape[0],), x.dtype))
+        m0 = (edge_mask if edge_mask is not None
+              else jnp.ones((src0.shape[0],), bool))
+        # add_remaining_self_loops(fill=1), static edition: original loop
+        # edges are masked out and every node gets one appended loop whose
+        # weight is the node's existing loop weight (or 1).
+        is_loop = (src0 == dst0) & m0
+        loop_w = jnp.ones((n + 1,), x.dtype).at[
+            jnp.where(is_loop, src0, n)].set(jnp.where(is_loop, w0, 1.0))[:n]
+        ar = jnp.arange(n, dtype=src0.dtype)
+        src = jnp.concatenate([src0, ar])
+        dst = jnp.concatenate([dst0, ar])
+        w = jnp.concatenate([w0, loop_w])
+        emask = jnp.concatenate([m0 & ~is_loop, jnp.ones((n,), bool)])
+
+        # master query = max over incoming x_pool_j, then attention score
+        x_pool_j = x[src]
+        x_q = scatter(x_pool_j, dst, n, 'max', mask=emask)
+        x_q = fnn.Dense(self.in_channels, name='lin')(x_q)[dst]
+        score = fnn.leaky_relu(
             fnn.Dense(1, name='att')(
-                jnp.concatenate([q[dst], x[src]], -1))[:, 0], 0.2)
-        alpha = segment_softmax(score_e, dst, n, mask=edge_mask)
-        xc = scatter(alpha[:, None] * x[src], dst, n, 'sum',
-                     mask=edge_mask)
+                jnp.concatenate([x_q, x_pool_j], -1))[:, 0],
+            self.negative_slope)
+        score = segment_softmax(score, dst, n, mask=emask)
+        score = jnp.where(emask, score, 0.0)
+        xc = scatter(score[:, None] * x[src], dst, n, 'sum', mask=emask)
+
         fitness = jax.nn.sigmoid(
-            fnn.Dense(1, use_bias=False, name='gnn_score')(xc)[:, 0])
-        sel = select_topk(fitness, batch, batch_size, self.ratio, L)
+            LEConv(out_channels=1, name='gnn_score')(
+                xc, jnp.stack([src, dst]), edge_mask=emask)[:, 0])
+        sel = SelectTopK(1, self.ratio, name='select')(
+            fitness[:, None], batch, batch_size, L)
         safe = jnp.minimum(sel.node_index, n - 1)
-        new_x = xc[safe] * sel.weight[:, None]
+        new_x = xc[safe] * fitness[safe][:, None]
         new_x = jnp.where(sel.mask[:, None], new_x, 0)
-        new_coo, keep = filter_edges(coo, sel, n)
-        return new_x, new_coo, keep, sel.batch, sel.mask
+
+        # graph coarsening A' = S^T A S with S[i, j] = score(i -> j),
+        # columns gathered at the kept nodes (reference asap.py:147-151)
+        wv = jnp.where(emask, w, 0.0)
+        A = jnp.zeros((n, n), x.dtype).at[src, dst].add(wv)
+        S = jnp.zeros((n, n), x.dtype).at[src, dst].add(score)
+        S_sel = S[:, safe] * sel.mask[None, :]
+        adj = S_sel.T @ (A @ S_sel)
+        k = adj.shape[0]
+        eye = jnp.eye(k, dtype=bool)
+        if self.add_self_loops_out:
+            diag = jnp.diagonal(adj)
+            fill = jnp.where((diag == 0) & sel.mask, 1.0, diag)
+            adj = jnp.where(eye, fill[:, None] * eye, adj)
+        else:
+            adj = jnp.where(eye, 0.0, adj)
+        return new_x, adj, sel.batch, sel.mask, sel.node_index, fitness
 
 
 class MemPooling(fnn.Module):
@@ -223,19 +288,33 @@ class MemPooling(fnn.Module):
               ).sum(-1)                       # [B, N, H, K]
         s = (1 + d2 / self.tau) ** (-(self.tau + 1) / 2)
         s = s / jnp.maximum(s.sum(-1, keepdims=True), 1e-12)
-        s = s.mean(2)                         # head-average [B, N, K]
+        # learned head mix (reference mem_pool.py:50 Conv2d(H, 1, 1,
+        # bias=False) over the [B, H, N, K] stack) + softmax over clusters
+        head_w = self.param('head_mix', fnn.initializers.normal(0.5),
+                            (self.heads,))
+        s = jnp.einsum('bnhk,h->bnk', s, head_w)
+        s = jax.nn.softmax(s, axis=-1)        # [B, N, K]
         s = jnp.where(valid[..., None], s, 0)
         xk = jnp.einsum('bnk,bnf->bkf', s, dense)
-        out = fnn.Dense(self.out_channels, name='lin')(xk)
+        # reference mem_pool.py: lin = Linear(in, out) applied to S^T X;
+        # torch's KMeans-style Linear here carries no bias
+        out = fnn.Dense(self.out_channels, use_bias=False, name='lin')(xk)
         return out, s
 
     @staticmethod
     def kl_loss(s: jnp.ndarray) -> jnp.ndarray:
-        """Sharpening KL loss (reference ``mem_pool.py:kl_loss``)."""
-        s2 = (s ** 2) / jnp.maximum(s.sum(1, keepdims=True), 1e-12)
-        p = s2 / jnp.maximum(s2.sum(-1, keepdims=True), 1e-12)
-        return (p * jnp.log(jnp.maximum(p, 1e-12)
-                            / jnp.maximum(s, 1e-12))).sum(-1).mean()
+        """Sharpening KL loss (reference ``mem_pool.py:kl_loss``):
+        P = S^2 / colsum, row-normalized (rows of padded nodes keep
+        denominator 1), then batchmean KL(P || S)."""
+        eps = 1e-15
+        s2 = (s ** 2) / jnp.maximum(s.sum(1, keepdims=True), eps)
+        denom = s2.sum(-1, keepdims=True)
+        denom = jnp.where(s.sum(-1, keepdims=True) == 0.0, 1.0, denom)
+        p = s2 / denom
+        p = jnp.maximum(p, eps)
+        s = jnp.maximum(s, eps)
+        # torch KLDivLoss(reduction='batchmean'): sum over all elements / B
+        return (p * (jnp.log(p) - jnp.log(s))).sum() / s.shape[0]
 
 
 class ClusterPooling(fnn.Module):
@@ -258,6 +337,11 @@ class ClusterPooling(fnn.Module):
         n = x.shape[0]
         coo = np.asarray(edge_index.coo if hasattr(edge_index, 'coo')
                          else edge_index)
+        # the reference drops self-loop edges before scoring
+        # (``cluster_pool.py:86``); statically we mask them instead
+        not_loop = coo[0] != coo[1]
+        if edge_mask is not None:
+            not_loop = not_loop & np.asarray(edge_mask)
         src = jnp.minimum(jnp.asarray(coo[0]), n - 1)
         dst = jnp.minimum(jnp.asarray(coo[1]), n - 1)
         e_feat = jnp.concatenate([x[src], x[dst]], -1)
@@ -266,16 +350,17 @@ class ClusterPooling(fnn.Module):
             score = jax.nn.sigmoid(raw)
             th = 0.5 if self.threshold is None else self.threshold
         elif self.edge_score_method == 'log_softmax':
-            score = jax.nn.log_softmax(raw)
+            score = jax.nn.log_softmax(
+                jnp.where(jnp.asarray(not_loop), raw, -jnp.inf))
             th = 0.0 if self.threshold is None else self.threshold
         else:
             score = jnp.tanh(raw)
             th = 0.0 if self.threshold is None else self.threshold
-        keep = np.asarray(score > th)
-        if edge_mask is not None:
-            keep = keep & np.asarray(edge_mask)
+        keep = np.asarray(score > th) & not_loop
 
-        # host union-find over kept edges
+        # host union-find over kept edges (== scipy weak connectivity,
+        # reference ``cluster_pool.py:118``; min-root union reproduces
+        # scipy's first-encounter component numbering)
         parent = np.arange(n)
 
         def find(a):
@@ -292,10 +377,23 @@ class ClusterPooling(fnn.Module):
         uniq, cluster = np.unique(roots, return_inverse=True)
         k = len(uniq)
 
+        # pooled features (reference ``cluster_pool.py:122-136``):
+        # x_out[c] = sum_j (sum_{i in c} S[j, i]) x[j], where S is the
+        # dense edge-score matrix and nodes untouched by any kept edge
+        # get S[i, i] = 1 (their own identity weight).
         cl = jnp.asarray(cluster)
-        pooled = jnp.zeros_like(x).at[cl].add(x)
+        sv = jnp.where(jnp.asarray(not_loop), score, 0.0)
+        touched = np.zeros(n, bool)
+        touched[coo[0][keep]] = True
+        touched[coo[1][keep]] = True
+        single = jnp.asarray(~touched)
+        # row_w[j, c] = sum over kept-direction edges j->i of S[j,i] for
+        # i in cluster c  (+ self weight 1 for singletons)
+        row_w = jnp.zeros((n, n), x.dtype).at[src, cl[dst]].add(sv)
+        row_w = row_w + (single[:, None] *
+                         jax.nn.one_hot(cl, n, dtype=x.dtype))
+        pooled = row_w.T @ x                      # [N(>=k), F]; rows >= k are 0
+
         new_coo = np.stack([cluster[coo[0]], cluster[coo[1]]])
-        new_mask = new_coo[0] != new_coo[1]
-        if edge_mask is not None:
-            new_mask = new_mask & np.asarray(edge_mask)
+        new_mask = (new_coo[0] != new_coo[1]) & not_loop
         return pooled, cl, jnp.asarray(new_coo), jnp.asarray(new_mask), k

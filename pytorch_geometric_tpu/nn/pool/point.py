@@ -263,15 +263,27 @@ def approx_knn(x: jnp.ndarray, y: jnp.ndarray, k: int,
     return knn(x, y, k, batch_x, batch_y)
 
 
-def decimation_indices(score: jnp.ndarray, ratio: float
+def decimation_indices(ptr, decimation_factor, seed: int = 0
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Keep the top ceil(N*ratio) rows by score (reference
-    ``nn/pool/decimation.py``); returns (indices, mask)."""
-    import math as _math
-    n = score.shape[0]
-    k = max(1, _math.ceil(ratio * n))
-    _, idx = jax.lax.top_k(score, k)
-    return idx, jnp.zeros((n,), bool).at[idx].set(True)
+    """Per-cloud random downsampling by ``decimation_factor`` (reference
+    ``nn/pool/decimation.py:9``): each cloud keeps
+    ``max(1, floor(count / factor))`` random points. Host-side (the
+    result re-indexes the ragged batch); returns ``(indices, new_ptr)``.
+    """
+    if decimation_factor < 1:
+        raise ValueError(
+            f"The argument `decimation_factor` should be higher than (or "
+            f"equal to) 1 for downsampling. (got {decimation_factor})")
+    import numpy as _np
+    ptr = _np.asarray(ptr)
+    count = ptr[1:] - ptr[:-1]
+    decim_count = _np.maximum(count // decimation_factor, 1).astype(ptr.dtype)
+    rng = _np.random.default_rng(seed)
+    idx = _np.concatenate([
+        ptr[i] + rng.permutation(count[i])[:decim_count[i]]
+        for i in range(len(count))]) if len(count) else _np.zeros(0, ptr.dtype)
+    new_ptr = _np.concatenate([[0], _np.cumsum(decim_count)])
+    return jnp.asarray(idx), jnp.asarray(new_ptr)
 
 
 def approx_knn_graph(x: jnp.ndarray, k: int,

@@ -70,14 +70,12 @@ class SAGPooling(fnn.Module):
         if batch is None:
             batch = jnp.zeros((n,), jnp.int32)
         L = max_nodes_per_graph or n
-        score = GraphConv(out_channels=1, name='gnn')(
-            x, edge_index)[:, 0]
-        if self.min_score is None:
-            score = jnp.tanh(score)
-        else:
-            score = segment_softmax(score, batch, batch_size, mask=node_mask)
-        select = select_topk(score, batch, batch_size, self.ratio, L,
-                             self.min_score, node_mask)
+        attn = GraphConv(out_channels=1, name='gnn')(x, edge_index)
+        # reference sag_pool.py:90 routes the GNN score through
+        # SelectTopK(1): a learnable 1-d reweighting before tanh/softmax
+        select = SelectTopK(1, self.ratio, self.min_score,
+                            name='select')(attn, batch, batch_size, L,
+                                           node_mask)
         return _gather_pool(x, edge_index, select, n, self.multiplier)
 
 

@@ -77,11 +77,13 @@ def test_pan_pooling():
 
 def test_decimation_and_approx_knn():
     rng = np.random.default_rng(3)
-    score = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
-    idx, mask = decimation_indices(score, 0.3)
-    assert idx.shape == (3,)
-    assert int(mask.sum()) == 3
-    assert bool(mask[jnp.argmax(score)])
+    ptr = jnp.asarray(np.array([0, 8, 10, 17], np.int64))
+    idx, new_ptr = decimation_indices(ptr, 4)
+    # per-cloud counts: floor(8/4)=2, max(1, floor(2/4))=1, floor(7/4)=1
+    assert list(np.asarray(new_ptr)) == [0, 2, 3, 4]
+    idx = np.asarray(idx)
+    assert (idx[:2] >= 0).all() and (idx[:2] < 8).all()
+    assert 8 <= idx[2] < 10 and 10 <= idx[3] < 17
     pts = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
     ei, valid = approx_knn(pts, pts, 4)
     assert ei.shape == (2, 64)

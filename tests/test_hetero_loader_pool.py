@@ -114,8 +114,10 @@ def test_asap_and_mem_pooling():
                                     np.int32))
     mod = ASAPooling(in_channels=8, ratio=0.5)
     params = mod.init(jax.random.PRNGKey(0), x, coo)
-    new_x, new_coo, keep, batch, mask = mod.apply(params, x, coo)
+    new_x, adj, batch, mask, perm, fitness = mod.apply(params, x, coo)
     assert new_x.shape == (6, 8)
+    assert adj.shape == (6, 6)
+    assert fitness.shape == (n,)
 
     mod = MemPooling(in_channels=8, out_channels=4, heads=2,
                      num_clusters=3)
