@@ -228,46 +228,59 @@ class LocalCartesian(BaseTransform):
 
 class NodePropertySplit(BaseTransform):
     """Structure-property-ordered node splits for GOOD-style shift
-    benchmarks (reference ``node_property_split.py``)."""
+    benchmarks (reference ``node_property_split.py``): popularity is
+    pagerank, locality is personalized pagerank seeded at the
+    max-pagerank node, density is the clustering coefficient — all on
+    the undirected self-loop-free networkx view. The three in-
+    distribution masks are shuffled among themselves (reference
+    ``:133-135``); the two OOD masks follow the exact property order.
+    """
 
     def __init__(self, property_name: str, ratios: List[float],
-                 ascending: bool = True):
-        assert property_name in ('popularity', 'locality', 'density')
+                 ascending: bool = True, seed: int = 0):
+        if property_name not in ('popularity', 'locality', 'density'):
+            raise ValueError(f"Unexpected 'property_name' "
+                             f"(got '{property_name}')")
+        if abs(sum(ratios) - 1.0) > 1e-9:
+            raise ValueError(f"'ratios' must sum to 1.0 "
+                             f"(got {sum(ratios)})")
         self.property_name = property_name
         self.ratios = ratios
         self.ascending = ascending
+        self.seed = seed
 
     def _property(self, data) -> np.ndarray:
-        import scipy.sparse as sp
-        coo = _coo(data)
-        n = data.num_nodes
+        import networkx as nx
+        from ..utils.convert import to_networkx
+        G = to_networkx(data, to_undirected=True, remove_self_loops=True)
         if self.property_name == 'popularity':
-            return np.bincount(coo[1], minlength=n).astype(float)
-        if self.property_name == 'density':
-            adj = sp.csr_matrix(
-                (np.ones(coo.shape[1]), (coo[0], coo[1])), shape=(n, n))
-            deg = np.asarray(adj.sum(1)).ravel()
-            num2 = np.asarray((adj @ adj).sum(1)).ravel()
-            return num2 / np.maximum(deg * (deg - 1), 1)
-        # locality: personalized pagerank concentration
-        from ..utils.extra import ppr
-        (r, c), v = ppr(jnp.asarray(coo), n)
-        out = np.zeros(n)
-        np.add.at(out, r, v * v)
-        return out
+            vals = np.asarray(list(nx.pagerank(G).values()))
+        elif self.property_name == 'locality':
+            pr = np.asarray(list(nx.pagerank(G).values()))
+            pers = {i: 0.0 for i in range(data.num_nodes)}
+            pers[int(pr.argmax())] = 1.0
+            vals = np.asarray(
+                list(nx.pagerank(G, personalization=pers).values()))
+        else:
+            vals = np.asarray(list(nx.clustering(G).values()))
+        return vals * (-1 if self.ascending else 1)
 
     def __call__(self, data):
         n = data.num_nodes
         prop = self._property(data)
-        order = np.argsort(prop if self.ascending else -prop)
+        rng = np.random.default_rng(self.seed)
+        sizes = np.round(np.asarray(self.ratios) * n).astype(int)
+        sizes[-1] -= sizes.sum() - n
+        perm = rng.permutation(n)
+        id_size = int(sizes[:3].sum())
+        perm = perm[np.argsort(prop[perm], kind='stable')]
+        perm[:id_size] = perm[:id_size][rng.permutation(id_size)]
         names = ['id_train_mask', 'id_val_mask', 'id_test_mask',
                  'ood_val_mask', 'ood_test_mask']
-        sizes = (np.asarray(self.ratios) * n).astype(int)
-        sizes[-1] = n - sizes[:-1].sum()
         lo = 0
         for name, sz in zip(names, sizes):
             mask = np.zeros(n, bool)
-            mask[order[lo:lo + sz]] = True
+            mask[perm[lo:lo + sz]] = True
             data[name] = mask
             lo += sz
         return data

@@ -29,7 +29,8 @@ def from_scipy_sparse_matrix(mat):
 
 
 def to_networkx(data: Data, node_attrs=None, edge_attrs=None,
-                to_undirected: bool = False):
+                to_undirected: bool = False,
+                remove_self_loops: bool = False):
     """(reference ``convert.py:to_networkx``)."""
     import networkx as nx
     g = nx.Graph() if to_undirected else nx.DiGraph()
@@ -38,14 +39,17 @@ def to_networkx(data: Data, node_attrs=None, edge_attrs=None,
     coo = np.asarray(data.edge_index.coo
                      if hasattr(data.edge_index, 'coo')
                      else data.edge_index)
+    ea_arrays = {k: np.asarray(data[k]) for k in (edge_attrs or [])}
+    if remove_self_loops:
+        keep = coo[0] != coo[1]
+        coo = coo[:, keep]
+        ea_arrays = {k: v[keep] for k, v in ea_arrays.items()}
     for k in (node_attrs or []):
         vals = np.asarray(data[k])
         for i in range(n):
             g.nodes[i][k] = vals[i]
     for e in range(coo.shape[1]):
-        attrs = {}
-        for k in (edge_attrs or []):
-            attrs[k] = np.asarray(data[k])[e]
+        attrs = {k: v[e] for k, v in ea_arrays.items()}
         g.add_edge(int(coo[0, e]), int(coo[1, e]), **attrs)
     return g
 
