@@ -1,6 +1,9 @@
-"""PolynormerAttention (reference
-``torch_geometric/nn/attention/polynormer.py``): linear attention with
-polynomial gating."""
+"""PolynormerAttention — polynomial-expressive linear attention
+(reference ``torch_geometric/nn/attention/polynormer.py:8``),
+reference-exact: sigmoid q/k kernel trick (optionally shared q=k), the
+[B, N, D, H] head layout, LayerNorm(attn) * (h + beta) polynomial gate,
+then relu(lin_out). Dropout is inference-disabled (we run eval
+semantics)."""
 
 from typing import Optional
 
@@ -12,7 +15,10 @@ import jax.numpy as jnp
 class PolynormerAttention(fnn.Module):
     channels: int
     heads: int = 1
-    beta: float = 0.9
+    head_channels: Optional[int] = None   # reference default 64; None =
+    beta: float = 0.9                      # channels // heads
+    qkv_bias: bool = False
+    qk_shared: bool = True
 
     @fnn.compact
     def __call__(self, x: jnp.ndarray,
@@ -20,22 +26,29 @@ class PolynormerAttention(fnn.Module):
         squeeze = x.ndim == 2
         if squeeze:
             x = x[None]
+            mask = mask[None] if mask is not None else None
         B, N, _ = x.shape
         H = self.heads
-        D = self.channels // H
-        q = jax.nn.sigmoid(fnn.Dense(H * D, name='q')(x)).reshape(
-            B, N, H, D)
-        k = jax.nn.sigmoid(fnn.Dense(H * D, name='k')(x)).reshape(
-            B, N, H, D)
-        v = fnn.Dense(H * D, name='v')(x).reshape(B, N, H, D)
+        D = self.head_channels or self.channels // self.heads
+        h = fnn.Dense(H * D, name='h_lins')(x)
+        # reference views [B, N, H*D] as [B, N, D, H] (D-major)
+        k = jax.nn.sigmoid(
+            fnn.Dense(H * D, use_bias=self.qkv_bias, name='k')(x)
+        ).reshape(B, N, D, H)
+        if self.qk_shared:
+            q = k
+        else:
+            q = jax.nn.sigmoid(
+                fnn.Dense(H * D, use_bias=self.qkv_bias, name='q')(x)
+            ).reshape(B, N, D, H)
+        v = fnn.Dense(H * D, use_bias=self.qkv_bias,
+                      name='v')(x).reshape(B, N, D, H)
         if mask is not None:
-            k = k * mask[..., None, None]
-            v = v * mask[..., None, None]
-        kv = jnp.einsum('bnhd,bnhe->bhde', k, v)
-        den = jnp.einsum('bnhd,bhd->bnh', q, k.sum(1))[..., None]
-        attn = jnp.einsum('bnhd,bhde->bnhe', q, kv) / jnp.maximum(
-            den, 1e-6)
-        h = self.param('h_weight', fnn.initializers.ones, (H, D))
-        out = (self.beta * attn + (1 - self.beta) * v * h[None, None])
-        out = out.reshape(B, N, H * D)
+            v = v * mask[:, :, None, None]
+        kv = jnp.einsum('bndh,bnmh->bdmh', k, v)
+        num = jnp.einsum('bndh,bdmh->bnmh', q, kv)
+        den = jnp.einsum('bndh,bdh->bnh', q, k.sum(1))[:, :, None, :]
+        out = (num / (den + 1e-6)).reshape(B, N, -1)
+        out = fnn.LayerNorm(epsilon=1e-5, name='lns')(out) * (h + self.beta)
+        out = fnn.relu(fnn.Dense(H * D, name='lin_out')(out))
         return out[0] if squeeze else out

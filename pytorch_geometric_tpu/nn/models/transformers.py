@@ -1,7 +1,9 @@
 """Graph-transformer models: SGFormer, Polynormer, GraphMixer.
 
 Reference: ``torch_geometric/nn/models/sgformer.py``, ``polynormer.py``,
-``graph_mixer.py``.
+``graph_mixer.py``. SGFormer/Polynormer are reference-exact in eval
+semantics (dropout layers are inference-disabled; BatchNorms run on
+running statistics unless ``training=True``).
 """
 
 from typing import Optional
@@ -13,62 +15,117 @@ import jax.numpy as jnp
 from ..attention import SGFormerAttention, PolynormerAttention
 from ..conv import GCNConv
 from ..encoding import TemporalEncoding
+from ..norm import BatchNorm
 
 
 class SGFormer(fnn.Module):
-    """Simple global-attention + GCN hybrid (reference ``sgformer.py``):
-    out = alpha * attn(x) + (1-alpha) * gcn(x, A)."""
+    """Global linear attention + GCN hybrid (reference
+    ``sgformer.py:123``): ``out = log_softmax(fc(w * gnn(x, A)
+    + (1 - w) * attn(x)))`` with per-layer residuals in both branches.
+    Single graph by default; pass ``mask`` for padded multi-graph
+    batches (the reference's ``to_dense_batch`` path)."""
     hidden_channels: int
     out_channels: int
-    num_layers: int = 2
-    heads: int = 1
-    alpha: float = 0.5
+    trans_num_layers: int = 2
+    trans_num_heads: int = 1
+    gnn_num_layers: int = 3
+    graph_weight: float = 0.5
+    aggregate: str = 'add'
 
     @fnn.compact
     def __call__(self, x, edge_index,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        # attention branch (node sequence = one graph)
-        h = fnn.Dense(self.hidden_channels, name='attn_in')(x)
-        for i in range(self.num_layers):
-            a = SGFormerAttention(channels=self.hidden_channels,
-                                  heads=self.heads,
-                                  name=f'attn_{i}')(h)
-            h = fnn.LayerNorm(name=f'attn_ln_{i}')(h + a)
-        # gnn branch
-        g = x
-        for i in range(self.num_layers):
-            g = fnn.relu(GCNConv(out_channels=self.hidden_channels,
-                                 name=f'gcn_{i}')(g, edge_index,
-                                                  edge_mask=edge_mask))
-        out = self.alpha * h + (1 - self.alpha) * g
-        return fnn.Dense(self.out_channels, name='head')(out)
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        hc = self.hidden_channels
+        # ---- SGModule (reference sgformer.py:59-120; dropout elided) ----
+        h = fnn.Dense(hc, name='tc_fc0')(x)
+        h = fnn.LayerNorm(epsilon=1e-5, name='tc_ln0')(h)
+        h = fnn.relu(h)
+        prev = h
+        for i in range(self.trans_num_layers):
+            a = SGFormerAttention(channels=hc, heads=self.trans_num_heads,
+                                  head_channels=hc,
+                                  name=f'tc_attn_{i}')(h, mask=mask)
+            h = (a + prev) / 2.0
+            h = fnn.LayerNorm(epsilon=1e-5, name=f'tc_ln_{i + 1}')(h)
+            h = fnn.relu(h)
+            prev = h
+        x1 = h
+        # ---- GraphModule (reference sgformer.py:12-56) ----
+        g = fnn.Dense(hc, name='gc_fc0')(x)
+        g = BatchNorm(hc, name='gc_bn0')(g, training=training)
+        g = fnn.relu(g)
+        first = g
+        for i in range(self.gnn_num_layers):
+            g = GCNConv(out_channels=hc, name=f'gc_conv_{i}')(
+                g, edge_index, edge_mask=edge_mask)
+            g = BatchNorm(hc, name=f'gc_bn_{i + 1}')(g, training=training)
+            g = fnn.relu(g)
+            g = g + first
+        x2 = g
+        if self.aggregate == 'add':
+            out = self.graph_weight * x2 + (1 - self.graph_weight) * x1
+        elif self.aggregate == 'cat':
+            out = jnp.concatenate([x1, x2], -1)
+        else:
+            raise ValueError(f'Invalid aggregate type: {self.aggregate}')
+        out = fnn.Dense(self.out_channels, name='fc')(out)
+        return jax.nn.log_softmax(out, -1)
 
 
 class Polynormer(fnn.Module):
-    """Polynomial-expressive transformer (reference ``polynormer.py``):
-    local GCN stage then global linear-attention stage."""
+    """Polynomial-expressive transformer (reference ``polynormer.py:12``):
+    ``local_layers`` gated GCN blocks summed into ``x_local``, then
+    (when ``use_global``) linear global attention over the layer-normed
+    sum. The reference toggles ``model._global`` after a local-only
+    warm-up phase; here it is the ``use_global`` flag (weights are shared
+    between the two modes, exactly as in the reference)."""
     hidden_channels: int
     out_channels: int
-    local_layers: int = 2
+    local_layers: int = 7
     global_layers: int = 2
     heads: int = 1
+    beta: float = 0.9
+    qk_shared: bool = False
+    pre_ln: bool = False
+    post_bn: bool = True
+    use_global: bool = False
 
     @fnn.compact
     def __call__(self, x, edge_index,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = fnn.Dense(self.hidden_channels, name='lin_in')(x)
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        inner = self.heads * self.hidden_channels
+        x_local = 0.0
         for i in range(self.local_layers):
-            g = GCNConv(out_channels=self.hidden_channels,
-                        name=f'local_{i}')(h, edge_index,
-                                           edge_mask=edge_mask)
-            beta = self.param(f'beta_{i}', fnn.initializers.ones, (1,))
-            h = fnn.relu(g) + jax.nn.sigmoid(beta) * h
-        for i in range(self.global_layers):
-            a = PolynormerAttention(channels=self.hidden_channels,
-                                    heads=self.heads,
-                                    name=f'global_{i}')(h)
-            h = fnn.LayerNorm(name=f'ln_{i}')(h + a)
-        return fnn.Dense(self.out_channels, name='head')(h)
+            if self.pre_ln:
+                x = fnn.LayerNorm(epsilon=1e-5, name=f'pre_ln_{i}')(x)
+            h = fnn.relu(fnn.Dense(inner, name=f'h_lin_{i}')(x))
+            x = (GCNConv(out_channels=inner, name=f'local_conv_{i}')(
+                x, edge_index, edge_mask=edge_mask)
+                + fnn.Dense(inner, name=f'lin_{i}')(x))
+            if self.post_bn:
+                x = BatchNorm(inner, name=f'post_bn_{i}')(
+                    x, training=training)
+            x = fnn.relu(x)
+            x = ((1 - self.beta) * fnn.LayerNorm(epsilon=1e-5, name=f'ln_{i}')(h * x)
+                 + self.beta * x)
+            x_local = x_local + x
+
+        if self.use_global:
+            g = fnn.LayerNorm(epsilon=1e-5, name='ln')(x_local)
+            for j in range(self.global_layers):
+                g = PolynormerAttention(
+                    channels=inner, heads=self.heads,
+                    head_channels=self.hidden_channels, beta=self.beta,
+                    qk_shared=self.qk_shared,
+                    name=f'global_attn_{j}')(g, mask=mask)
+            out = fnn.Dense(self.out_channels, name='pred_global')(g)
+        else:
+            out = fnn.Dense(self.out_channels, name='pred_local')(x_local)
+        return jax.nn.log_softmax(out, -1)
 
 
 class GraphMixer(fnn.Module):
@@ -99,7 +156,7 @@ class GraphMixer(fnn.Module):
         h = h + jnp.swapaxes(t, 1, 2)
         # channel mixing
         c = fnn.Dense(self.hidden_channels, name='chan_mix')(
-            fnn.gelu(fnn.LayerNorm(name='ln')(h)))
+            fnn.gelu(fnn.LayerNorm(epsilon=1e-5, name='ln')(h)))
         h = h + c
         pooled = h.sum(1) / jnp.maximum(
             link_mask.sum(1, keepdims=True), 1)
