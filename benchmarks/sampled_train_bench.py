@@ -45,6 +45,12 @@ def main():
                          'gathered by n_id inside the jitted step '
                          '(loader filter_features=False). Only indices '
                          'cross the host->device link per batch.')
+    ap.add_argument('--scan', type=int, default=0, metavar='K',
+                    help='stack K sampled batches and run K optimiser '
+                         'steps in ONE device call (lax.scan over the '
+                         'batch axis) — amortises per-dispatch latency, '
+                         'the dominant cost on a tunneled/remote chip. '
+                         'Requires --device-gather.')
     args = ap.parse_args()
 
     import jax
@@ -91,7 +97,8 @@ def main():
 
         @jax.jit
         def dstep(params, opt, X, Y, n_id, node_mask, coo, emask,
-                  seed_mask):
+                  batch_size):
+            seed_mask = jnp.arange(n_cap) < batch_size
             safe = jnp.where(node_mask, n_id, 0)
             x = jnp.where(node_mask[:, None], X[safe], 0)
             y = Y[safe]
@@ -106,12 +113,48 @@ def main():
             return optax.apply_updates(params, updates), opt, loss
 
         def device_step(params, opt, b):
-            seed_mask = jnp.arange(n_cap) < int(b.batch_size)
-            return dstep(params, opt, X, Y,
-                         jnp.asarray(np.asarray(b.n_id)),
-                         jnp.asarray(np.asarray(b.node_mask)),
-                         jnp.asarray(np.asarray(b.edge_index)),
-                         jnp.asarray(np.asarray(b.edge_mask)), seed_mask)
+            # batch fields are already device arrays (PrefetchLoader
+            # device_puts them on the producer thread); touching them
+            # with np.asarray / int() would cost a D2H round trip per
+            # field per batch
+            coo_b = (b.edge_index.coo if hasattr(b.edge_index, 'coo')
+                     else b.edge_index)
+            return dstep(params, opt, X, Y, b.n_id, b.node_mask,
+                         coo_b, b.edge_mask, b.batch_size)
+
+        @jax.jit
+        def dscan(params, opt, X, Y, n_ids, node_masks, coos, emasks,
+                  seed_masks):
+            def body(carry, b):
+                params, opt = carry
+                n_id, node_mask, coo, emask, seed_mask = b
+                safe = jnp.where(node_mask, n_id, 0)
+                x = jnp.where(node_mask[:, None], X[safe], 0)
+                y = Y[safe]
+
+                def loss_fn(p):
+                    logits = model.apply(p, x, coo, edge_mask=emask)
+                    l = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y)
+                    return jnp.where(seed_mask, l, 0).sum() \
+                        / seed_mask.sum()
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt = tx.update(grads, opt)
+                return (optax.apply_updates(params, updates), opt), loss
+            (params, opt), losses = jax.lax.scan(
+                body, (params, opt),
+                (n_ids, node_masks, coos, emasks, seed_masks))
+            return params, opt, losses[-1]
+
+        def device_scan_steps(params, opt, batches):
+            def stk(key):
+                return jnp.asarray(np.stack(
+                    [np.asarray(getattr(b, key)) for b in batches]))
+            seed = np.stack([np.arange(n_cap) < int(b.batch_size)
+                             for b in batches])
+            return dscan(params, opt, X, Y, stk('n_id'),
+                         stk('node_mask'), stk('edge_index'),
+                         stk('edge_mask'), jnp.asarray(seed))
     else:
         params = model.init(jax.random.PRNGKey(0), b0.x,
                             np.asarray(b0.edge_index))
@@ -136,7 +179,10 @@ def main():
                          jnp.asarray(np.asarray(b.y)), seed_mask)
 
     def make_iter():
-        return iter(PrefetchLoader(loader, num_threads=args.workers)
+        # scan mode restacks K host batches before ONE upload, so the
+        # producer must NOT device-put them (put=False)
+        return iter(PrefetchLoader(loader, num_threads=args.workers,
+                                   put=not args.scan)
                     if args.workers > 0 else loader)
 
     def run(n_steps):
@@ -144,15 +190,37 @@ def main():
         it = make_iter()
         host_s = 0.0
         loss = None
+
+        def nxt(it):
+            try:
+                return next(it), it
+            except StopIteration:
+                it.close()
+                it = make_iter()
+                return next(it), it
+
         try:
+            if args.scan and args.device_gather:
+                K = args.scan
+                done = 0
+                while done < n_steps:
+                    t0 = time.perf_counter()
+                    group = []
+                    # always stack exactly K (repeat the last batch at
+                    # the tail) so dscan compiles once
+                    while len(group) < K:
+                        if done + len(group) < n_steps:
+                            b, it = nxt(it)
+                        group.append(b)
+                    host_s += time.perf_counter() - t0
+                    params, opt, loss = device_scan_steps(params, opt,
+                                                          group)
+                    done += K
+                jax.block_until_ready(loss)
+                return host_s
             for i in range(n_steps):
                 t0 = time.perf_counter()
-                try:
-                    b = next(it)
-                except StopIteration:
-                    it.close()
-                    it = make_iter()
-                    b = next(it)
+                b, it = nxt(it)
                 host_s += time.perf_counter() - t0
                 params, opt, loss = device_step(params, opt, b)
         finally:
@@ -166,6 +234,10 @@ def main():
 
     # warmup: compile + fill padding buckets
     run(3)
+    eff_steps = args.steps
+    if args.scan and args.device_gather:
+        import math
+        eff_steps = math.ceil(args.steps / args.scan) * args.scan
     t0 = time.perf_counter()
     host_wait_s = run(args.steps)
     total = time.perf_counter() - t0
@@ -178,16 +250,17 @@ def main():
         'graph': f'{N}n/{E}e/F{F}',
         'batch_size': args.batch_size,
         'fanouts': fanouts,
-        'steps': args.steps,
+        'steps': eff_steps,
         'value': round(total, 3),
         'unit': 's',
-        'batches_per_s': round(args.steps / total, 2),
-        'sampled_edges_per_s': round(args.steps * e_real / total),
+        'batches_per_s': round(eff_steps / total, 2),
+        'sampled_edges_per_s': round(eff_steps * e_real / total),
         'host_wait_frac': round(host_wait_s / total, 3),
         'edge_pad_frac': round(1 - e_real / e_pad, 3),
         'loader_build_s': round(t_build, 1),
         'workers': args.workers,
         'device_gather': bool(args.device_gather),
+        'scan': args.scan,
         'h2d_mb_per_batch': round(
             (n_cap * (4 + 1) + e_pad * 12) / 1e6 if args.device_gather
             else (n_cap * (F + 1) * 4 + e_pad * 12) / 1e6, 2),

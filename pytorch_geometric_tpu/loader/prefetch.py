@@ -25,16 +25,24 @@ class PrefetchLoader:
     """
 
     def __init__(self, loader, device: Optional[Any] = None,
-                 num_threads: int = 0, queue_size: int = 2):
+                 num_threads: int = 0, queue_size: int = 2,
+                 put: bool = True):
+        """``put=False`` keeps batches host-side (numpy) — for consumers
+        that restack several batches before one upload (e.g. the
+        multi-step ``lax.scan`` training pattern); pulling a device
+        array back to numpy costs a full D2H round trip."""
         self.loader = loader
         self.device = device
         self.num_threads = num_threads
         self.queue_size = queue_size
+        self.put = put
 
     def __len__(self):
         return len(self.loader)
 
     def _put(self, batch):
+        if not self.put:
+            return batch
         if self.device is None:
             return jax.device_put(batch)
         return jax.device_put(batch, self.device)

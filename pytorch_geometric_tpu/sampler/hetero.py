@@ -86,12 +86,17 @@ class HeteroNeighborSampler:
         def pp(arrs, ty):
             return (ty * len(arrs))(*[a.ctypes.data_as(ty) for a in arrs])
 
-        colptrs = [np.ascontiguousarray(self.cscs[et].colptr, np.int64)
-                   for et in self.edge_types]
-        rows = [np.ascontiguousarray(self.cscs[et].row, np.int64)
-                for et in self.edge_types]
-        eids = [np.ascontiguousarray(self.cscs[et].eid, np.int64)
-                for et in self.edge_types]
+        # C-ABI-ready views converted ONCE (per-batch conversion of the
+        # full per-type CSCs dominated loader time on big graphs)
+        if not hasattr(self, '_cscs_c'):
+            self._cscs_c = (
+                [np.ascontiguousarray(self.cscs[et].colptr, np.int64)
+                 for et in self.edge_types],
+                [np.ascontiguousarray(self.cscs[et].row, np.int64)
+                 for et in self.edge_types],
+                [np.ascontiguousarray(self.cscs[et].eid, np.int64)
+                 for et in self.edge_types])
+        colptrs, rows, eids = self._cscs_c
         src_t = np.asarray([tix[et[0]] for et in self.edge_types],
                            np.int64)
         dst_t = np.asarray([tix[et[2]] for et in self.edge_types],
