@@ -74,8 +74,11 @@ def main():
     fanouts = [int(f) for f in args.fanouts.split(',')]
 
     t_build = time.perf_counter()
+    # num_workers parallelises the C++ sampler across batches (it
+    # releases the GIL); the PrefetchLoader thread then only device-puts
     loader = NeighborLoader(data, num_neighbors=fanouts,
                             batch_size=args.batch_size, shuffle=True,
+                            num_workers=args.workers,
                             filter_features=not args.device_gather)
     t_build = time.perf_counter() - t_build
 
