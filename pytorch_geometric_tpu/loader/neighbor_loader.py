@@ -30,11 +30,15 @@ def _filter(data: Data, out: SamplerOutput,
     n_cap = out.num_nodes_cap
     safe_nodes = np.where(out.node_mask, out.node, 0)
     kwargs = {}
+    # ship ids as int32 when they fit: n_id/e_id are H2D payload every
+    # batch and the transfer link is the sampled-training bottleneck
+    def _nid(a):
+        return a.astype(np.int32) if a.size and a.max() < 2**31 else a
     if not features:
         coo = np.stack([out.row, out.col]).astype(np.int32)
         new = Data(edge_index=coo, num_nodes=n_cap)
         return new.replace(
-            n_id=out.node, e_id=out.edge,
+            n_id=_nid(out.node), e_id=_nid(out.edge),
             node_mask=out.node_mask, edge_mask=out.edge_mask,
             batch_size=np.asarray(out.batch_size),
             num_sampled_nodes=np.asarray(out.num_sampled_nodes),
@@ -56,7 +60,7 @@ def _filter(data: Data, out: SamplerOutput,
     coo = np.stack([out.row, out.col]).astype(np.int32)
     new = Data(edge_index=coo, num_nodes=n_cap, **kwargs)
     return new.replace(
-        n_id=out.node, e_id=out.edge,
+        n_id=_nid(out.node), e_id=_nid(out.edge),
         node_mask=out.node_mask, edge_mask=out.edge_mask,
         batch_size=np.asarray(out.batch_size),
         num_sampled_nodes=np.asarray(out.num_sampled_nodes),
