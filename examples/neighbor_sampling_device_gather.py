@@ -51,13 +51,15 @@ def main():
         return optax.apply_updates(params, updates), opt, loss
 
     for epoch in range(3):
-        # prefetch thread overlaps sampling with the device step
+        # prefetch thread overlaps sampling with the device step; batch
+        # fields are already device arrays — pass them straight through
+        # (np.asarray / int() on them would cost a D2H round trip each)
         for b in PrefetchLoader(loader, num_threads=1):
+            coo = (b.edge_index.coo if hasattr(b.edge_index, 'coo')
+                   else b.edge_index)
             params, opt, loss = step(
-                params, opt, jnp.asarray(b.n_id),
-                jnp.asarray(b.node_mask),
-                jnp.asarray(np.asarray(b.edge_index)),
-                jnp.asarray(b.edge_mask), int(b.batch_size))
+                params, opt, b.n_id, b.node_mask, coo,
+                b.edge_mask, b.batch_size)
         print(f'epoch {epoch}: loss {float(loss):.4f}')
 
 
