@@ -6,8 +6,11 @@ a 3-layer GCN forward over a synthetic graph, comparing the cached-
 adjacency precision ladder — f32 / bf16 (storage, f32 accumulate) /
 int8 (two-sided diag(r) Q diag(c) factorization, int32 accumulate).
 
-Usage:  python benchmarks/inference_bench.py [--nodes 100000]
-        [--edges 2000000] [--hidden 128] [--iters 20]
+Usage:  python benchmarks/inference_bench.py [--nodes 30000]
+        [--edges 1000000] [--hidden 128] [--iters 20]
+
+The default 30k nodes is the largest dense-[N,N] sweep that fits a
+16 GB chip across all three dtypes (f32 3.6 GB / bf16 1.8 / int8 0.9).
 
 Prints one JSON line per arm: seconds/forward, edges/s, speedup vs f32.
 """
@@ -24,20 +27,20 @@ import numpy as np
 
 
 def gcn_norm_np(coo, n):
+    """Self-loop append + the library's host-side norm weights
+    (``parallel/models.py:gcn_norm_weights``) — coo+weights form so the
+    sparse baseline arm and the dense arms share one normalisation."""
+    from pytorch_geometric_tpu.parallel.models import gcn_norm_weights
     loops = np.arange(n, dtype=coo.dtype)
-    row = np.concatenate([coo[0], loops])
-    col = np.concatenate([coo[1], loops])
-    w = np.ones(row.shape[0], np.float32)
-    deg = np.bincount(col, weights=w, minlength=n)
-    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
-    return np.stack([row, col]), (dinv[row] * w * dinv[col]).astype(
-        np.float32)
+    coo_l = np.stack([np.concatenate([coo[0], loops]),
+                      np.concatenate([coo[1], loops])])
+    return coo_l, gcn_norm_weights(coo_l, n)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--nodes', type=int, default=100_000)
-    ap.add_argument('--edges', type=int, default=2_000_000)
+    ap.add_argument('--nodes', type=int, default=30_000)
+    ap.add_argument('--edges', type=int, default=1_000_000)
     ap.add_argument('--hidden', type=int, default=128)
     ap.add_argument('--iters', type=int, default=20)
     args = ap.parse_args()

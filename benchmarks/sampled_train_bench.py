@@ -52,6 +52,8 @@ def main():
                          'the dominant cost on a tunneled/remote chip. '
                          'Requires --device-gather.')
     args = ap.parse_args()
+    if args.scan and not args.device_gather:
+        ap.error('--scan requires --device-gather')
 
     import jax
     if args.cpu:

@@ -31,14 +31,20 @@ def _filter(data: Data, out: SamplerOutput,
     safe_nodes = np.where(out.node_mask, out.node, 0)
     kwargs = {}
     # ship ids as int32 when they fit: n_id/e_id are H2D payload every
-    # batch and the transfer link is the sampled-training bottleneck
-    def _nid(a):
-        return a.astype(np.int32) if a.size and a.max() < 2**31 else a
+    # batch and the transfer link is the sampled-training bottleneck.
+    # The decision comes from the STATIC graph size (not batch content)
+    # so every batch has the same dtype — a per-batch flip would retrace
+    # the compiled train step
+    n32 = data.num_nodes < 2**31
+    e32 = data.num_edges < 2**31
+
+    def _nid(a, fits):
+        return a.astype(np.int32) if fits else a
     if not features:
         coo = np.stack([out.row, out.col]).astype(np.int32)
         new = Data(edge_index=coo, num_nodes=n_cap)
         return new.replace(
-            n_id=_nid(out.node), e_id=_nid(out.edge),
+            n_id=_nid(out.node, n32), e_id=_nid(out.edge, e32),
             node_mask=out.node_mask, edge_mask=out.edge_mask,
             batch_size=np.asarray(out.batch_size),
             num_sampled_nodes=np.asarray(out.num_sampled_nodes),
@@ -60,7 +66,7 @@ def _filter(data: Data, out: SamplerOutput,
     coo = np.stack([out.row, out.col]).astype(np.int32)
     new = Data(edge_index=coo, num_nodes=n_cap, **kwargs)
     return new.replace(
-        n_id=_nid(out.node), e_id=_nid(out.edge),
+        n_id=_nid(out.node, n32), e_id=_nid(out.edge, e32),
         node_mask=out.node_mask, edge_mask=out.edge_mask,
         batch_size=np.asarray(out.batch_size),
         num_sampled_nodes=np.asarray(out.num_sampled_nodes),

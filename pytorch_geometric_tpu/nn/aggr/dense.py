@@ -95,8 +95,8 @@ class GRUAggregation(Aggregation):
 
     @fnn.compact
     def forward(self, x, index, dim_size, mask, max_num_elements):
-        dense, valid = self.to_dense(x, index, dim_size, mask,
-                                     max_num_elements)
+        dense, _ = self.to_dense(x, index, dim_size, mask,
+                                 max_num_elements)
         cell = fnn.GRUCell(features=self.out_channels or x.shape[-1],
                            name='gru')
         carry = cell.initialize_carry(jnp.zeros((2,), jnp.uint32),
@@ -120,8 +120,8 @@ class LSTMAggregation(Aggregation):
 
     @fnn.compact
     def forward(self, x, index, dim_size, mask, max_num_elements):
-        dense, valid = self.to_dense(x, index, dim_size, mask,
-                                     max_num_elements)
+        dense, _ = self.to_dense(x, index, dim_size, mask,
+                                 max_num_elements)
         cell = fnn.OptimizedLSTMCell(
             features=self.out_channels or x.shape[-1], name='lstm')
         carry = cell.initialize_carry(jnp.zeros((2,), jnp.uint32),

@@ -22,8 +22,11 @@ class SGFormer(fnn.Module):
     """Global linear attention + GCN hybrid (reference
     ``sgformer.py:123``): ``out = log_softmax(fc(w * gnn(x, A)
     + (1 - w) * attn(x)))`` with per-layer residuals in both branches.
-    Single graph by default; pass ``mask`` for padded multi-graph
-    batches (the reference's ``to_dense_batch`` path)."""
+    Operates on ONE (optionally padded) graph: ``mask`` marks valid
+    rows of the flat ``[N, F]`` input. For multi-graph batches run the
+    model per graph — flat block-diagonal batching would let the global
+    attention mix nodes across graphs (the reference isolates graphs via
+    ``to_dense_batch``)."""
     hidden_channels: int
     out_channels: int
     trans_num_layers: int = 2
@@ -80,7 +83,9 @@ class Polynormer(fnn.Module):
     (when ``use_global``) linear global attention over the layer-normed
     sum. The reference toggles ``model._global`` after a local-only
     warm-up phase; here it is the ``use_global`` flag (weights are shared
-    between the two modes, exactly as in the reference)."""
+    between the two modes, exactly as in the reference). Like SGFormer,
+    one (optionally padded, ``mask``) graph per call — the global stage
+    has no graph-boundary notion in flat layout."""
     hidden_channels: int
     out_channels: int
     local_layers: int = 7

@@ -212,10 +212,16 @@ class ASAPooling(fnn.Module):
               else jnp.ones((src0.shape[0],), bool))
         # add_remaining_self_loops(fill=1), static edition: original loop
         # edges are masked out and every node gets one appended loop whose
-        # weight is the node's existing loop weight (or 1).
+        # weight is the node's existing loop weight (or 1). Duplicate
+        # loops resolve deterministically to the LAST edge's weight
+        # (reference assignment semantics); a plain .set with duplicate
+        # indices would be unspecified under XLA scatter.
         is_loop = (src0 == dst0) & m0
-        loop_w = jnp.ones((n + 1,), x.dtype).at[
-            jnp.where(is_loop, src0, n)].set(jnp.where(is_loop, w0, 1.0))[:n]
+        e_pos = jnp.where(is_loop, jnp.arange(src0.shape[0]), -1)
+        last_pos = jnp.full((n + 1,), -1, e_pos.dtype).at[
+            jnp.where(is_loop, src0, n)].max(e_pos)[:n]
+        loop_w = jnp.where(last_pos >= 0,
+                           w0[jnp.maximum(last_pos, 0)], 1.0)
         ar = jnp.arange(n, dtype=src0.dtype)
         src = jnp.concatenate([src0, ar])
         dst = jnp.concatenate([dst0, ar])

@@ -241,6 +241,9 @@ class NodePropertySplit(BaseTransform):
         if property_name not in ('popularity', 'locality', 'density'):
             raise ValueError(f"Unexpected 'property_name' "
                              f"(got '{property_name}')")
+        if len(ratios) != 5:
+            raise ValueError(f"'ratios' must contain 5 values "
+                             f"(got {len(ratios)})")
         if abs(sum(ratios) - 1.0) > 1e-9:
             raise ValueError(f"'ratios' must sum to 1.0 "
                              f"(got {sum(ratios)})")
