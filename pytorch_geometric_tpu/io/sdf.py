@@ -25,7 +25,9 @@ def parse_sdf(src: str) -> Data:
     rc = parse_txt_array(bond_block, end=2, dtype=np.int64) - 1
     row = np.concatenate([rc[:, 0], rc[:, 1]])
     col = np.concatenate([rc[:, 1], rc[:, 0]])
-    attr = parse_txt_array(bond_block, start=2, end=3) - 1
+    # single-column parse squeezes to 1-D bond types (reference
+    # parse_txt_array semantics; sdf.py:24)
+    attr = parse_txt_array(bond_block, start=2, end=3).reshape(-1) - 1
     attr = np.concatenate([attr, attr], 0)
     # coalesce: sort by (row, col), dedupe
     key = row * num_atoms + col

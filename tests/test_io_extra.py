@@ -24,11 +24,12 @@ def test_parse_sdf():
     assert d.pos.shape == (3, 3)
     # undirected + coalesced: 2 bonds -> 4 directed edges
     assert d.edge_index.shape == (2, 4)
-    assert d.edge_attr.shape == (4, 1)
+    # 1-D bond types (reference parse_txt_array squeezes one column)
+    assert d.edge_attr.shape == (4,)
     # double bond 1-2 has label 1 (bond order - 1)
     e = d.edge_index
     m = (e[0] == 0) & (e[1] == 1)
-    assert float(d.edge_attr[np.nonzero(m)[0][0], 0]) == 1.0
+    assert float(d.edge_attr[np.nonzero(m)[0][0]]) == 1.0
 
 
 def test_read_tu_data(tmp_path):
