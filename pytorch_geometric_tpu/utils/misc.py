@@ -139,21 +139,27 @@ def segregate_self_loops(edge_index, edge_attr=None):
             coo[:, loop], None if ea is None else ea[loop])
 
 
-def normalize_edge_index(edge_index, edge_weight=None,
-                         num_nodes: Optional[int] = None,
-                         add_self_loops: bool = False):
-    """Symmetric D^-1/2 A D^-1/2 weights (reference
-    ``utils/normalize_edge_index.py``) without the GCN self-loop add."""
-    from ..nn.conv.gcn_conv import gcn_norm
+def normalize_edge_index(edge_index, num_nodes: Optional[int] = None,
+                         add_self_loops: bool = True,
+                         symmetric: bool = True):
+    """Degree normalization of the edge set (reference
+    ``utils/_normalize_edge_index.py:10``): optional self-loop append,
+    then ``D^-1/2 A D^-1/2`` (symmetric) or ``D^-1 A`` with the
+    ROW (source) degree."""
     coo = jnp.asarray(_coo(edge_index))
     n = maybe_num_nodes(coo, num_nodes)
     if add_self_loops:
-        return gcn_norm(coo, edge_weight, n)
-    w = jnp.ones(coo.shape[1]) if edge_weight is None \
-        else jnp.asarray(edge_weight)
-    deg = jnp.zeros(n).at[coo[1]].add(w)
-    dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(deg), 0)
-    return coo, dinv[coo[0]] * w * dinv[coo[1]]
+        loops = jnp.arange(n, dtype=coo.dtype)
+        coo = jnp.concatenate([coo, jnp.stack([loops, loops])], axis=1)
+    row, col = coo[0], coo[1]
+    deg = jnp.zeros(n, jnp.float32).at[row].add(1.0)
+    if symmetric:
+        dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(deg), 0)
+        w = dinv[row] * dinv[col]
+    else:
+        dinv = jnp.where(deg > 0, 1.0 / deg, 0)
+        w = dinv[row]
+    return coo, w
 
 
 def get_num_hops(model) -> int:
