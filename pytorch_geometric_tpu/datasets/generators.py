@@ -29,9 +29,12 @@ _KARATE_EDGES = [
     (26, 33), (27, 33), (28, 31), (28, 33), (29, 32), (29, 33), (30, 32),
     (30, 33), (31, 32), (31, 33), (32, 33),
 ]
+# 4-community labels from greedy modularity maximisation — the dataset
+# convention the reference ships (``datasets/karate.py``; Zachary 1977
+# graph, communities as published with PyG's dataset card)
 _KARATE_COMMUNITY = [
-    1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0, 1, 1, 0, 1, 0, 1,
-    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 3, 3, 3, 1, 0, 1, 3, 1, 1, 1, 0, 0, 3, 1, 0, 1, 0, 1,
+    0, 0, 2, 2, 0, 0, 2, 0, 0, 2, 0, 0,
 ]
 
 
@@ -45,8 +48,9 @@ class KarateClub:
         coo = coo[:, order]
         y = np.array(_KARATE_COMMUNITY, np.int32)
         x = np.eye(34, dtype=np.float32)
+        # one labeled node per community (reference karate.py train_mask)
         train_mask = np.zeros(34, bool)
-        for c in (0, 1):
+        for c in range(int(y.max()) + 1):
             train_mask[np.nonzero(y == c)[0][0]] = True
         data = Data(x=x, edge_index=coo, y=y, train_mask=train_mask,
                     num_nodes=34)

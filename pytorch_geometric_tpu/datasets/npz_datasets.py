@@ -96,10 +96,30 @@ class WebKB(InMemoryDataset):
             lines = f.read().split('\n')[1:-1]
         coo = np.array([[int(v) for v in line.split('\t')]
                         for line in lines], np.int64).T
-        from ..utils.coalesce import to_undirected
-        coo = to_undirected(coo, num_nodes=x.shape[0])
+        # reference webkb.py:119 only coalesces (keeps direction)
+        from ..utils.coalesce import coalesce
+        coo = coalesce(coo, num_nodes=x.shape[0])
+        kwargs = self._load_split_masks()
         self.save([Data(x=x, edge_index=coo.astype(np.int32), y=y,
-                        num_nodes=x.shape[0])])
+                        num_nodes=x.shape[0], **kwargs)])
+
+    def _load_split_masks(self):
+        """Stack the 10 geom-gcn split files into [N, 10] masks
+        (reference ``webkb.py:121-130``); empty dict when the split
+        files are absent (they are a separate download)."""
+        import glob
+        paths = sorted(glob.glob(osp.join(
+            self.raw_dir, f'{self.name}_split_0.6_0.2_*.npz')))
+        if not paths:
+            return {}
+        tr, va, te = [], [], []
+        for p in paths:
+            z = np.load(p)
+            tr.append(z['train_mask'].astype(bool))
+            va.append(z['val_mask'].astype(bool))
+            te.append(z['test_mask'].astype(bool))
+        return {'train_mask': np.stack(tr, 1), 'val_mask': np.stack(va, 1),
+                'test_mask': np.stack(te, 1)}
 
 
 class WikipediaNetwork(WebKB):

@@ -1,0 +1,73 @@
+"""Dataset-parser parity wave 2 vs the reference oracle: KarateClub
+(fully embedded; exact Data equality) and WebKB (synthesized raw
+files through both parsers)."""
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, '/root/reference')
+
+torch = pytest.importorskip('torch')
+
+
+def test_karate_club_oracle():
+    from torch_geometric.datasets import KarateClub as Ref
+    from pytorch_geometric_tpu.datasets import KarateClub
+    r = Ref()[0]
+    o = KarateClub()[0]
+    np.testing.assert_array_equal(np.asarray(o.edge_index),
+                                  r.edge_index.numpy())
+    np.testing.assert_allclose(np.asarray(o.x), r.x.numpy())
+    np.testing.assert_array_equal(np.asarray(o.y), r.y.numpy())
+    np.testing.assert_array_equal(np.asarray(o.train_mask),
+                                  r.train_mask.numpy())
+
+
+def _write_webkb_raw(raw_dir, rng):
+    import os
+    os.makedirs(raw_dir, exist_ok=True)
+    n, f, e = 12, 6, 30
+    feats = rng.integers(0, 2, (n, f))
+    ys = rng.integers(0, 5, n)
+    lines = ['node_id\tfeature\tlabel']
+    for i in range(n):
+        lines.append(f"{i}\t{','.join(map(str, feats[i]))}\t{ys[i]}")
+    with open(osp.join(raw_dir, 'out1_node_feature_label.txt'),
+              'w') as fh:
+        fh.write('\n'.join(lines) + '\n')
+    edges = ['src\tdst']
+    for _ in range(e):
+        edges.append(f"{rng.integers(0, n)}\t{rng.integers(0, n)}")
+    with open(osp.join(raw_dir, 'out1_graph_edges.txt'), 'w') as fh:
+        fh.write('\n'.join(edges) + '\n')
+    for i in range(10):
+        tr = rng.random(n) < 0.6
+        va = ~tr & (rng.random(n) < 0.5)
+        te = ~tr & ~va
+        np.savez(osp.join(raw_dir, f'cornell_split_0.6_0.2_{i}.npz'),
+                 train_mask=tr, val_mask=va, test_mask=te)
+
+
+def test_webkb_oracle(tmp_path):
+    from torch_geometric.datasets import WebKB as Ref
+    from pytorch_geometric_tpu.datasets import WebKB
+    rng = np.random.default_rng(7)
+    _write_webkb_raw(str(tmp_path / 'ref' / 'cornell' / 'raw'), rng)
+    rng = np.random.default_rng(7)
+    _write_webkb_raw(str(tmp_path / 'ours' / 'cornell' / 'raw'), rng)
+
+    class NoDownload(Ref):
+        def download(self):
+            pass
+
+    r = NoDownload(str(tmp_path / 'ref'), 'cornell')[0]
+    o = WebKB(str(tmp_path / 'ours'), 'cornell')[0]
+    np.testing.assert_allclose(np.asarray(o.x), r.x.numpy())
+    np.testing.assert_array_equal(np.asarray(o.y), r.y.numpy())
+    np.testing.assert_array_equal(np.asarray(o.edge_index),
+                                  r.edge_index.numpy())
+    for k in ('train_mask', 'val_mask', 'test_mask'):
+        np.testing.assert_array_equal(np.asarray(o[k]),
+                                      r[k].numpy(), err_msg=k)
