@@ -18,7 +18,8 @@ def test_karate():
     coo = np.asarray(data.edge_index)
     fwd = set(map(tuple, coo.T))
     assert all((d, s) in fwd for s, d in coo.T)
-    assert np.asarray(data.train_mask).sum() == 2
+    # one labeled node per modularity community (4 classes)
+    assert np.asarray(data.train_mask).sum() == 4
 
 
 def test_sbm():
