@@ -108,8 +108,9 @@ class WebKB(InMemoryDataset):
         (reference ``webkb.py:121-130``); empty dict when the split
         files are absent (they are a separate download)."""
         import glob
+        prefix = getattr(self, 'split_prefix', None) or self.name
         paths = sorted(glob.glob(osp.join(
-            self.raw_dir, f'{self.name}_split_0.6_0.2_*.npz')))
+            self.raw_dir, f'{prefix}_split_0.6_0.2_*.npz')))
         if not paths:
             return {}
         tr, va, te = [], [], []
@@ -130,7 +131,9 @@ class WikipediaNetwork(WebKB):
 
 class Actor(WebKB):
     """Actor co-occurrence (reference ``datasets/actor.py``); the raw
-    feature column is a sparse index list."""
+    feature column is a sparse index list. Split files use the 'film'
+    prefix (reference actor.py:64)."""
+    split_prefix = 'film'
 
     def process(self):
         with open(osp.join(self.raw_dir, self.raw_file_names[0])) as f:
@@ -148,7 +151,9 @@ class Actor(WebKB):
             lines = f.read().split('\n')[1:-1]
         coo = np.array([[int(v) for v in line.split('\t')]
                         for line in lines], np.int64).T
-        from ..utils.coalesce import to_undirected
-        coo = to_undirected(coo, num_nodes=n)
+        # reference actor.py:98 coalesces, keeping edge direction
+        from ..utils.coalesce import coalesce
+        coo = coalesce(coo, num_nodes=n)
+        kwargs = self._load_split_masks()
         self.save([Data(x=x, edge_index=coo.astype(np.int32), y=y,
-                        num_nodes=n)])
+                        num_nodes=n, **kwargs)])
