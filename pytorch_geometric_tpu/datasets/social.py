@@ -51,43 +51,39 @@ class CoraFull(CitationFull):
         super().__init__(root, 'cora', **kwargs)
 
 
-class _CsvJsonSocial(InMemoryDataset):
-    """Shared parser: ``edges.csv`` (id1,id2) + ``features.json``
-    (id -> list) + ``target.csv`` (id,target) — the SNAP social-net
-    layout used by DeezerEurope/LastFMAsia/etc."""
-
-    name: str = ''
+class DeezerEurope(InMemoryDataset):
+    """(reference ``deezer_europe.py`` — single npz with
+    features/target/edges, stored direction kept)."""
 
     @property
     def raw_file_names(self) -> Sequence[str]:
-        return ['edges.csv', 'features.json', 'target.csv']
+        return ['deezer_europe.npz']
 
     def process(self):
-        raw = self.raw_dir
-        edges = np.genfromtxt(osp.join(raw, 'edges.csv'), delimiter=',',
-                              skip_header=1, dtype=np.int64).T
-        with open(osp.join(raw, 'features.json')) as f:
-            feats = json.load(f)
-        tgt = np.genfromtxt(osp.join(raw, 'target.csv'), delimiter=',',
-                            skip_header=1, dtype=np.int64)
-        n = int(tgt[:, 0].max()) + 1
-        max_feat = max((max(v) for v in feats.values() if v),
-                       default=0) + 1
-        x = np.zeros((n, max_feat), np.float32)
-        for k, v in feats.items():
-            x[int(k), v] = 1.0
-        y = np.zeros(n, np.int32)
-        y[tgt[:, 0]] = tgt[:, 1]
-        self.save([Data(x=x, edge_index=_und(edges, n), y=y,
-                        num_nodes=n)])
+        with np.load(osp.join(self.raw_dir, self.raw_file_names[0]),
+                     allow_pickle=True) as f:
+            x = f['features'].astype(np.float32)
+            y = f['target'].astype(np.int32)
+            edges = f['edges'].T.astype(np.int32)
+        self.save([Data(x=x, edge_index=edges, y=y,
+                        num_nodes=x.shape[0])])
 
 
-class DeezerEurope(_CsvJsonSocial):
-    """(reference ``deezer_europe.py``)."""
+class LastFMAsia(DeezerEurope):
+    """(reference ``lastfm_asia.py`` — same npz layout)."""
 
+    @property
+    def raw_file_names(self) -> Sequence[str]:
+        return ['lastfm_asia.npz']
 
-class LastFMAsia(_CsvJsonSocial):
-    """(reference ``lastfm_asia.py``)."""
+    def process(self):
+        with np.load(osp.join(self.raw_dir, self.raw_file_names[0]),
+                     allow_pickle=True) as f:
+            x = f['features'].astype(np.float32)
+            y = f['target'].astype(np.int32)
+            edges = f['edges'].T.astype(np.int32)
+        self.save([Data(x=x, edge_index=edges, y=y,
+                        num_nodes=x.shape[0])])
 
 
 class FacebookPagePage(InMemoryDataset):
@@ -108,7 +104,8 @@ class FacebookPagePage(InMemoryDataset):
             y = f['target'].astype(np.int32)
             edges = f['edges'].T.astype(np.int64)
         n = x.shape[0]
-        self.save([Data(x=x, edge_index=_und(edges, n), y=y,
+        # reference facebook.py keeps the stored edge direction
+        self.save([Data(x=x, edge_index=edges.astype(np.int32), y=y,
                         num_nodes=n)])
 
 
@@ -139,8 +136,8 @@ class Twitch(FacebookPagePage):
 
 
 class GemsecDeezer(InMemoryDataset):
-    """(reference ``gemsec.py``) — edges csv + genres json
-    (multi-label)."""
+    """(reference ``gemsec.py`` — single npz with target/edges; no
+    node features, multi-label genre targets)."""
 
     def __init__(self, root: str, name: str, **kwargs):
         self.name = name
@@ -148,22 +145,16 @@ class GemsecDeezer(InMemoryDataset):
 
     @property
     def raw_file_names(self) -> Sequence[str]:
-        return [f'{self.name}_edges.csv', f'{self.name}_genres.json']
+        return [f'{self.name}.npz']
 
     def process(self):
-        edges = np.genfromtxt(
-            osp.join(self.raw_dir, self.raw_file_names[0]),
-            delimiter=',', skip_header=1, dtype=np.int64).T
-        with open(osp.join(self.raw_dir, self.raw_file_names[1])) as f:
-            genres = json.load(f)
-        all_g = sorted({g for v in genres.values() for g in v})
-        gix = {g: i for i, g in enumerate(all_g)}
-        n = int(edges.max()) + 1
-        y = np.zeros((n, len(all_g)), np.float32)
-        for k, v in genres.items():
-            for g in v:
-                y[int(k), gix[g]] = 1
-        self.save([Data(edge_index=_und(edges, n), y=y, num_nodes=n)])
+        with np.load(osp.join(self.raw_dir, self.raw_file_names[0]),
+                     allow_pickle=True) as f:
+            y = f['target'].astype(np.int32)
+            edges = f['edges'].T.astype(np.int32)
+        n = int(edges.max()) + 1 if edges.size else y.shape[0]
+        n = max(n, y.shape[0])
+        self.save([Data(edge_index=edges, y=y, num_nodes=n)])
 
 
 class Airports(InMemoryDataset):
@@ -193,7 +184,9 @@ class Airports(InMemoryDataset):
         coo = np.asarray([[remap[int(a)], remap[int(b)]]
                           for a, b in edges]).T
         x = np.eye(n, dtype=np.float32)
-        self.save([Data(x=x, edge_index=_und(coo, n), y=y,
+        from ..utils.coalesce import coalesce
+        coo = coalesce(coo, num_nodes=n)   # direction kept (airports.py:92)
+        self.save([Data(x=x, edge_index=coo.astype(np.int32), y=y,
                         num_nodes=n)])
 
 
@@ -210,7 +203,9 @@ class PolBlogs(InMemoryDataset):
         y = np.genfromtxt(osp.join(self.raw_dir, 'labels.tsv'),
                           dtype=np.int64).astype(np.int32)
         n = len(y)
-        self.save([Data(edge_index=_und(coo, n), y=y, num_nodes=n)])
+        # reference polblogs.py keeps the stored edge direction
+        self.save([Data(edge_index=coo.astype(np.int32), y=y,
+                        num_nodes=n)])
 
 
 class EmailEUCore(InMemoryDataset):
@@ -352,7 +347,8 @@ class LINKXDataset(InMemoryDataset):
         x = np.asarray(feats, np.float32) if feats is not None else None
         y = np.asarray(m['label']).ravel().astype(np.int32)
         n = len(y)
-        self.save([Data(x=x, edge_index=_und(coo, n), y=y,
+        # reference linkx_dataset.py keeps the stored edge direction
+        self.save([Data(x=x, edge_index=coo.astype(np.int32), y=y,
                         num_nodes=n)])
 
 
@@ -449,8 +445,9 @@ class AttributedGraphDataset(InMemoryDataset):
         n = x.shape[0]
         y = np.zeros(n, np.int32)
         y[lab[:, 0]] = lab[:, 1]
-        self.save([Data(x=np.asarray(x), edge_index=_und(coo, n), y=y,
-                        num_nodes=n)])
+        # reference attributed_graph_dataset.py keeps the stored direction
+        self.save([Data(x=np.asarray(x), edge_index=coo.astype(np.int32),
+                        y=y, num_nodes=n)])
 
 
 class SNAPDataset(InMemoryDataset):

@@ -71,3 +71,74 @@ def test_webkb_oracle(tmp_path):
     for k in ('train_mask', 'val_mask', 'test_mask'):
         np.testing.assert_array_equal(np.asarray(o[k]),
                                       r[k].numpy(), err_msg=k)
+
+
+def _social_npz(raw_dir, fname, rng, n=10, f=4, e=26):
+    import os
+    os.makedirs(raw_dir, exist_ok=True)
+    np.savez(osp.join(raw_dir, fname),
+             features=rng.random((n, f)).astype(np.float32),
+             target=rng.integers(0, 3, n),
+             edges=np.stack([rng.integers(0, n, e),
+                             rng.integers(0, n, e)], 1))
+
+
+@pytest.mark.parametrize('cls_name,fname', [
+    ('FacebookPagePage', 'facebook.npz'),
+    ('DeezerEurope', 'deezer_europe.npz'),
+    ('LastFMAsia', 'lastfm_asia.npz'),
+    ('GitHub', 'github.npz'),
+])
+def test_social_npz_oracle(tmp_path, cls_name, fname):
+    import torch_geometric.datasets as RD
+    import pytorch_geometric_tpu.datasets as OD
+    _social_npz(str(tmp_path / 'ref' / 'raw'), fname,
+                np.random.default_rng(3))
+    _social_npz(str(tmp_path / 'ours' / 'raw'), fname,
+                np.random.default_rng(3))
+
+    ref_cls = getattr(RD, cls_name)
+
+    class NoDownload(ref_cls):
+        def download(self):
+            pass
+
+    r = NoDownload(str(tmp_path / 'ref'))[0]
+    o = getattr(OD, cls_name)(str(tmp_path / 'ours'))[0]
+    np.testing.assert_allclose(np.asarray(o.x), r.x.numpy())
+    np.testing.assert_array_equal(np.asarray(o.y), r.y.numpy())
+    np.testing.assert_array_equal(np.asarray(o.edge_index),
+                                  r.edge_index.numpy())
+
+
+def test_airports_oracle(tmp_path):
+    import torch_geometric.datasets as RD
+    import pytorch_geometric_tpu.datasets as OD
+    import os
+    rng = np.random.default_rng(5)
+    n, e = 8, 20
+    ids = rng.permutation(100)[:n]          # non-contiguous airport ids
+    for root in ('ref', 'ours'):
+        raw = str(tmp_path / root / 'usa' / 'raw')
+        os.makedirs(raw, exist_ok=True)
+        with open(osp.join(raw, 'labels-usa-airports.txt'), 'w') as fh:
+            fh.write('node label\n')
+            for i, v in enumerate(ids):
+                fh.write(f'{v} {i % 4}\n')
+        with open(osp.join(raw, 'usa-airports.edgelist'), 'w') as fh:
+            for _ in range(e):
+                a, b = rng.choice(ids, 2)
+                fh.write(f'{a} {b}\n')
+        rng = np.random.default_rng(5)
+        ids = rng.permutation(100)[:n]
+
+    class NoDownload(RD.Airports):
+        def download(self):
+            pass
+
+    r = NoDownload(str(tmp_path / 'ref'), 'usa')[0]
+    o = OD.Airports(str(tmp_path / 'ours'), 'usa')[0]
+    np.testing.assert_array_equal(np.asarray(o.y), r.y.numpy())
+    np.testing.assert_array_equal(np.asarray(o.edge_index),
+                                  r.edge_index.numpy())
+    np.testing.assert_allclose(np.asarray(o.x), r.x.numpy())
