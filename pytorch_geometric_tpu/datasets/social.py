@@ -366,22 +366,31 @@ class BitcoinOTC(InMemoryDataset):
         return ['soc-sign-bitcoinotc.csv']
 
     def process(self):
+        # reference bitcoin_otc.py:33-71: min-shifted node ids, integer
+        # ratings, 13.8-day time bins (138 snapshots on the real data),
+        # each snapshot holding the sliding window of the previous
+        # ``edge_window_size`` bins
         rows = np.genfromtxt(
             osp.join(self.raw_dir, self.raw_file_names[0]),
             delimiter=',')
-        src = rows[:, 0].astype(np.int64) - 1
-        dst = rows[:, 1].astype(np.int64) - 1
-        w = rows[:, 2].astype(np.float32)
-        t = rows[:, 3]
-        n = int(max(src.max(), dst.max())) + 1
-        order = np.argsort(t)
-        step = max(len(order) // self.edge_window_size, 1)
+        ei = rows[:, :2].astype(np.int64)
+        ei = (ei - ei.min()).T
+        n = int(ei.max()) + 1
+        rating = rows[:, 2].astype(np.int64)
+        stamps = rows[:, 3].astype(np.int64)
+        offset = int(13.8 * 24 * 3600)
+        graph_idx = np.empty(len(stamps), np.int64)
+        factor = 1
+        for i, t in enumerate(stamps):
+            if not t < stamps[0] + factor * offset:
+                factor += 1
+            graph_idx[i] = factor - 1
         out = []
-        for i in range(0, len(order), step):
-            sl = order[i:i + step]
-            out.append(Data(edge_index=np.stack([src[sl], dst[sl]])
-                            .astype(np.int32),
-                            edge_attr=w[sl], num_nodes=n))
+        for i in range(int(graph_idx.max()) + 1):
+            mask = (graph_idx > (i - self.edge_window_size)) \
+                & (graph_idx <= i)
+            out.append(Data(edge_index=ei[:, mask].astype(np.int32),
+                            edge_attr=rating[mask], num_nodes=n))
         self.save(out)
 
 
@@ -417,7 +426,11 @@ class EllipticBitcoinDataset(InMemoryDataset):
                 y[remap[int(cid)]] = 0
         d = Data(x=x, edge_index=coo.astype(np.int32), y=y,
                  num_nodes=len(ids))
-        d.train_mask = y != 2
+        # timestamp-based split (reference elliptic.py:44-46):
+        # steps 1-34 train, 35-49 test, unknowns excluded from both
+        time_step = feat[:, 1].astype(np.int64)
+        d.train_mask = (time_step < 35) & (y != 2)
+        d.test_mask = (time_step >= 35) & (y != 2)
         self.save([d])
 
 

@@ -142,3 +142,39 @@ def test_airports_oracle(tmp_path):
     np.testing.assert_array_equal(np.asarray(o.edge_index),
                                   r.edge_index.numpy())
     np.testing.assert_allclose(np.asarray(o.x), r.x.numpy())
+
+
+def test_bitcoin_otc_oracle(tmp_path):
+    import torch_geometric.datasets as RD
+    import pytorch_geometric_tpu.datasets as OD
+    import os
+    rng = np.random.default_rng(9)
+    day = 24 * 3600
+    lines = []
+    t = 1_300_000_000
+    for _ in range(60):
+        s, d = rng.integers(1, 30, 2)
+        while d == s:
+            d = rng.integers(1, 30)
+        r = int(rng.integers(-10, 11))
+        t += int(rng.integers(0, 5 * day))
+        lines.append(f'{s},{d},{r},{t}.0')
+    for root in ('ref', 'ours'):
+        raw = str(tmp_path / root / 'raw')
+        os.makedirs(raw, exist_ok=True)
+        with open(osp.join(raw, 'soc-sign-bitcoinotc.csv'), 'w') as fh:
+            fh.write('\n'.join(lines) + '\n')
+
+    class NoDownload(RD.BitcoinOTC):
+        def download(self):
+            pass
+
+    r = NoDownload(str(tmp_path / 'ref'))
+    o = OD.BitcoinOTC(str(tmp_path / 'ours'))
+    assert len(o) == len(r)
+    for i in range(len(r)):
+        np.testing.assert_array_equal(np.asarray(o[i].edge_index),
+                                      r[i].edge_index.numpy())
+        np.testing.assert_array_equal(np.asarray(o[i].edge_attr),
+                                      r[i].edge_attr.numpy())
+        assert o[i].num_nodes == r[i].num_nodes
