@@ -261,9 +261,12 @@ class JODIEDataset(InMemoryDataset):
                 msgs.append([float(v) for v in row[4:]])
         src = np.array(src, np.int64)
         dst = np.array(dst, np.int64) + (src.max() + 1)
+        # reference jodie.py casts t and y to long (timestamps are
+        # truncated to integers; state labels are class ids)
         np.savez(osp.join(self.processed_dir, 'events.npz'),
-                 src=src, dst=dst, t=np.array(t, np.float32),
-                 y=np.array(y, np.float32),
+                 src=src, dst=dst,
+                 t=np.array(t, np.float64).astype(np.int64),
+                 y=np.array(y, np.float64).astype(np.int64),
                  msg=np.array(msgs, np.float32))
 
     def _load(self):
