@@ -12,14 +12,22 @@ def main():
     data = pgt.datasets.FakeDataset(avg_num_nodes=1000, avg_degree=10,
                                     num_channels=64, num_classes=10)[0]
     n = data.num_nodes
-    ei = pgt.EdgeIndex(jnp.asarray(np.asarray(data.edge_index)),
-                       (n, n)).fill_cache()
+    # one-knob dispatch: cache_gcn_norm(auto=True) bakes the normalised
+    # adjacency into whichever regime fits this graph + device (dense
+    # MXU cache here; BSR / chunked / gather on bigger graphs) — no
+    # manual mode selection (see ops.spmm.spmm_regime).
+    from pytorch_geometric_tpu.nn import cache_gcn_norm
+    ei = cache_gcn_norm(
+        pgt.EdgeIndex(np.asarray(data.edge_index).astype(np.int32),
+                      (n, n)), auto=True)
     x = jnp.asarray(np.asarray(data.x))
     y = jnp.asarray(np.asarray(data.y))
     rng = np.random.default_rng(0)
     train_mask = jnp.asarray(rng.random(n) < 0.6)
 
-    model = GCN(hidden_channels=64, num_layers=2, out_channels=10)
+    model = GCN(hidden_channels=64, num_layers=2, out_channels=10,
+                conv_kwargs={'normalize': False,
+                             'add_self_loops': False})
     params = model.init(jax.random.PRNGKey(0), x, ei)
     tx = optax.adam(0.01)
     opt_state = tx.init(params)

@@ -179,7 +179,7 @@ class EdgeIndex:
     def fill_cache(self, blocked: bool = True,
                    dense_weight: Optional[jnp.ndarray] = None,
                    block_sparse: Optional[bool] = None,
-                   cache_dtype=None) -> 'EdgeIndex':
+                   cache_dtype=None, auto: bool = False) -> 'EdgeIndex':
         """Return a copy with both CSR and CSC materialised
         (reference ``fill_cache_`` at ``edge_index.py:677``); also builds
         the node-blocked layout for the Pallas SpMM kernel when the COO
@@ -195,7 +195,38 @@ class EdgeIndex:
         ``PGT_DENSE_SPMM_ENTRIES`` (default 2.5e8), a block-sparse
         (nonempty 128x128 blocks) adjacency is cached instead if the
         graph is block-dense enough (``ops/bsr_spmm.py``);
-        ``block_sparse=True/False`` forces/suppresses that choice."""
+        ``block_sparse=True/False`` forces/suppresses that choice.
+
+        ``auto=True`` is the one-knob policy (the TPU analog of the
+        reference's silent dispatch ladder, ``edge_index.py:1925``):
+        bakes unit weights when none are given, sizes the dense cap off
+        the device's HBM (``ops.spmm.auto_dense_cap``), stores the
+        cache bf16 on TPU (halved HBM stream, f32 accumulation — ~1e-2
+        relative error; pass ``cache_dtype=jnp.float32`` for exact
+        parity), and on regimes past dense/BSR leaves baking alone so
+        :func:`~pytorch_geometric_tpu.ops.spmm` falls through to its
+        chunked/gather paths. Inspect the outcome with
+        ``ops.spmm.spmm_regime``."""
+        import os as _os
+        if auto:
+            on_cpu = (jax.default_backend() == 'cpu'
+                      and not _os.environ.get('PGT_FORCE_DENSE_SPMM'))
+            if dense_weight is None and not on_cpu:
+                # a baked MXU cache only pays on TPU: on CPU the dense
+                # matmul is O(N^2 F) real FLOPs with no bandwidth edge
+                # (same rationale as ops/spmm._dense_profitable)
+                host = self._coo_host
+                e = (host.shape[1] if host is not None
+                     else self.num_edges)
+                dense_weight = np.ones(e, np.float32)
+            if cache_dtype is None and jax.default_backend() != 'cpu':
+                cache_dtype = jnp.bfloat16
+            # giant-E graphs land on the chunked/gather regimes where
+            # the node-blocked Pallas layout is never consulted; its
+            # host build + device residency (~3*E ints) would be pure
+            # overhead there
+            blocked = blocked and self.num_edges <= int(float(
+                _os.environ.get('PGT_AUTO_BLOCKED_MAX_EDGES', 2**24)))
         blk, blk_t = self.blocked, self.blocked_t
         if blocked and blk is None:
             try:
@@ -223,8 +254,14 @@ class EdgeIndex:
         bsr_perm, bsr_inv = self.bsr_perm, self.bsr_inv
         if dense_weight is not None and dense is None and bsr is None:
             import os
-            cap = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
-                                           2.5e8)))
+            if auto:
+                from .ops.spmm import auto_dense_cap
+                nbytes = (jnp.dtype(cache_dtype).itemsize
+                          if cache_dtype is not None else 4)
+                cap = auto_dense_cap(nbytes)
+            else:
+                cap = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
+                                               2.5e8)))
             ns, nd = self.sparse_size
             if ns * nd <= cap and not block_sparse:
                 from .ops.spmm import _dense_build

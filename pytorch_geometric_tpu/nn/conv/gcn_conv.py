@@ -57,7 +57,7 @@ def gcn_norm(edge_index, edge_weight: Optional[jnp.ndarray] = None,
 def cache_gcn_norm(edge_index: EdgeIndex, improved: bool = False,
                    add_self_loops: bool = True,
                    block_sparse: Optional[bool] = None,
-                   cache_dtype=None) -> EdgeIndex:
+                   cache_dtype=None, auto: bool = False) -> EdgeIndex:
     """TPU-idiomatic ``GCNConv(cached=True)`` (reference
     ``gcn_conv.py:116``): compute D^-1/2 (A+I) D^-1/2 ONCE on the host
     and bake it into the EdgeIndex caches — the dense ``[N, N]``
@@ -72,6 +72,10 @@ def cache_gcn_norm(edge_index: EdgeIndex, improved: bool = False,
 
     Flax modules are stateless across calls, so the reference's
     in-module caching maps to this explicit one-time transform.
+
+    ``auto=True`` delegates regime + dtype choice to the one-knob
+    ``fill_cache(auto=True)`` policy (HBM-sized dense cap, bf16 cache
+    on TPU, silent fall-through to chunked/gather past BSR).
     """
     import numpy as np
     coo = (edge_index._coo_host if edge_index._coo_host is not None
@@ -101,7 +105,7 @@ def cache_gcn_norm(edge_index: EdgeIndex, improved: bool = False,
     coo_n = np.stack([row, col]).astype(np.int32)
     return EdgeIndex(coo_n, (n, n)).fill_cache(
         dense_weight=norm, block_sparse=block_sparse,
-        cache_dtype=cache_dtype)
+        cache_dtype=cache_dtype, auto=auto)
 
 
 class GCNConv(MessagePassing):

@@ -1,14 +1,14 @@
 from .scatter import scatter, scatter_argmax, group_argsort
 from .segment import segment, segment_logsumexp, ptr2index, index2ptr
 from .softmax import softmax
-from .spmm import spmm
+from .spmm import spmm, spmm_regime, auto_dense_cap
 
 __all__ = [
     'TypedLayout', 'RaggedLayout', 'build_typed_layout',
     'build_ragged_layout', 'typed_matmul', 'grouped_matmul',
     'scatter', 'scatter_argmax', 'group_argsort',
     'segment', 'segment_logsumexp', 'ptr2index', 'index2ptr',
-    'softmax', 'spmm',
+    'softmax', 'spmm', 'spmm_regime', 'auto_dense_cap',
     'sddmm', 'edge_softmax', 'edge_softmax_aggregate',
     'multi_relation_softmax_aggregate', 'fused_softmax_available',
     'sampled_op', 'sampled_add', 'sampled_sub', 'sampled_mul',

@@ -42,7 +42,68 @@ _DENSE_MAX_ENTRIES = int(float(os.environ.get('PGT_DENSE_SPMM_ENTRIES',
 _DENSE_ADVANTAGE = 36.0
 
 
-def _dense_profitable(adj: EdgeIndex, x: jnp.ndarray) -> bool:
+def auto_dense_cap(dtype_bytes: int = 4) -> int:
+    """Entry budget for a cached dense adjacency.
+
+    ``PGT_DENSE_SPMM_ENTRIES`` wins when set; otherwise sized off the
+    device's reported HBM (1/8 of ``bytes_limit`` — the cache is
+    streamed every SpMM pass, and fwd+bwd plus activations need the
+    rest), falling back to the historical 2.5e8-entry default when the
+    backend reports nothing (CPU)."""
+    env = os.environ.get('PGT_DENSE_SPMM_ENTRIES')
+    if env:
+        return int(float(env))
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get('bytes_limit'):
+            return int(stats['bytes_limit'] / (8 * max(dtype_bytes, 1)))
+    except Exception:
+        pass
+    return int(2.5e8)
+
+
+def spmm_regime(adj: EdgeIndex, num_feats: int = 64,
+                reduce: str = 'sum',
+                has_edge_weight: bool = False) -> str:
+    """Report which algorithm :func:`spmm` will execute for this
+    adjacency — the introspection half of the automatic dispatch policy
+    (``EdgeIndex.fill_cache(auto=True)`` picks what to *cache*; the
+    ladder here picks what to *run*). Mirrors the reference's private
+    dispatch at ``edge_index.py:1925``.
+
+    Returns one of ``'dense-cached' | 'bsr' | 'dense' | 'chunked' |
+    'pallas' | 'gather-sorted' | 'gather'``."""
+    if not isinstance(adj, EdgeIndex):
+        adj = EdgeIndex(adj)
+    simple = reduce in ('sum', 'mean')
+    if (getattr(adj, 'dense_adj', None) is not None and simple
+            and not has_edge_weight
+            and not os.environ.get('PGT_DISABLE_DENSE_SPMM')):
+        return 'dense-cached'
+    if (getattr(adj, 'bsr', None) is not None
+            and getattr(adj, 'bsr_t', None) is not None and simple
+            and not has_edge_weight
+            and not os.environ.get('PGT_DISABLE_BSR_SPMM')):
+        return 'bsr'
+    x_probe = jax.ShapeDtypeStruct((adj.num_src_nodes, num_feats),
+                                   jnp.float32)
+    if simple and _dense_profitable(adj, x_probe):
+        return 'dense'
+    if (simple
+            and adj.num_edges * num_feats * 4 > _CHUNK_TRIGGER_BYTES):
+        return 'chunked'
+    from .. import backend
+    use_pallas = backend.use_pallas_spmm
+    if use_pallas is None:
+        from .pallas_spmm import _use_pallas
+        use_pallas = (_use_pallas()
+                      and getattr(adj, 'blocked', None) is not None)
+    if (use_pallas and simple and adj.num_edges >= _PALLAS_MIN_EDGES):
+        return 'pallas'
+    return 'gather-sorted' if adj.csc is not None else 'gather'
+
+
+def _dense_profitable(adj: EdgeIndex, x) -> bool:
     if os.environ.get('PGT_DISABLE_DENSE_SPMM'):
         return False
     # The densification trade only pays on the MXU: on CPU a dense

@@ -96,7 +96,10 @@ def test_webkb_parser(tmp_path):
     ds = WebKB(root=str(tmp_path / 'cornell'), name='cornell')
     data = ds[0]
     assert data.num_nodes == 3 and data.x.shape == (3, 3)
-    assert data.num_edges == 4  # undirected
+    # reference webkb.py:119 only coalesces — direction is kept
+    assert data.num_edges == 2
+    coo = np.asarray(data.edge_index)
+    assert set(map(tuple, coo.T)) == {(0, 1), (1, 2)}
 
 
 def test_temporal_loader():
