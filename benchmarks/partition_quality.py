@@ -24,6 +24,8 @@ import numpy as np
 sys.path.insert(0, '.')
 
 from pytorch_geometric_tpu.loader.cluster import (partition_graph,
+                                                  partition_graph_hubs,
+                                                  effective_edge_cut,
                                                   edge_cut)
 
 
@@ -104,15 +106,29 @@ def main():
                 results[f'{method}_s'] = round(dt, 2)
                 results[f'{method}_imbalance'] = round(
                     counts.max() / (n / P), 3)
+            # hub replication (the power-law fix, VERDICT r3 #3):
+            # hub-incident edges are served by per-layer replication /
+            # merge-at-source, so the traffic-relevant cut excludes them
+            t0 = time.perf_counter()
+            hparts, hmask = partition_graph_hubs(coo, n, P,
+                                                 hub_frac=0.05)
+            hub_s = time.perf_counter() - t0
+            hcounts = np.bincount(hparts, minlength=P)
             print(json.dumps({
                 'graph': gname, 'nodes': n, 'edges': int(coo.shape[1]),
                 'P': P,
                 'cut_random': round(results['random'], 4),
                 'cut_ldg': round(results['ldg'], 4),
                 'cut_multilevel': round(results['multilevel'], 4),
+                'cut_hub5pct_effective': round(
+                    effective_edge_cut(coo, hparts, hmask), 4),
+                'hub_repl_node_overhead': round(
+                    (P - 1) * hmask.sum() / n, 3),
                 'ldg_s': results['ldg_s'],
                 'multilevel_s': results['multilevel_s'],
+                'hub_s': round(hub_s, 2),
                 'imbalance_ml': results['multilevel_imbalance'],
+                'imbalance_hub': round(hcounts.max() / (n / P), 3),
                 'overflow_edge_rate_1chunk': round(ov1, 4),
             }), flush=True)
 

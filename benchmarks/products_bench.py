@@ -1,0 +1,314 @@
+"""ogbn-products-scale protocol benchmark (VERDICT r3 #1).
+
+Synthetic graph with the ogbn-products shape — 2,449,029 nodes /
+123,718,280 directed edges (the real dataset needs a download; this
+environment has zero egress) — heavy-tailed degrees + community
+structure + scrambled ids, i.e. the regime where the dense [N, N]
+cache is excluded by memory and the automatic policy must fall through.
+
+Two arms, mirroring the reference training/inference harnesses
+(``/root/reference/benchmark/training/README.md:24-47``,
+``benchmark/inference/README.md``):
+
+  --train   sampled GraphSAGE training: batch 512, fanouts [15, 10],
+            hidden 64, 50 optimiser steps, END TO END (C++ neighbor
+            sampler on the host, padded static batches, device-resident
+            features gathered by n_id inside the jitted step, K steps
+            per dispatch via lax.scan — the documented default path).
+  --infer   full-graph 2-layer inference on one chip. At this scale the
+            policy picks the edge-chunked SpMM (gathered [E, F] bytes
+            >> HBM); reports edges/s, effective GB/s, and % of the HBM
+            roofline for BOTH the algorithm's real traffic (gather
+            re-reads) and the information-theoretic floor (each x row
+            read once) so the gather tax is explicit.
+
+Prints one JSON line per arm.
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_PRODUCTS = 2_449_029
+E_PRODUCTS = 123_718_280
+F, C = 100, 47
+HBM_GBPS = 819.0   # v5e
+
+
+def build_products_like(n=N_PRODUCTS, e=E_PRODUCTS, seed=0,
+                        scale=1.0):
+    """Products-like synthetic: ~60% of edges intra-community
+    (communities of ~2.4k nodes), the rest endpoint-skewed toward hub
+    nodes (power-law); node ids scrambled so no natural block structure
+    survives (the real dataset's ids are unordered too)."""
+    if scale != 1.0:
+        n, e = int(n * scale), int(e * scale)
+    rng = np.random.default_rng(seed)
+    csize = 2400
+    n_comm = max(n // csize, 1)
+    src = rng.integers(0, n, e, dtype=np.int64)
+    intra = rng.random(e) < 0.6
+    comm = np.minimum(src // csize, n_comm - 1)
+    dst_intra = comm * csize + rng.integers(0, csize, e)
+    # hub-skewed global endpoints: id ~ n * u^3 concentrates on low ids
+    dst_hub = (n * rng.random(e) ** 3).astype(np.int64)
+    dst = np.minimum(np.where(intra, dst_intra, dst_hub), n - 1)
+    # scramble ids with a fixed permutation
+    perm = rng.permutation(n)
+    coo = np.stack([perm[src], perm[dst]]).astype(np.int32)
+    return coo, n, e
+
+
+def run_infer(coo, n, e, hidden, force_regime=None, bf16=False):
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_tpu import EdgeIndex
+    from pytorch_geometric_tpu.ops import spmm, spmm_regime
+
+    rng = np.random.default_rng(1)
+    dt_np = np.float32
+    x_np = rng.standard_normal((n, F)).astype(dt_np)
+    if bf16:
+        # inference fast path: the chunked SpMM is gather-bound on the
+        # x-row stream; bf16 rows halve it (weights/accumulation decide
+        # numerics elsewhere)
+        import jax.numpy as _jnp
+        x_np = x_np.astype(_jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    ei = EdgeIndex(coo, (n, n)).fill_cache(auto=True)
+    build_s = time.perf_counter() - t0
+    regime = spmm_regime(ei, num_feats=hidden)
+    if force_regime == 'gather':
+        # suppress the chunked trigger: measures what the plain
+        # gather/scatter path would do (OOMs past ~4 GB gathered —
+        # only valid on sliced-down graphs)
+        import pytorch_geometric_tpu.ops.spmm as m
+        m._CHUNK_TRIGGER_BYTES = float('inf')
+        regime = spmm_regime(ei, num_feats=hidden)
+
+    # 2-layer SAGE-style inference: per layer one SpMM(mean) + two GEMMs
+    import flax.linen as fnn
+
+    class Layer(fnn.Module):
+        feats: int
+
+        @fnn.compact
+        def __call__(self, x, ei):
+            agg = spmm(ei, x, reduce='mean')
+            return (fnn.Dense(self.feats, name='l')(agg)
+                    + fnn.Dense(self.feats, name='r')(x))
+
+    class Net(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, ei):
+            x = fnn.relu(Layer(hidden)(x, ei))
+            return Layer(C)(x, ei)
+
+    net = Net()
+    X = jax.device_put(x_np)
+    del x_np
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), X, ei)
+
+    # reduce on device, pull ONE scalar: a D2H transfer genuinely forces
+    # completion on the remote tunnel backend (block_until_ready on the
+    # full [N, C] output returned instantly there — r4 debugging)
+    fwd = jax.jit(lambda p, x, ei: net.apply(p, x, ei).sum())
+    chk = float(fwd(params, X, ei))     # compile + warmup
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        chk = float(fwd(params, X, ei))
+    dt = (time.perf_counter() - t0) / reps
+
+    # traffic accounting, per SpMM pass (2 passes: F->H then H->C uses
+    # hidden-width aggregation; count each at its feature width):
+    widths = [F, hidden]
+    # chunked path real traffic: per edge one x-row gather (w*4 bytes,
+    # random => counted at face value) + 12 B indices/weight; plus the
+    # [N, w] accumulator stream per chunk pass
+    it = 2 if bf16 else 4
+    real_bytes = sum(e * (w * it + 12) + 2 * n * w * it
+                     for w in widths)
+    # information floor: every x row read once, out written once, edge
+    # list read once
+    floor_bytes = sum(2 * n * w * 4 + e * 8 for w in widths)
+    gbps = real_bytes / dt / 1e9
+    return {
+        'checksum': round(chk, 2),
+        'metric': 'products_fullgraph_inference'
+                  + ('_bf16' if bf16 else ''),
+        'graph': f'{n}n/{e}e/F{F}/H{hidden}',
+        'regime': regime,
+        'build_s': round(build_s, 2),
+        'value': round(dt, 3),
+        'unit': 's/forward',
+        'edges_per_s': round(2 * e / dt),
+        'algorithm_gbps': round(gbps, 1),
+        'pct_roofline_algorithm': round(100 * gbps / HBM_GBPS, 1),
+        'pct_roofline_floor': round(
+            100 * (floor_bytes / dt / 1e9) / HBM_GBPS, 1),
+        'backend': __import__('jax').default_backend(),
+    }
+
+
+def run_train(coo, n, e, steps, scan_k, workers):
+    """Protocol sampled training — delegates to sampled_train_bench's
+    loop via subprocess-free reuse: same loader/model wiring, products
+    graph."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pytorch_geometric_tpu.data import Data
+    from pytorch_geometric_tpu.loader import (NeighborLoader,
+                                              PrefetchLoader)
+    from pytorch_geometric_tpu.nn.models import GraphSAGE
+
+    rng = np.random.default_rng(1)
+    data = Data(x=rng.standard_normal((n, F)).astype(np.float32),
+                edge_index=coo, y=rng.integers(0, C, n).astype(np.int32),
+                num_nodes=n)
+    fanouts = [15, 10]
+    batch_size = 512
+    t0 = time.perf_counter()
+    loader = NeighborLoader(data, num_neighbors=fanouts,
+                            batch_size=batch_size, shuffle=True,
+                            num_workers=workers, filter_features=False)
+    build_s = time.perf_counter() - t0
+
+    model = GraphSAGE(hidden_channels=64, num_layers=2, out_channels=C)
+    b0 = next(iter(loader))
+    n_cap = int(b0.num_nodes)
+    tx = optax.adam(1e-3)
+    X = jax.device_put(np.asarray(data.x))
+    Y = jax.device_put(np.asarray(data.y).astype(np.int32))
+    jax.block_until_ready(Y)
+    params = model.init(jax.random.PRNGKey(0), X[:n_cap],
+                        np.asarray(b0.edge_index))
+    opt = tx.init(params)
+
+    @jax.jit
+    def dscan(params, opt, X, Y, n_ids, node_masks, coos, emasks,
+              seed_masks):
+        def body(carry, b):
+            params, opt = carry
+            n_id, node_mask, coo_b, emask, seed_mask = b
+            safe = jnp.where(node_mask, n_id, 0)
+            x = jnp.where(node_mask[:, None], X[safe], 0)
+            y = Y[safe]
+
+            def loss_fn(p):
+                logits = model.apply(p, x, coo_b, edge_mask=emask)
+                l = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return jnp.where(seed_mask, l, 0).sum() / seed_mask.sum()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return (optax.apply_updates(params, updates), opt), loss
+        (params, opt), losses = jax.lax.scan(
+            body, (params, opt),
+            (n_ids, node_masks, coos, emasks, seed_masks))
+        return params, opt, losses[-1]
+
+    def scan_group(params, opt, batches):
+        def stk(key):
+            return jnp.asarray(np.stack(
+                [np.asarray(getattr(b, key)) for b in batches]))
+        seed = np.stack([np.arange(n_cap) < int(b.batch_size)
+                         for b in batches])
+        return dscan(params, opt, X, Y, stk('n_id'), stk('node_mask'),
+                     stk('edge_index'), stk('edge_mask'),
+                     jnp.asarray(seed))
+
+    def run(n_steps):
+        nonlocal params, opt
+        it = iter(PrefetchLoader(loader, num_threads=workers, put=False)
+                  if workers > 0 else loader)
+        host_s, loss, done = 0.0, None, 0
+        try:
+            while done < n_steps:
+                t0 = time.perf_counter()
+                group = []
+                while len(group) < scan_k:
+                    try:
+                        group.append(next(it))
+                    except StopIteration:
+                        if hasattr(it, 'close'):
+                            it.close()
+                        it = iter(PrefetchLoader(
+                            loader, num_threads=workers, put=False)
+                            if workers > 0 else loader)
+                host_s += time.perf_counter() - t0
+                params, opt, loss = scan_group(params, opt, group)
+                done += scan_k
+        finally:
+            if hasattr(it, 'close'):
+                it.close()
+        jax.block_until_ready(loss)
+        return host_s
+
+    run(scan_k)         # compile + bucket warmup
+    import math
+    eff = math.ceil(steps / scan_k) * scan_k
+    t0 = time.perf_counter()
+    host_s = run(eff)
+    total = time.perf_counter() - t0
+    e_pad = int(np.asarray(b0.edge_index).shape[1])
+    e_real = int(np.asarray(b0.edge_mask).sum())
+    return {
+        'metric': 'products_sampled_train',
+        'graph': f'{n}n/{e}e/F{F}',
+        'protocol': 'sage b512 fanouts[15,10] h64',
+        'steps': eff,
+        'scan_k': scan_k,
+        'loader_build_s': round(build_s, 2),
+        'value': round(total, 3),
+        'unit': 's',
+        'batches_per_s': round(eff / total, 1),
+        'sampled_edges_per_s': round(eff * e_real / total),
+        'edge_pad_efficiency': round(e_real / e_pad, 3),
+        'host_wait_frac': round(host_s / total, 3),
+        'backend': __import__('jax').default_backend(),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--train', action='store_true')
+    ap.add_argument('--infer', action='store_true')
+    ap.add_argument('--scale', type=float, default=1.0,
+                    help='shrink the graph (0.1 -> 245k nodes) for '
+                         'smoke runs')
+    ap.add_argument('--steps', type=int, default=50)
+    ap.add_argument('--scan', type=int, default=10)
+    ap.add_argument('--workers', type=int, default=4)
+    ap.add_argument('--hidden', type=int, default=64)
+    ap.add_argument('--bf16', action='store_true')
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    if not (args.train or args.infer):
+        args.train = args.infer = True
+
+    t0 = time.perf_counter()
+    coo, n, e = build_products_like(scale=args.scale)
+    gen_s = time.perf_counter() - t0
+    print(json.dumps({'probe': 'graph_gen_s', 'value': round(gen_s, 1),
+                      'n': n, 'e': e}), flush=True)
+    if args.infer:
+        print(json.dumps(run_infer(coo, n, e, args.hidden,
+                                   bf16=args.bf16)), flush=True)
+    if args.train:
+        print(json.dumps(run_train(coo, n, e, args.steps, args.scan,
+                                   args.workers)), flush=True)
+
+
+if __name__ == '__main__':
+    main()

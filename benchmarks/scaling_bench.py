@@ -69,6 +69,18 @@ def clustered_graph(n: int, degree: int, num_clusters: int = 64,
     return coo.astype(np.int64)
 
 
+def powerlaw_graph(n: int, degree: int, seed: int = 0):
+    """Heavy-tail scale-free-ish graph (the hostile case for edge-cut
+    partitioning): endpoints skewed toward hub ids, then symmetrised."""
+    rng = np.random.default_rng(seed)
+    e = n * degree // 2
+    src = rng.integers(0, n, e)
+    dst = (n * rng.random(e) ** 3).astype(np.int64)
+    coo = np.stack([np.concatenate([src, dst]),
+                    np.concatenate([dst, src])])
+    return coo.astype(np.int64)
+
+
 def measure(parts, F: int, chip_eps: float, ici_gbps: float,
             num_edges: int):
     """Per-partition-count record: measured traffic + modeled time."""
@@ -76,11 +88,24 @@ def measure(parts, F: int, chip_eps: float, ici_gbps: float,
     itemsize = 4
     # per-device send volume under the sparse halo exchange
     per_dev_halo = parts.halo_send_mask.sum(axis=(1, 2)) * F * itemsize
+    if parts.hub_local_mask is not None:
+        # hub strategy: + all_gather of owned hub rows and the
+        # psum_scatter of the padded [P, hub_max] partial buffer
+        hub_max = parts.hub_local.shape[1]
+        per_dev_halo = per_dev_halo + (
+            (P - 1) * parts.hub_local_mask.sum(axis=1)
+            + (P - 1) * hub_max) * F * itemsize
     halo_max = int(per_dev_halo.max())
     halo_sum = int(per_dev_halo.sum())
     gather_per_dev = (P - 1) * parts.n_max * F * itemsize
     # modeled per-layer times on v5e (seconds)
-    local_edges = parts.edge_mask.sum(axis=1)
+    if parts.edge_mask_hub is not None:
+        # hub strategy: halo edges live at the dst part, hub-dst edges
+        # at their src part
+        local_edges = (parts.edge_mask_hub.sum(axis=1)
+                       + parts.agg_mask.sum(axis=1))
+    else:
+        local_edges = parts.edge_mask.sum(axis=1)
     t_comp = float(local_edges.max()) / chip_eps
     t_comm = halo_max / (ici_gbps * 1e9)
     t_serial = t_comp + t_comm
@@ -121,25 +146,36 @@ def main():
     ap.add_argument('--execute', action='store_true',
                     help='also run the sharded step on a virtual '
                          '8-device CPU mesh')
+    ap.add_argument('--graph', default='clustered',
+                    choices=['clustered', 'powerlaw'])
+    ap.add_argument('--hub-frac', type=float, default=0.0,
+                    help='>0 enables hub replication '
+                         '(partition_spmm_hub traffic accounting)')
     ap.add_argument('--write-md', action='store_true')
     args = ap.parse_args()
 
     from pytorch_geometric_tpu.data import Data
     from pytorch_geometric_tpu.parallel import Partitioner
 
-    coo = clustered_graph(args.nodes, args.degree)
+    gen = (clustered_graph if args.graph == 'clustered'
+           else powerlaw_graph)
+    coo = gen(args.nodes, args.degree)
     E = coo.shape[1]
     data = Data(edge_index=coo.astype(np.int32), num_nodes=args.nodes)
     print(f'# graph: {args.nodes} nodes / {E} edges (directed, '
-          f'clustered), F={args.features}', file=sys.stderr)
+          f'{args.graph}), F={args.features}, '
+          f'hub_frac={args.hub_frac}', file=sys.stderr)
 
     records = []
     for P in [int(p) for p in args.parts.split(',')]:
         t0 = time.perf_counter()
-        parts = Partitioner(data, P).generate_partition()
+        parts = Partitioner(data, P,
+                            hub_frac=args.hub_frac).generate_partition()
         parts._coo = coo  # for edge-cut accounting in measure()
         rec = measure(parts, args.features, args.chip_edges_per_s,
                       args.ici_gbps, E)
+        rec['graph_kind'] = args.graph
+        rec['hub_frac'] = args.hub_frac
         rec['partition_s'] = round(time.perf_counter() - t0, 1)
         records.append(rec)
         print(json.dumps(rec))

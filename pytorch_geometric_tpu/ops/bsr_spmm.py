@@ -287,6 +287,27 @@ def build_bsr_pair(coo: np.ndarray, weight: np.ndarray, num_src: int,
     return fwd, bwd, res
 
 
+def _sampled_capture(coo: np.ndarray, num_src: int, num_dst: int,
+                     frac: float,
+                     min_fill: Optional[int] = None) -> float:
+    """Capture-fraction estimate from an edge sample: the share of
+    sampled edges landing in blocks whose *estimated* full count clears
+    ``min_fill`` (sampled count >= min_fill * frac, floored at 2 so the
+    estimate is not trivially 1)."""
+    if min_fill is None:
+        min_fill = int(float(os.environ.get('PGT_BSR_MIN_FILL', 16)))
+    src = coo[0].astype(np.int64)
+    dst = coo[1].astype(np.int64)
+    valid = (src < num_src) & (dst < num_dst)
+    if not valid.any():
+        return 0.0
+    s_blocks = max((num_src + BS - 1) // BS, 1)
+    key = (dst[valid] // BS) * s_blocks + (src[valid] // BS)
+    _, counts = np.unique(key, return_counts=True)
+    need = max(int(np.ceil(min_fill * frac)), 2)
+    return float(counts[counts >= need].sum() / counts.sum())
+
+
 def choose_block_order(coo: np.ndarray, num_src: int, num_dst: int):
     """(perm, inv, capture_frac, in_blk_mask) of a hubs-first relabel
     if it meaningfully improves 128x128 block fill, else
@@ -301,6 +322,29 @@ def choose_block_order(coo: np.ndarray, num_src: int, num_dst: int):
         return None, None, None, None
     from ..utils.reorder import degree_order
     n = num_src
+
+    # Giant-E prefilter: the full block-fill analysis is an O(E log E)
+    # host sort run twice (natural + reordered); at ogbn-products scale
+    # that is minutes spent to (typically) reject BSR. Estimate both
+    # captures from a sample first and bail early when neither can
+    # clear the profitability threshold.
+    e = coo.shape[1]
+    sample_above = int(float(os.environ.get('PGT_BSR_SAMPLE_ABOVE',
+                                            32e6)))
+    if e > sample_above:
+        frac = min(1.0, 16e6 / e)
+        rng = np.random.default_rng(0)
+        samp = coo[:, rng.integers(0, e, int(e * frac))]
+        est0 = _sampled_capture(samp, n, n, frac)
+        perm_s = degree_order(coo, n)
+        inv_s = np.empty(n, np.int64)
+        inv_s[perm_s] = np.arange(n)
+        inv_ext = np.concatenate([inv_s, [n]])
+        est1 = _sampled_capture(inv_ext[np.minimum(
+            samp.astype(np.int64), n)], n, n, frac)
+        min_capture = float(os.environ.get('PGT_BSR_MIN_CAPTURE', 0.5))
+        if max(est0, est1) < 0.8 * min_capture:
+            return None, None, max(est0, est1), None
 
     def capture_of(c):
         m = block_fill_mask(c, n, n)

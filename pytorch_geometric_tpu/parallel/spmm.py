@@ -85,6 +85,78 @@ def partition_spmm_halo(x_own: jnp.ndarray, halo_send: jnp.ndarray,
     return jax.ops.segment_sum(msg, dst, n_max + 1)[:n_max]
 
 
+def partition_spmm_hub(x_own: jnp.ndarray, halo_send: jnp.ndarray,
+                       halo_send_mask: jnp.ndarray,
+                       hub_local: jnp.ndarray,
+                       hub_local_mask: jnp.ndarray,
+                       edge_src: jnp.ndarray, edge_dst: jnp.ndarray,
+                       edge_mask: jnp.ndarray,
+                       edge_weight: Optional[jnp.ndarray],
+                       agg_src: jnp.ndarray, agg_slot: jnp.ndarray,
+                       agg_mask: jnp.ndarray,
+                       agg_weight: Optional[jnp.ndarray],
+                       axis_name: str = 'graph') -> jnp.ndarray:
+    """Hub-replicated A^T x — the power-law strategy
+    (``Partitioner(hub_frac=...)``). Call INSIDE shard_map.
+
+    Both directions of a hub's edge mass stay off the per-pair halo
+    slots:
+
+    * hub SOURCES are all-gathered once per layer (one ``[hub_max, F]``
+      block per device), so their out-edges read the replicated block;
+    * hub DESTINATIONS receive merged-at-source partials: each device
+      segment-sums its local contributions per hub and ONE
+      ``psum_scatter`` delivers each owner its hubs' totals — P rows
+      per hub over the wire instead of the hub's whole in-neighborhood.
+
+    The residual boundary rides the usual one-collective ``all_to_all``.
+    Backward: shard_map differentiation gives the mirrored collectives
+    (all_gather <-> psum_scatter are transposes of each other).
+
+    hub_local: [hub_max] local positions of this device's hubs
+    edge_src:  [eh_max]  position in the [own | recv | hub_all] buffer
+               (``parts.edge_src_hub`` — hub-dst edges excluded)
+    agg_src:   [a_max]   local src positions of hub-dst edges
+    agg_slot:  [a_max]   owner * hub_max + owner-local hub slot
+    """
+    n_max, f = x_own.shape
+    num_p, h_max = halo_send.shape
+    hub_max = hub_local.shape[0]
+    x_pad = jnp.concatenate([x_own, jnp.zeros((1, f), x_own.dtype)])
+    send = x_pad[jnp.minimum(halo_send, n_max)]
+    send = jnp.where(halo_send_mask[..., None], send, 0)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    hub_rows = x_pad[jnp.minimum(hub_local, n_max)]
+    hub_rows = jnp.where(hub_local_mask[:, None], hub_rows, 0)
+    hub_all = jax.lax.all_gather(hub_rows, axis_name,
+                                 tiled=True)           # [P*hub_max, F]
+    buf = jnp.concatenate([x_own, recv.reshape(num_p * h_max, f),
+                           hub_all, jnp.zeros((1, f), x_own.dtype)])
+    src = jnp.minimum(edge_src, buf.shape[0] - 1)
+    msg = buf[src]
+    if edge_weight is not None:
+        msg = msg * edge_weight[:, None]
+    dst = jnp.where(edge_mask, edge_dst, n_max)
+    out = jax.ops.segment_sum(msg, dst, n_max + 1)[:n_max]
+
+    # hub-dst edges: local partials per global hub slot, reduced and
+    # scattered to owners in one collective
+    amsg = x_pad[jnp.minimum(agg_src, n_max)]
+    if agg_weight is not None:
+        amsg = amsg * agg_weight[:, None]
+    aslot = jnp.where(agg_mask, agg_slot, num_p * hub_max)
+    partial = jax.ops.segment_sum(
+        amsg, aslot, num_p * hub_max + 1)[:num_p * hub_max]
+    mine = jax.lax.psum_scatter(partial, axis_name,
+                                scatter_dimension=0,
+                                tiled=True)            # [hub_max, F]
+    idx = jnp.where(hub_local_mask, hub_local, n_max)
+    hub_add = jnp.zeros((n_max + 1, f), x_own.dtype).at[idx].add(
+        jnp.where(hub_local_mask[:, None], mine, 0))
+    return out + hub_add[:n_max]
+
+
 def partition_spmm_halo_bsr(x_own: jnp.ndarray, halo_send: jnp.ndarray,
                             halo_send_mask: jnp.ndarray,
                             bsr_leaves, edge_src: jnp.ndarray,
