@@ -11,6 +11,7 @@ from .model_builder import create_model
 from .train import train
 from .logger import Logger
 from .checkpoint import save_ckpt, load_ckpt, clean_ckpt, remove_ckpt
+from .grid import load_grid, grid_points, grid_configs
 from .utils import (configs_gen, agg_runs, agg_batch, get_fname,
                     set_out_dir, set_run_dir, set_printing, dump_cfg,
                     parse_args, init_weights, create_logger,
@@ -27,6 +28,7 @@ __all__ = [
     'register_loss', 'register_train', 'register_metric',
     'create_model', 'train', 'Logger', 'save_ckpt', 'load_ckpt',
     'clean_ckpt', 'remove_ckpt', 'configs_gen', 'agg_runs', 'agg_batch',
+    'load_grid', 'grid_points', 'grid_configs',
     'get_fname', 'set_out_dir', 'set_run_dir', 'set_printing',
     'dump_cfg', 'parse_args', 'init_weights', 'create_logger',
     'create_loader']

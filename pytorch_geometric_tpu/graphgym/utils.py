@@ -30,45 +30,10 @@ def configs_gen(base_cfg: CfgNode, grid: Dict[str, Sequence]
     return out
 
 
-def agg_runs(out_dir: str, metric: str = 'accuracy',
-             split: str = 'val') -> Dict[str, Dict[str, float]]:
-    """Aggregate stats.json across seeds (reference ``agg_runs.py``):
-    returns {run: {mean, std, best_epoch}}."""
-    results = {}
-    for run_dir in sorted(glob.glob(osp.join(out_dir, '*'))):
-        stats_file = osp.join(run_dir, split, 'stats.json')
-        if not osp.exists(stats_file):
-            continue
-        vals = []
-        with open(stats_file) as f:
-            for line in f:
-                row = json.loads(line)
-                vals.append((row['epoch'], row.get(metric, 0.0)))
-        if not vals:
-            continue
-        arr = np.array([v for _, v in vals])
-        best = int(np.argmax(arr))
-        results[osp.basename(run_dir)] = {
-            'mean': float(arr.mean()),
-            'final': float(arr[-1]),
-            'best': float(arr[best]),
-            'best_epoch': vals[best][0],
-        }
-    return results
-
-
-def agg_batch(out_dir: str, metric: str = 'accuracy',
-              split: str = 'val') -> Dict[str, float]:
-    """Mean of the final metric across all runs (reference
-    ``agg_batch.py``)."""
-    per_run = agg_runs(out_dir, metric, split)
-    if not per_run:
-        return {}
-    finals = [v['final'] for v in per_run.values()]
-    return {'mean': float(np.mean(finals)),
-            'std': float(np.std(finals)),
-            'num_runs': len(finals)}
-
+# canonical reference-fidelity aggregation lives in agg.py (mean/std
+# across seeds, best-epoch by the validation metric, grid-point table);
+# re-exported here for the historical import path.
+from .agg import agg_runs, agg_batch  # noqa: F401,E402
 
 # -- run-dir / CLI helpers (reference ``graphgym/config.py:450-520``,
 # ``cmd_args.py``, ``init.py``, ``loader.py``, ``logger.py``) -----------
@@ -121,9 +86,14 @@ def dump_cfg(cfg_node=None, out_dir: str = None):
     c = cfg_node if cfg_node is not None else _cfg
     out = out_dir or c.out_dir
     os.makedirs(out, exist_ok=True)
-    path = osp.join(out, 'config.yaml')
-    with open(path, 'w') as f:
-        f.write(c.dump() if hasattr(c, 'dump') else repr(c))
+    path = osp.join(out, getattr(c, 'cfg_dest', 'config.yaml'))
+    try:
+        import yaml
+        with open(path, 'w') as f:
+            yaml.safe_dump(json.loads(json.dumps(c)), f)
+    except ImportError:
+        with open(path, 'w') as f:
+            json.dump(c, f, indent=1)
     return path
 
 

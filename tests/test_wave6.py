@@ -38,11 +38,15 @@ def test_configs_gen_and_agg(tmp_path):
     cfgs = configs_gen(c, {'gnn.dim_inner': [8, 16]})
     assert [cc.gnn.dim_inner for cc in cfgs] == [8, 16]
     for i, cc in enumerate(cfgs):
-        train(cc, run_dir=osp.join(str(tmp_path), f'run_{i}'))
-    res = agg_runs(str(tmp_path))
-    assert set(res) == {'run_0', 'run_1'}
-    agg = agg_batch(str(tmp_path))
-    assert agg['num_runs'] == 2
+        # experiment dir per grid point, seed dirs inside (the layout
+        # graphgym.main writes and agg.py consumes)
+        train(cc, run_dir=osp.join(str(tmp_path), f'run-d={8 * (i+1)}',
+                                   'seed_0'))
+    res = agg_runs(osp.join(str(tmp_path), 'run-d=8'))
+    assert 'train' in res and 'accuracy' in res['train']
+    rows = agg_batch(str(tmp_path))
+    assert len(rows) == 2
+    assert {r['d'] for r in rows} == {8, 16}
 
 
 def test_model_hub_roundtrip(tmp_path):
