@@ -357,6 +357,78 @@ class GraphMaskExplainer(ExplainerAlgorithm):
             x=x, edge_index=coo, target=target)
 
 
-def CaptumExplainer(*a, **k):  # pragma: no cover - torch-captum only
-    raise ImportError('CaptumExplainer requires torch-captum; use '
-                      'GNNExplainer / PGExplainer / AttentionExplainer')
+class CaptumExplainer(ExplainerAlgorithm):
+    """Gradient-attribution explainer (reference
+    ``explain/algorithm/captum_explainer.py``). Captum itself is a
+    torch-only ecosystem package, but its headline attribution methods
+    are plain gradient transforms — reimplemented here JAX-native:
+
+    * ``'Saliency'``            |d f / d input|
+    * ``'InputXGradient'``      input * gradient
+    * ``'IntegratedGradients'`` (input - 0) * mean of gradients along
+      the straight path from the zero baseline (``n_steps`` points —
+      captum's default Gauss-Legendre refinement is within the method's
+      own error bar at 25+ steps)
+
+    The attribution target is the predicted/supplied class logit;
+    node attributions come from d/dx, edge attributions from the
+    gradient w.r.t. an all-ones edge weight (same edge-mask convention
+    the other algorithms use)."""
+
+    SUPPORTED = ('Saliency', 'InputXGradient', 'IntegratedGradients')
+
+    def __init__(self, attribution_method: str = 'IntegratedGradients',
+                 n_steps: int = 25, **kwargs):
+        name = getattr(attribution_method, '__name__',
+                       attribution_method)
+        if name not in self.SUPPORTED:
+            raise ValueError(
+                f"attribution_method '{name}' not supported "
+                f"(choose from {self.SUPPORTED})")
+        self.method = name
+        self.n_steps = int(kwargs.get('n_steps', n_steps))
+
+    def __call__(self, model_fn, x, edge_index, target,
+                 index: Optional[int] = None, **kwargs) -> Explanation:
+        coo = (edge_index.coo if hasattr(edge_index, 'coo')
+               else edge_index)
+        e = coo.shape[1]
+        tgt = jnp.asarray(target)
+
+        def scalar(h, ew):
+            logits = model_fn(h, ew)
+            if logits.ndim == 1:          # graph-level single output
+                return logits[tgt] if tgt.ndim == 0 else logits.sum()
+            if index is not None:
+                t = tgt[index] if tgt.ndim else tgt
+                return logits[index, t]
+            # per-node attribution decomposes over the sum of each
+            # node's target logit
+            t = (tgt if tgt.ndim else
+                 jnp.full((logits.shape[0],), tgt))
+            return jnp.take_along_axis(
+                logits, t.reshape(-1, 1), axis=1).sum()
+
+        grad = jax.grad(scalar, argnums=(0, 1))
+        ones = jnp.ones((e,), x.dtype)
+        if self.method == 'Saliency':
+            gx, gw = grad(x, ones)
+            node_mask, edge_mask = jnp.abs(gx), jnp.abs(gw)
+        elif self.method == 'InputXGradient':
+            gx, gw = grad(x, ones)
+            node_mask, edge_mask = x * gx, gw
+        else:                             # IntegratedGradients
+            def body(carry, alpha):
+                ax, aw = carry
+                gx, gw = grad(alpha * x, alpha * ones)
+                return (ax + gx, aw + gw), None
+
+            alphas = (jnp.arange(1, self.n_steps + 1, dtype=x.dtype)
+                      / self.n_steps)
+            (sx, sw), _ = jax.lax.scan(
+                body, (jnp.zeros_like(x), jnp.zeros_like(ones)),
+                alphas)
+            node_mask = x * sx / self.n_steps
+            edge_mask = sw / self.n_steps
+        return Explanation(node_mask=node_mask, edge_mask=edge_mask,
+                           x=x, edge_index=coo, target=target)

@@ -1,62 +1,134 @@
 """Layer-wise Profiler (reference ``torch_geometric/profile/profiler.py:
-27,149`` — per-module forward hooks building an event tree).
+27,149-320`` — per-module forward hooks building an event tree with a
+printed per-layer table).
 
-Flax redesign: ``capture_intermediates`` records every submodule output
-during one apply; eager per-layer timing re-runs the model once per
-captured scope with a barrier (hook-based wall times are meaningless
-under jit, where XLA fuses across module boundaries).
+Flax/TPU redesign: the reference's ``nn.Module`` forward hooks map to
+``flax.linen.intercept_methods`` — one interceptor sees every submodule
+``__call__`` with its module path, so a single apply yields the whole
+event tree. Timing semantics: the profiled apply runs EAGERLY (op-by-op
+dispatch) with a device barrier per module, because under jit XLA fuses
+across module boundaries and per-layer wall times would be meaningless;
+this matches the reference, whose hook-based times are also eager. Use
+``profile.trace()``/``jax.profiler`` for fused-program timelines and
+``count_flops`` (XLA cost analysis) for whole-program FLOPs.
 """
 
 import time
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import numpy as np
 
 
+def _analytic_flops(mod, args, out) -> int:
+    """Per-module analytic FLOPs for the layers whose cost is a closed
+    form (the reference leans on fvcore's per-module handles,
+    ``test/nn/test_fvcore.py``): Dense/Linear -> 2 * batch * in * out.
+    Other modules report the sum of their children (computed by the
+    tree pass), so only leaf GEMMs need a formula here."""
+    name = type(mod).__name__.lower()
+    if name in ('dense', 'densegeneral', 'linear', 'heterolinear'):
+        x = args[0] if args else None
+        if hasattr(x, 'shape') and hasattr(out, 'shape') and x.ndim >= 1:
+            batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            return 2 * batch * int(x.shape[-1]) * int(out.shape[-1])
+    return 0
+
+
+def _first_shape(tree) -> Tuple:
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if hasattr(x, 'shape')]
+    return tuple(leaves[0].shape) if leaves else ()
+
+
 class Profiler:
-    """``Profiler(model).profile(params, *args)`` -> per-module rows
-    with output shapes (+ optional eager timings)."""
+    """``Profiler(model).profile(params, *args)`` -> per-module event
+    rows (path, depth, calls, total/self wall time, output shape,
+    analytic FLOPs), plus ``Profiler.format(rows)`` for the
+    reference-style table."""
 
     def __init__(self, model):
         self.model = model
 
-    def profile(self, params, *args, time_layers: bool = False,
+    def profile(self, params, *args, time_layers: bool = True,
                 **kwargs) -> List[Dict[str, Any]]:
-        out, state = self.model.apply(
-            params, *args, capture_intermediates=True, **kwargs)
-        inter = state.get('intermediates', {})
-        rows: List[Dict[str, Any]] = []
+        import flax.linen as fnn
 
-        def walk(tree, path):
-            if isinstance(tree, dict):
-                for k, v in tree.items():
-                    walk(v, path + [k] if k != '__call__' else path)
-            elif isinstance(tree, (tuple, list)):
-                for leaf in tree:
-                    if hasattr(leaf, 'shape'):
-                        rows.append({
-                            'module': '/'.join(path) or '<root>',
-                            'output_shape': tuple(leaf.shape),
-                            'dtype': str(leaf.dtype),
-                        })
+        events: Dict[Tuple[str, ...], Dict[str, Any]] = {}
+        order: List[Tuple[str, ...]] = []
 
-        walk(inter, [])
-        if time_layers:
-            t0 = time.perf_counter()
-            jax.block_until_ready(self.model.apply(params, *args,
-                                                   **kwargs))
-            total = time.perf_counter() - t0
-            for r in rows:
-                r['total_forward_s'] = round(total, 6)
-        return rows
+        def interceptor(next_fn, iargs, ikwargs, context):
+            if context.method_name != '__call__':
+                return next_fn(*iargs, **ikwargs)
+            path = tuple(context.module.path)
+            if time_layers:
+                jax.block_until_ready(
+                    [x for x in jax.tree_util.tree_leaves(iargs)
+                     if hasattr(x, 'block_until_ready')])
+                t0 = time.perf_counter()
+            out = next_fn(*iargs, **ikwargs)
+            dt = 0.0
+            if time_layers:
+                jax.block_until_ready(
+                    [x for x in jax.tree_util.tree_leaves(out)
+                     if hasattr(x, 'block_until_ready')])
+                dt = time.perf_counter() - t0
+            ev = events.get(path)
+            if ev is None:
+                events[path] = ev = {
+                    'module': '/'.join(path) or '<root>',
+                    'type': type(context.module).__name__,
+                    'depth': len(path),  # 0 = root
+                    'calls': 0, 'total_time_s': 0.0,
+                    'flops': 0,
+                    'output_shape': _first_shape(out),
+                    'dtype': '',
+                }
+                leaves = [x for x in jax.tree_util.tree_leaves(out)
+                          if hasattr(x, 'dtype')]
+                if leaves:
+                    ev['dtype'] = str(leaves[0].dtype)
+                order.append(path)
+            ev['calls'] += 1
+            ev['total_time_s'] += dt
+            ev['flops'] += _analytic_flops(context.module, iargs, out)
+            return out
+
+        with fnn.intercept_methods(interceptor):
+            self.model.apply(params, *args, **kwargs)
+
+        # self time = total - direct children's totals; FLOPs roll up
+        # the other way (parents report the sum of their subtree)
+        for path in sorted(order, key=len, reverse=True):
+            ev = events[path]
+            child_t = sum(e['total_time_s'] for p, e in events.items()
+                          if len(p) == len(path) + 1
+                          and p[:len(path)] == path)
+            ev['self_time_s'] = max(ev['total_time_s'] - child_t, 0.0)
+            ev['flops'] += sum(e['flops'] for p, e in events.items()
+                               if len(p) == len(path) + 1
+                               and p[:len(path)] == path)
+        return [events[p] for p in order]
 
     @staticmethod
     def format(rows: List[Dict[str, Any]]) -> str:
-        width = max((len(r['module']) for r in rows), default=10) + 2
-        lines = [f"{'Module':<{width}} | Output shape | dtype"]
-        lines.append('-' * (width + 30))
+        """Reference-style layer table (``profiler.py:149-320``): one
+        indented row per module with calls, total/self time, FLOPs and
+        output shape."""
+        def name(r):
+            return '  ' * r.get('depth', 0) + \
+                r['module'].rsplit('/', 1)[-1]
+
+        width = max((len(name(r)) for r in rows), default=10) + 2
+        head = (f"{'Module':<{width}} | calls | total ms | self ms | "
+                f"MFLOPs | Output shape | dtype")
+        lines = [head, '-' * len(head)]
         for r in rows:
-            lines.append(f"{r['module']:<{width}} | "
-                         f"{str(r['output_shape']):<12} | {r['dtype']}")
+            lines.append(
+                f"{name(r):<{width}} | {r.get('calls', 1):>5} | "
+                f"{1e3 * r.get('total_time_s', 0.0):>8.3f} | "
+                f"{1e3 * r.get('self_time_s', 0.0):>7.3f} | "
+                f"{r.get('flops', 0) / 1e6:>6.2f} | "
+                f"{str(r.get('output_shape', ())):<12} | "
+                f"{r.get('dtype', '')}")
         return '\n'.join(lines)
