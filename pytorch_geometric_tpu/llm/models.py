@@ -50,6 +50,16 @@ class LLM:
         self.model = AutoModelForCausalLM.from_pretrained(model_name)
         self.model.eval()
 
+    @classmethod
+    def from_model(cls, model, tokenizer) -> 'LLM':
+        """Wrap an in-memory HF model + tokenizer (config-constructed
+        tiny models in the zero-egress test environment; any
+        ``__call__``-to-ids / ``decode`` duck-typed tokenizer works)."""
+        obj = cls.__new__(cls)
+        obj.model = model
+        obj.tokenizer = tokenizer
+        return obj
+
     @property
     def word_embedding_dim(self) -> int:
         return self.model.get_input_embeddings().weight.shape[1]
@@ -79,36 +89,163 @@ class LLM:
         return outs
 
 
+class LoraLinear:
+    """Minimal LoRA adapter around a frozen linear map (the reference
+    delegates to peft, ``g_retriever.py:56-76``; peft is absent here
+    and the math is 10 lines): ``y = base(x) + (x @ A @ B) * alpha/r``
+    with A ~ N(0, 0.02), B = 0 (identity at init). Handles both
+    ``torch.nn.Linear`` and HF's transposed ``Conv1D``."""
+
+    def __new__(cls, base, r: int = 8, alpha: int = 16):
+        import torch
+
+        class _Lora(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.base = base
+                for p in self.base.parameters():
+                    p.requires_grad_(False)
+                w = base.weight
+                # nn.Linear stores [out, in]; HF Conv1D stores [in, out]
+                self._conv1d = type(base).__name__ == 'Conv1D'
+                fan_in = w.shape[0] if self._conv1d else w.shape[1]
+                fan_out = w.shape[1] if self._conv1d else w.shape[0]
+                self.A = torch.nn.Parameter(
+                    0.02 * torch.randn(fan_in, r))
+                self.B = torch.nn.Parameter(torch.zeros(r, fan_out))
+                self.scale = alpha / r
+
+            def forward(self, x):
+                return self.base(x) + (x @ self.A @ self.B) * self.scale
+
+        return _Lora()
+
+
+def apply_lora(model, r: int = 8, alpha: int = 16,
+               target_suffixes=('q_proj', 'v_proj', 'c_attn')):
+    """Swap every targeted projection for a :class:`LoraLinear`;
+    returns the list of trainable LoRA parameters (reference:
+    peft ``LoraConfig(target_modules=['q_proj','v_proj'])``,
+    ``g_retriever.py:62-75``)."""
+    import torch
+    params = []
+    for name, mod in list(model.named_modules()):
+        for child_name, child in list(mod.named_children()):
+            full = f'{name}.{child_name}' if name else child_name
+            if full.rsplit('.', 1)[-1] in target_suffixes and \
+                    hasattr(child, 'weight') and child.weight.ndim == 2:
+                lora = LoraLinear(child, r, alpha)
+                setattr(mod, child_name, lora)
+                params += [lora.A, lora.B]
+    return params
+
+
 class GRetriever:
-    """GNN soft-prompt + LLM (reference ``llm/models/g_retriever.py:10``).
+    """GNN soft-prompt + LLM, TRAINABLE (reference
+    ``llm/models/g_retriever.py:46-170``).
 
     ``gnn_encode(x, edge_index) -> [N, D]`` is any of our jax models
-    wrapped in a callable; the projector is a numpy linear map trained
-    separately (kept simple: the architecture contract, not the full
-    trainer)."""
+    wrapped in a callable (frozen w.r.t. the LM loss — the reference
+    default trains projector + optional LoRA while the LLM body stays
+    frozen). The projector is the reference's
+    Linear->Sigmoid->Linear->Unflatten MLP (``g_retriever.py:79-87``)
+    in torch, so its gradients flow from the HF loss directly;
+    :meth:`forward` computes the autoregressive LM loss over the label
+    tokens with the soft prompt prepended (``llm.py::_get_embeds``
+    layout: [bos | graph tokens | question | label], labels masked to
+    -100 everywhere except the label positions)."""
 
     def __init__(self, llm: LLM, gnn_encode: Callable,
                  gnn_out_dim: int, num_prompt_tokens: int = 1,
-                 seed: int = 0):
+                 use_lora: bool = False, seed: int = 0):
+        import torch
+        torch.manual_seed(seed)
         self.llm = llm
         self.gnn_encode = gnn_encode
-        rng = np.random.default_rng(seed)
-        d = llm.word_embedding_dim
-        self.proj = (rng.standard_normal(
-            (gnn_out_dim, num_prompt_tokens * d)) /
-            np.sqrt(gnn_out_dim)).astype(np.float32)
         self.num_prompt_tokens = num_prompt_tokens
-        self.d = d
+        self.d = llm.word_embedding_dim
+        self.projector = torch.nn.Sequential(
+            torch.nn.Linear(gnn_out_dim, gnn_out_dim),
+            torch.nn.Sigmoid(),
+            torch.nn.Linear(gnn_out_dim, self.d * num_prompt_tokens),
+        )
+        for p in self.llm.model.parameters():
+            p.requires_grad_(False)
+        self.lora_params = (apply_lora(self.llm.model)
+                            if use_lora else [])
 
-    def soft_prompt(self, x, edge_index) -> np.ndarray:
+    def parameters(self):
+        """Trainable parameters: projector (+ LoRA adapters)."""
+        return list(self.projector.parameters()) + self.lora_params
+
+    def soft_prompt(self, x, edge_index):
+        """[num_prompt_tokens, d] torch tensor with grad through the
+        projector (GNN output enters as a constant — the JAX/torch
+        boundary is the stop-gradient the reference also has when the
+        GNN is frozen)."""
+        import torch
         z = np.asarray(self.gnn_encode(x, edge_index))
-        g = z.mean(0)                                   # graph pooling
-        return (g @ self.proj).reshape(self.num_prompt_tokens, self.d)
+        g = torch.as_tensor(z.mean(0), dtype=torch.float32)
+        return self.projector(g).reshape(self.num_prompt_tokens, self.d)
 
-    def inference(self, question: List[str], graphs) -> List[str]:
-        prompts = np.stack([self.soft_prompt(g[0], g[1])
-                            for g in graphs])
-        return self.llm.inference(question, soft_prompt=prompts)
+    def _ids(self, text):
+        import torch
+        out = self.llm.tokenizer(text)
+        ids = out['input_ids'] if isinstance(out, dict) else \
+            out.input_ids
+        t = torch.as_tensor(ids).reshape(-1)
+        return t.long()
+
+    def forward(self, question: List[str], graphs, label: List[str]):
+        """Mean LM loss over the batch (reference forward
+        ``g_retriever.py:117-170``)."""
+        import torch
+        emb = self.llm.model.get_input_embeddings()
+        losses = []
+        for q, g, lab in zip(question, graphs, label):
+            sp = self.soft_prompt(g[0], g[1])
+            q_ids = self._ids(q)
+            l_ids = self._ids(lab)
+            eos = getattr(self.llm.tokenizer, 'eos_token_id', None)
+            if eos is not None:
+                l_ids = torch.cat(
+                    [l_ids, torch.tensor([eos], dtype=torch.long)])
+            seq = torch.cat([sp.to(emb.weight.dtype),
+                             emb(q_ids), emb(l_ids)], dim=0)
+            labels = torch.cat([
+                torch.full((sp.shape[0] + len(q_ids),), -100,
+                           dtype=torch.long), l_ids])
+            out = self.llm.model(inputs_embeds=seq[None],
+                                 labels=labels[None])
+            losses.append(out.loss)
+        return torch.stack(losses).mean()
+
+    def inference(self, question: List[str], graphs,
+                  max_tokens: int = 8) -> List[str]:
+        """Greedy decode with the soft prompt prepended (reference
+        ``g_retriever.py::inference``)."""
+        import torch
+        emb = self.llm.model.get_input_embeddings()
+        outs = []
+        eos = getattr(self.llm.tokenizer, 'eos_token_id', None)
+        with torch.no_grad():
+            for q, g in zip(question, graphs):
+                sp = self.soft_prompt(g[0], g[1])
+                seq = torch.cat([sp.to(emb.weight.dtype),
+                                 emb(self._ids(q))], dim=0)[None]
+                toks = []
+                for _ in range(max_tokens):
+                    logits = self.llm.model(
+                        inputs_embeds=seq).logits[0, -1]
+                    nxt = int(logits.argmax())
+                    if eos is not None and nxt == eos:
+                        break
+                    toks.append(nxt)
+                    seq = torch.cat(
+                        [seq, emb(torch.tensor([[nxt]]))], dim=1)
+                outs.append(self.llm.tokenizer.decode(
+                    toks, skip_special_tokens=True))
+        return outs
 
 
 class VisionTransformer:

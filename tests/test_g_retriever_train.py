@@ -1,0 +1,120 @@
+"""Trainable GRetriever (VERDICT r3 #6): the label-token LM loss with
+soft-prompt injection trains the projector (+ LoRA adapters) so that
+answers on a tiny planted QA graph set beat the untrained projector
+(reference ``llm/models/g_retriever.py:46-170``).
+
+Zero-egress setup: a config-constructed 2-layer Llama with a toy
+whitespace tokenizer stands in for the HF pretrained LLM."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from pytorch_geometric_tpu.llm import GRetriever, LLM
+from pytorch_geometric_tpu.llm.models import apply_lora
+
+VOCAB = ['<pad>', '<eos>', 'answer', '?', 'yes', 'no']
+
+
+class ToyTokenizer:
+    eos_token_id = 1
+    pad_token_id = 0
+
+    def __call__(self, text, **kw):
+        return {'input_ids': [VOCAB.index(w) for w in text.split()]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        words = [VOCAB[i] for i in ids
+                 if not (skip_special_tokens and i < 2)]
+        return ' '.join(words)
+
+
+def _tiny_llm(seed=0):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(seed)
+    config = LlamaConfig(vocab_size=len(VOCAB), hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, max_position_embeddings=64)
+    return LLM.from_model(LlamaForCausalLM(config), ToyTokenizer())
+
+
+def _planted_dataset(n_graphs=6, seed=0):
+    """Graph i's mean feature sign encodes the answer."""
+    rng = np.random.default_rng(seed)
+    graphs, labels = [], []
+    for i in range(n_graphs):
+        ans = 'yes' if i % 2 == 0 else 'no'
+        shift = 2.0 if ans == 'yes' else -2.0
+        x = (rng.standard_normal((8, 4)) + shift).astype(np.float32)
+        coo = rng.integers(0, 8, (2, 16)).astype(np.int32)
+        graphs.append((x, coo))
+        labels.append(ans)
+    return graphs, labels
+
+
+def _gnn_encode(x, coo):
+    """Stand-in GNN: one mean-aggregation step (frozen, like the
+    reference's default training recipe)."""
+    out = np.zeros_like(x)
+    np.add.at(out, coo[1], x[coo[0]])
+    deg = np.maximum(np.bincount(coo[1], minlength=x.shape[0]), 1)
+    return (x + out / deg[:, None]) / 2
+
+
+def test_training_reduces_loss_and_improves_answers():
+    llm = _tiny_llm()
+    model = GRetriever(llm, _gnn_encode, gnn_out_dim=4,
+                       num_prompt_tokens=2, use_lora=True, seed=0)
+    graphs, labels = _planted_dataset()
+    questions = ['answer ?'] * len(graphs)
+
+    base_answers = model.inference(questions, graphs, max_tokens=1)
+    base_acc = np.mean([a.strip() == l
+                        for a, l in zip(base_answers, labels)])
+    loss0 = float(model.forward(questions, graphs, labels))
+
+    opt = torch.optim.Adam(model.parameters(), lr=5e-2)
+    for _ in range(60):
+        opt.zero_grad()
+        loss = model.forward(questions, graphs, labels)
+        loss.backward()
+        opt.step()
+    loss1 = float(loss.detach())
+    # substantial reduction (the floor is the irreducible eos term of
+    # the 2-token label; measured trajectory 1.71 -> 1.21)
+    assert loss1 < loss0 - 0.4, (loss0, loss1)
+
+    answers = model.inference(questions, graphs, max_tokens=1)
+    acc = np.mean([a.strip() == l for a, l in zip(answers, labels)])
+    assert acc == 1.0 and acc >= base_acc, (base_acc, acc, answers)
+
+
+def test_trainable_parameters_are_projector_plus_lora():
+    llm = _tiny_llm()
+    model = GRetriever(llm, _gnn_encode, gnn_out_dim=4, use_lora=True)
+    params = model.parameters()
+    assert len(params) > 4          # projector (4) + LoRA A/B pairs
+    assert all(p.requires_grad for p in params)
+    # LLM body frozen
+    assert all(not p.requires_grad
+               for n, p in llm.model.named_parameters()
+               if 'A' not in n and 'B' not in n)
+
+
+def test_lora_identity_at_init():
+    """B = 0 => wrapped projections compute exactly the base map."""
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(8, 8)
+    x = torch.randn(3, 8)
+    ref = lin(x)
+    from pytorch_geometric_tpu.llm.models import LoraLinear
+    wrapped = LoraLinear(lin, r=4)
+    torch.testing.assert_close(wrapped(x), ref)
+    assert wrapped.A.requires_grad and wrapped.B.requires_grad
+
+
+def test_apply_lora_targets_attention_projections():
+    llm = _tiny_llm()
+    params = apply_lora(llm.model)
+    # 2 layers x (q_proj, v_proj) x (A, B)
+    assert len(params) == 8
