@@ -1,0 +1,193 @@
+"""Close the last conv oracle waivers (VERDICT r3 #9).
+
+- XConv: rebuilt reference-exact; oracle vs the ACTUAL reference module
+  with ``torch_cluster.knn_graph`` monkeypatched by a numpy KNN (its
+  only missing native dep) and weights transplanted.
+- SplineConv: full-layer numpy re-derivation of the torch-spline-conv
+  kernel math (basis -> weighting -> aggregate; the basis alone was
+  already oracled in tests/test_spline_degree.py).
+- PANConv: full-layer numpy re-derivation of the MET-matrix math
+  (panentropy cumulative-weight powers + rowcount normalisation,
+  reference ``pan_conv.py:64-130``).
+"""
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pytorch_geometric_tpu.nn as pgnn
+
+rng = np.random.default_rng(11)
+
+
+# ---------------------------------------------------------------- XConv
+def _numpy_knn(pos, k):
+    """k nearest (self included), row-major [N, k]."""
+    d = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1, kind='stable')[:, :k]
+
+
+def test_xconv_oracle_vs_reference():
+    torch = pytest.importorskip('torch')
+    sys.path.insert(0, '/root/reference')
+    import torch_geometric.nn.conv.x_conv as ref_mod
+
+    N, D, K, C_IN, C_OUT, HID = 18, 3, 4, 6, 10, 5
+    pos = rng.standard_normal((N, D)).astype(np.float32)
+    x = rng.standard_normal((N, C_IN)).astype(np.float32)
+    idx = _numpy_knn(pos, K)
+
+    def fake_knn_graph(pos_t, k, batch=None, loop=True,
+                      flow='target_to_source', num_workers=1):
+        assert loop and k == K
+        row = np.repeat(np.arange(N), K)
+        col = idx.reshape(-1)
+        return torch.from_numpy(np.stack([row, col]).astype(np.int64))
+
+    old = ref_mod.knn_graph
+    ref_mod.knn_graph = fake_knn_graph
+    try:
+        ref = ref_mod.XConv(C_IN, C_OUT, dim=D, kernel_size=K,
+                            hidden_channels=HID).eval()
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x),
+                          torch.from_numpy(pos)).numpy()
+        sd = {kk: v.detach().numpy() for kk, v in
+              ref.state_dict().items()}
+    finally:
+        ref_mod.knn_graph = old
+
+    ours = pgnn.XConv(out_channels=C_OUT, dim=D, kernel_size=K,
+                      hidden_channels=HID)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(pos),
+                       neighbor_idx=jnp.asarray(idx))
+    # name map: flax module -> reference sequential slot
+    lin = lambda p: (sd[p + '.weight'].T, sd[p + '.bias'])  # noqa: E731
+    raw = lambda p: (sd[p + '.weight'], sd[p + '.bias'])    # noqa: E731
+    table = {
+        'mlp1_lin0': lin('mlp1.0'), 'mlp1_bn0': raw('mlp1.2'),
+        'mlp1_lin1': lin('mlp1.3'), 'mlp1_bn1': raw('mlp1.5'),
+        'mlp2_lin0': lin('mlp2.0'), 'mlp2_bn0': raw('mlp2.2'),
+        'mlp2_conv0': raw('mlp2.4'), 'mlp2_bn1': raw('mlp2.6'),
+        'mlp2_conv1': raw('mlp2.8'), 'mlp2_bn2': raw('mlp2.9'),
+        'conv_dw': raw('conv.0'), 'conv_lin': lin('conv.2'),
+    }
+    new = {'params': {}, 'batch_stats': params.get('batch_stats', {})}
+    for mod, (w, b) in table.items():
+        key = 'kernel' if mod.endswith(('lin0', 'lin1', 'conv_lin')) \
+            else 'weight'
+        ours_leaf = params['params'][mod][key]
+        assert np.asarray(ours_leaf).shape == w.shape, (mod, w.shape,
+                                                        ours_leaf.shape)
+        new['params'][mod] = {key: jnp.asarray(w),
+                              'bias': jnp.asarray(b)}
+    got = ours.apply(new, jnp.asarray(x), jnp.asarray(pos),
+                     neighbor_idx=jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=2e-4,
+                               atol=2e-4)
+
+
+# ----------------------------------------------------------- SplineConv
+def _spline_basis_np(pseudo, K, m):
+    v = np.clip(pseudo, 0, 1) * max(K - m, 1)
+    lo = np.minimum(np.floor(v).astype(np.int64), max(K - m - 1, 0))
+    f = v - lo
+    if m == 1:
+        ws = [1 - f, f]
+    elif m == 2:
+        ws = [0.5 * f * f - f + 0.5, -f * f + f + 0.5, 0.5 * f * f]
+    else:
+        ws = [(1 - f) ** 3 / 6, (3 * f ** 3 - 6 * f * f + 4) / 6,
+              (-3 * f ** 3 + 3 * f * f + 3 * f + 1) / 6, f ** 3 / 6]
+    w = np.stack(ws, -1)
+    idx = lo[..., None] + np.arange(m + 1)
+    w = np.where(idx < K, w, 0.0)
+    return w, np.minimum(idx, K - 1)
+
+
+@pytest.mark.parametrize('degree', [1, 2, 3])
+def test_spline_conv_full_layer_numpy_oracle(degree):
+    """Whole-layer re-derivation (torch-spline-conv ``weighting``
+    semantics): msg_e = sum over tensor-product corners of
+    prod_d B[e,d,c_d] * x[src_e] @ W[flat(idx)], mean-aggregated, plus
+    root linear + bias."""
+    N, E, F_IN, F_OUT, K, DIM = 12, 40, 5, 7, 4, 2
+    x = rng.standard_normal((N, F_IN)).astype(np.float32)
+    coo = rng.integers(0, N, (2, E)).astype(np.int32)
+    pseudo = rng.random((E, DIM)).astype(np.float32)
+
+    mod = pgnn.SplineConv(out_channels=F_OUT, dim=DIM, kernel_size=K,
+                          degree=degree)
+    params = mod.init(jax.random.PRNGKey(1), jnp.asarray(x),
+                      jnp.asarray(coo), jnp.asarray(pseudo))
+    got = np.asarray(mod.apply(params, jnp.asarray(x),
+                               jnp.asarray(coo), jnp.asarray(pseudo)))
+
+    W = np.asarray(params['params']['weight'])       # [K^dim, Fin, Fout]
+    root = np.asarray(params['params']['root']['kernel'])
+    bias = np.asarray(params['params']['bias'])
+    wb, ib = _spline_basis_np(pseudo, K, degree)
+    msg = np.zeros((E, F_OUT), np.float64)
+    base = degree + 1
+    for corner in range(base ** DIM):
+        bits, c = [], corner
+        for _ in range(DIM):
+            bits.append(c % base)
+            c //= base
+        w_c = np.ones(E)
+        idx_c = np.zeros(E, np.int64)
+        for d, b in enumerate(bits):
+            w_c = w_c * wb[:, d, b]
+            idx_c = idx_c * K + ib[:, d, b]
+        msg += w_c[:, None] * np.einsum('ef,efo->eo', x[coo[0]],
+                                        W[idx_c])
+    out = np.zeros((N, F_OUT))
+    np.add.at(out, coo[1], msg)
+    cnt = np.bincount(coo[1], minlength=N)
+    out = out / np.maximum(cnt, 1)[:, None]          # mean aggr
+    out = out + x @ root + bias
+    np.testing.assert_allclose(got, out, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------- PANConv
+def test_pan_conv_full_layer_numpy_oracle():
+    """MET matrix M = sum_k (prod_{i<=k} w_i) A_t^k, rowcount-normalised
+    (reference ``pan_conv.py::panentropy`` + forward)."""
+    N, E, F_IN, F_OUT, L = 10, 30, 4, 6, 3
+    x = rng.standard_normal((N, F_IN)).astype(np.float32)
+    coo = rng.integers(0, N, (2, E)).astype(np.int32)
+
+    mod = pgnn.PANConv(out_channels=F_OUT, filter_size=L)
+    params = mod.init(jax.random.PRNGKey(2), jnp.asarray(x),
+                      jnp.asarray(coo))
+    got, got_m = mod.apply(params, jnp.asarray(x), jnp.asarray(coo))
+
+    w = np.asarray(params['params']['weight'])
+    lin_w = np.asarray(params['params']['lin']['kernel'])
+    lin_b = np.asarray(params['params']['lin']['bias'])
+    A = np.zeros((N, N))
+    np.add.at(A, (coo[1], coo[0]), 1.0)              # transposed adj
+    M = w[0] * np.eye(N)
+    P = M.copy()
+    for k in range(1, L + 1):
+        P = (P @ A) * w[k]
+        M = M + P
+    # structural rowcount over the union sparsity (stored nnz)
+    Ab = A > 0
+    Sb = np.eye(N, dtype=bool)
+    acc = np.eye(N, dtype=bool)
+    for _ in range(L):
+        acc = (acc.astype(float) @ Ab.astype(float)) > 0
+        Sb |= acc
+    deg = Sb.sum(1).astype(float)
+    dis = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
+    Mn = dis[:, None] * M * dis[None, :]
+    out = Mn @ x @ lin_w + lin_b
+    np.testing.assert_allclose(np.asarray(got_m), Mn, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), out, rtol=1e-4,
+                               atol=1e-4)
