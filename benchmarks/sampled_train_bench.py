@@ -15,9 +15,16 @@ The graph defaults to Reddit scale (233k nodes / 115M directed edges /
 Prints one JSON line: batches/s, sampled-edges/s, and the split between
 host sampling and device compute.
 
+Defaults are the DOCUMENTED production path: device-resident
+features gathered by n_id inside jit (--device-gather) and 8 optimiser
+steps per dispatch (--scan 8, lax.scan over stacked batches — parity
+with per-step dispatch asserted in tests/test_scan_train.py; all
+stacked batches share the loader's fixed padded shapes, so the scan
+compiles once). Opt out with --no-device-gather / --scan 0.
+
 Usage:
     python benchmarks/sampled_train_bench.py [--small] [--steps 50]
-        [--workers 4] [--batch-size 512]
+        [--workers 4] [--batch-size 512] [--scan K] [--no-device-gather]
 """
 import argparse
 import json
@@ -39,13 +46,14 @@ def main():
     ap.add_argument('--fanouts', default='15,10')
     ap.add_argument('--hidden', type=int, default=64)
     ap.add_argument('--cpu', action='store_true')
-    ap.add_argument('--device-gather', action='store_true',
+    ap.add_argument('--device-gather', action=argparse.BooleanOptionalAction,
+                    default=True,
                     help='TPU-native layout: features/labels resident '
                          'on device, structure-only batches, rows '
                          'gathered by n_id inside the jitted step '
                          '(loader filter_features=False). Only indices '
                          'cross the host->device link per batch.')
-    ap.add_argument('--scan', type=int, default=0, metavar='K',
+    ap.add_argument('--scan', type=int, default=8, metavar='K',
                     help='stack K sampled batches and run K optimiser '
                          'steps in ONE device call (lax.scan over the '
                          'batch axis) — amortises per-dispatch latency, '
@@ -53,7 +61,7 @@ def main():
                          'Requires --device-gather.')
     args = ap.parse_args()
     if args.scan and not args.device_gather:
-        ap.error('--scan requires --device-gather')
+        args.scan = 0          # scan rides the device-gather layout
 
     import jax
     if args.cpu:

@@ -1,19 +1,34 @@
-"""Production mini-batch pipeline: structure-only sampling on worker
-threads + device-resident features gathered inside the jitted step.
+"""Production mini-batch pipeline — the DEFAULT sampled-training path.
 
-The host feature join dominates batch time at wide feature dims
-(measured 3x on the 500k-node config) — the TPU-right layout keeps
-``X``/``Y`` on the device once and gathers rows by ``batch.n_id``
-under jit. Compare with ``neighbor_sampling.py`` (host-joined
-variant, the reference's default flow)."""
+Three TPU-native choices, each measured:
+
+1. **Structure-only sampling** (``filter_features=False``): the host
+   feature join dominates batch time at wide feature dims (3x on the
+   500k-node config); instead ``X``/``Y`` live on the device once and
+   rows are gathered by ``batch.n_id`` inside the jitted step.
+2. **Prefetch threads** overlap the C++ sampler with device compute.
+3. **K steps per dispatch** (``lax.scan`` over ``stack_batches``):
+   per-batch dispatch pays one host->device round trip per optimiser
+   step — the wall once sampling and compute are fast (products-scale
+   bench: host wait 4%, dispatch the rest). One scan dispatch amortises
+   it K-fold. Padding contract: all K batches share NeighborLoader's
+   fixed padded shapes, so the scan compiles exactly once
+   (``loader/scan_train.py``).
+
+Compare with ``neighbor_sampling.py`` (host-joined per-batch variant,
+the reference's default flow)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 import pytorch_geometric_tpu as pgt
-from pytorch_geometric_tpu.loader import NeighborLoader, PrefetchLoader
+from pytorch_geometric_tpu.loader import (NeighborLoader, PrefetchLoader,
+                                          make_device_train_step,
+                                          stack_batches)
 from pytorch_geometric_tpu.nn.models import GraphSAGE
+
+K = 8     # optimiser steps per device dispatch
 
 
 def main():
@@ -28,38 +43,28 @@ def main():
                             filter_features=False)
     model = GraphSAGE(hidden_channels=64, num_layers=2, out_channels=7)
     b0 = next(iter(loader))
-    n_cap = b0.num_nodes
-    params = model.init(jax.random.PRNGKey(0), X[:n_cap],
+    params = model.init(jax.random.PRNGKey(0), X[:b0.num_nodes],
                         np.asarray(b0.edge_index))
     tx = optax.adam(5e-3)
     opt = tx.init(params)
-
-    @jax.jit
-    def step(params, opt, n_id, node_mask, coo, emask, bs):
-        # HBM-speed gathers replace the host join
-        safe = jnp.where(node_mask, n_id, 0)
-        x = jnp.where(node_mask[:, None], X[safe], 0)
-        y = Y[safe]
-
-        def loss_fn(p):
-            logits = model.apply(p, x, coo, edge_mask=emask)
-            l = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            seed = jnp.arange(l.shape[0]) < bs   # seeds come first
-            return jnp.where(seed, l, 0).sum() / bs
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt = tx.update(grads, opt)
-        return optax.apply_updates(params, updates), opt, loss
+    _, scan_fn = make_device_train_step(model, tx)
 
     for epoch in range(3):
-        # prefetch thread overlaps sampling with the device step; batch
-        # fields are already device arrays — pass them straight through
-        # (np.asarray / int() on them would cost a D2H round trip each)
-        for b in PrefetchLoader(loader, num_threads=1):
-            coo = (b.edge_index.coo if hasattr(b.edge_index, 'coo')
-                   else b.edge_index)
-            params, opt, loss = step(
-                params, opt, b.n_id, b.node_mask, coo,
-                b.edge_mask, b.batch_size)
+        # put=False: the producer thread only samples — the K-group is
+        # stacked on the host and crosses the link in ONE upload
+        it = PrefetchLoader(loader, num_threads=2, put=False)
+        group, loss = [], None
+        for b in it:
+            group.append(b)
+            if len(group) == K:
+                params, opt, loss = scan_fn(params, opt, X, Y,
+                                            stack_batches(group))
+                group = []
+        if group:      # tail: pad the group by repeating the last batch
+            while len(group) < K:
+                group.append(group[-1])
+            params, opt, loss = scan_fn(params, opt, X, Y,
+                                        stack_batches(group))
         print(f'epoch {epoch}: loss {float(loss):.4f}')
 
 

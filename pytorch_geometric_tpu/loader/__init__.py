@@ -5,6 +5,7 @@ from .hetero_loader import HeteroNeighborLoader, HGTLoader
 from .temporal import TemporalDataLoader
 from .ibmb import IBMBNodeLoader, IBMBBatchLoader
 from .prefetch import PrefetchLoader, CachedLoader
+from .scan_train import stack_batches, make_device_train_step
 from .list_loader import ZipLoader, AffinityMixin, MultithreadingMixin, LogMemoryMixin, DataListLoader, DenseDataLoader
 from .graph_saint import (GraphSAINTSampler, GraphSAINTNodeSampler,
                           GraphSAINTEdgeSampler,
@@ -16,6 +17,7 @@ __all__ = [
     'DataLoader', 'Collater', 'NeighborLoader', 'LinkNeighborLoader',
     'HeteroNeighborLoader', 'HGTLoader', 'TemporalDataLoader',
     'IBMBNodeLoader', 'IBMBBatchLoader', 'PrefetchLoader', 'CachedLoader', 'DataListLoader',
+    'stack_batches', 'make_device_train_step',
     'DenseDataLoader',
     'ClusterData', 'ClusterLoader', 'partition_graph', 'Partition',
     'GraphSAINTSampler', 'GraphSAINTNodeSampler', 'GraphSAINTEdgeSampler',
