@@ -1,11 +1,12 @@
-"""GraphRAG / LLM stack (lite).
+"""GraphRAG / LLM stack.
 
 Reference: ``torch_geometric/llm/models/llm.py:51`` (LLM wrapper),
-``g_retriever.py:10`` (GNN soft-prompt -> LLM),
-``sentence_transformer.py``. The HF models load through ``transformers``
-(baked into this image); the GNN encoder is ours; the projector maps
-pooled graph embeddings into the LLM's input embedding space as soft
-prompt tokens — the same architecture, torch-free on the graph side.
+``g_retriever.py:10`` (GNN soft-prompt -> LLM, trainable: label-token
+LM loss + projector + optional LoRA), ``sentence_transformer.py``. The
+HF models load through ``transformers`` (baked into this image); the
+GNN encoder is ours (JAX); the projector maps pooled graph embeddings
+into the LLM's input embedding space as soft prompt tokens and trains
+against the HF loss — same architecture, torch only on the LM side.
 """
 
 from typing import Any, Callable, List, Optional
