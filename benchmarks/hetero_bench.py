@@ -71,7 +71,7 @@ def _timeit_step(step, args, reps):
     return (time.perf_counter() - t0) / reps, out
 
 
-def run_hgt(nodes, edges, x, y, reps):
+def run_hgt(nodes, edges, x, y, reps, remat=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -79,12 +79,17 @@ def run_hgt(nodes, edges, x, y, reps):
     from pytorch_geometric_tpu.nn import HGTConv
 
     metadata = (tuple(nodes), tuple(edges))
+    # remat trades one recompute for the per-edge [E, H, D] k/v
+    # activations the backward would otherwise keep live (the
+    # jax.checkpoint half of the reference's 'trade FLOPs for memory'
+    # recipe) — lets full MAG scale fit one 16 GB chip
+    Conv = fnn.remat(HGTConv) if remat else HGTConv
 
     class Net(fnn.Module):
         @fnn.compact
         def __call__(self, x_dict, ei_dict):
-            x_dict = HGTConv(64, metadata, heads=4)(x_dict, ei_dict)
-            x_dict = HGTConv(64, metadata, heads=4)(x_dict, ei_dict)
+            x_dict = Conv(64, metadata, heads=4)(x_dict, ei_dict)
+            x_dict = Conv(64, metadata, heads=4)(x_dict, ei_dict)
             return fnn.Dense(C)(x_dict['paper'])
 
     net = Net()
@@ -294,6 +299,7 @@ def main():
     ap.add_argument('--reference', action='store_true',
                     help='run the torch reference arm instead')
     ap.add_argument('--arms', default='hgt,rgcn,proj')
+    ap.add_argument('--remat', action='store_true')
     args = ap.parse_args()
 
     if args.reference:
@@ -309,8 +315,10 @@ def main():
           flush=True)
     arms = args.arms.split(',')
     if 'hgt' in arms:
-        print(json.dumps(run_hgt(nodes, edges, x, y, args.reps)),
-              flush=True)
+        rec = run_hgt(nodes, edges, x, y, args.reps,
+                      remat=args.remat)
+        rec['remat'] = args.remat
+        print(json.dumps(rec), flush=True)
     if 'rgcn' in arms:
         print(json.dumps(run_rgcn(nodes, edges, x, y, args.reps)),
               flush=True)
