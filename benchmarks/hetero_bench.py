@@ -60,14 +60,24 @@ def build_mag_like(scale=1.0, seed=0, reverse=True):
     return nodes, edges, x, y
 
 
+def _force(out):
+    """Force completion with a D2H pull of ONE scalar (sum reduced on
+    device): block_until_ready returns early on the remote tunnel
+    backend, and pulling a full array would time the tunnel's D2H
+    bandwidth instead of the compute (r4 debugging)."""
+    import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    return float(jnp.sum(leaf))
+
+
 def _timeit_step(step, args, reps):
     out = step(*args)                      # compile
-    import jax
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = step(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    _force(out)
     return (time.perf_counter() - t0) / reps, out
 
 
@@ -94,7 +104,15 @@ def run_hgt(nodes, edges, x, y, reps, remat=False):
 
     net = Net()
     X = {t: jax.device_put(v) for t, v in x.items()}
-    EI = {et: jax.device_put(coo) for et, coo in edges.items()}
+    # blocked layouts per relation: routes HGT's edge softmax through
+    # the fused SDDMM+segment-softmax Pallas kernel (ops/sddmm.py,
+    # 4.2x over the XLA gather path) instead of raw-COO scatter
+    from pytorch_geometric_tpu import EdgeIndex
+    EI = {}
+    for et, coo in edges.items():
+        s, _, d = et
+        EI[et] = EdgeIndex(coo, (nodes[s], nodes[d])).fill_cache(
+            blocked=True)
     Y = jax.device_put(y)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), X, EI)
     tx = optax.adam(1e-3)
