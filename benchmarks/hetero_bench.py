@@ -81,7 +81,7 @@ def _timeit_step(step, args, reps):
     return (time.perf_counter() - t0) / reps, out
 
 
-def run_hgt(nodes, edges, x, y, reps, remat=False):
+def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -111,8 +111,11 @@ def run_hgt(nodes, edges, x, y, reps, remat=False):
     EI = {}
     for et, coo in edges.items():
         s, _, d = et
-        EI[et] = EdgeIndex(coo, (nodes[s], nodes[d])).fill_cache(
-            blocked=True)
+        if blocked:
+            EI[et] = EdgeIndex(coo, (nodes[s], nodes[d])).fill_cache(
+                blocked=True)
+        else:
+            EI[et] = jax.device_put(coo)
     Y = jax.device_put(y)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), X, EI)
     tx = optax.adam(1e-3)
@@ -318,6 +321,7 @@ def main():
                     help='run the torch reference arm instead')
     ap.add_argument('--arms', default='hgt,rgcn,proj')
     ap.add_argument('--remat', action='store_true')
+    ap.add_argument('--no-blocked', action='store_true')
     args = ap.parse_args()
 
     if args.reference:
@@ -334,8 +338,9 @@ def main():
     arms = args.arms.split(',')
     if 'hgt' in arms:
         rec = run_hgt(nodes, edges, x, y, args.reps,
-                      remat=args.remat)
+                      remat=args.remat, blocked=not args.no_blocked)
         rec['remat'] = args.remat
+        rec['blocked'] = not args.no_blocked
         print(json.dumps(rec), flush=True)
     if 'rgcn' in arms:
         print(json.dumps(run_rgcn(nodes, edges, x, y, args.reps)),

@@ -18,8 +18,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .partition import GraphPartitions, Partitioner
 from .spmm import (partition_spmm, partition_spmm_halo,
-                   partition_spmm_ring, build_ring_buckets,
-                   partition_spmm_halo_bsr, make_partition_gcn_step)
+                   partition_spmm_hub, partition_spmm_ring,
+                   build_ring_buckets, partition_spmm_halo_bsr,
+                   make_partition_gcn_step)
 
 
 def gcn_norm_weights(coo: np.ndarray, num_nodes: int) -> np.ndarray:
@@ -66,6 +67,19 @@ def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
         spmm = partial(partition_spmm_ring, ring_src=edge_src,
                        ring_dst=edge_dst, ring_mask=edge_mask,
                        ring_w=edge_weight, axis_name=axis_name)
+    elif len(shard_leaves) == 16:
+        # hub replication (Partitioner(hub_frac=...)): halo + hub
+        # all_gather + merge-at-source psum_scatter
+        hs, hm = halo[0][0], halo[1][0]
+        hub_local, hub_mask_l, agg_src, agg_slot, agg_mask, agg_w = (
+            b[0] for b in shard_leaves[10:16])
+        spmm = partial(partition_spmm_hub, halo_send=hs,
+                       halo_send_mask=hm, hub_local=hub_local,
+                       hub_local_mask=hub_mask_l, edge_src=edge_src,
+                       edge_dst=edge_dst, edge_mask=edge_mask,
+                       edge_weight=edge_weight, agg_src=agg_src,
+                       agg_slot=agg_slot, agg_mask=agg_mask,
+                       agg_weight=agg_w, axis_name=axis_name)
     elif bsr:
         hs, hm = halo[0][0], halo[1][0]
         bsr_leaves = tuple(b[0] for b in bsr)
@@ -113,7 +127,24 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
     tm = tm_flat & parts.own_mask
     ew = (parts.edge_weight if parts.edge_weight is not None
           else np.ones_like(parts.edge_src, np.float32))
-    if exchange == 'ring':
+    if exchange == 'gather':
+        # explicit dense all_gather baseline (works on any partition,
+        # including hub ones — parity yardstick in tests)
+        leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
+                  parts.own_mask, tm, parts.edge_src, parts.edge_dst,
+                  parts.edge_mask, ew.astype(np.float32))
+    elif parts.hub_local is not None and exchange != 'ring':
+        # hub replication: hub-strategy edge arrays + halo + hub books
+        # + merge-at-source arrays (16 leaves)
+        leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
+                  parts.own_mask, tm, parts.edge_src_hub,
+                  parts.edge_dst_hub, parts.edge_mask_hub,
+                  parts.edge_weight_hub.astype(np.float32),
+                  parts.halo_send, parts.halo_send_mask,
+                  parts.hub_local, parts.hub_local_mask,
+                  parts.agg_src, parts.agg_slot, parts.agg_mask,
+                  parts.agg_weight.astype(np.float32))
+    elif exchange == 'ring':
         rs, rd, rm, rw = build_ring_buckets(parts)
         if rw is None:
             rw = np.ones_like(rs, np.float32)
@@ -142,10 +173,14 @@ def train_partition_parallel(data, num_parts: int, hidden: int = 16,
                              num_steps: int = 5, lr: float = 1e-2,
                              mesh: Mesh = None, seed: int = 0,
                              local_bsr: bool = False,
-                             exchange: str = 'auto'):
+                             exchange: str = 'auto',
+                             hub_frac: float = 0.0):
     """End-to-end: partition -> shard -> jitted multi-chip train steps.
 
-    Returns (params, losses). Used by tests and __graft_entry__.
+    ``hub_frac > 0`` partitions with hub replication and runs the
+    hub-replicated exchange (``partition_spmm_hub``) unless
+    ``exchange`` forces 'ring'/'gather'. Returns (params, losses).
+    Used by tests and __graft_entry__.
     """
     import numpy as np
     from ..edge_index import EdgeIndex
@@ -159,7 +194,10 @@ def train_partition_parallel(data, num_parts: int, hidden: int = 16,
     w = gcn_norm_weights(coo, n)
     d2 = data.replace(edge_index=coo.astype(np.int32), edge_weight=w)
 
-    parts = Partitioner(d2, num_parts, seed=seed).generate_partition(
+    assert not (local_bsr and hub_frac), \
+        'local_bsr + hub_frac exchange not combined yet'
+    parts = Partitioner(d2, num_parts, seed=seed,
+                        hub_frac=hub_frac).generate_partition(
         local_bsr=local_bsr)
     tm = (np.asarray(data.train_mask) if data.train_mask is not None
           else np.ones(n, bool))
