@@ -50,6 +50,24 @@ def _identity(reduce: str, dtype) -> jnp.ndarray:
     raise ValueError(f"Unknown reduction '{reduce}'")
 
 
+LANE_PAD_BELOW = 16   # pad 2-D operands narrower than this to 128 lanes
+
+
+def _pad_lanes(src: jnp.ndarray, reduce: str):
+    """XLA:TPU's scatter lowering serializes on NARROW trailing dims —
+    measured at E=7.4M / 388k segments on v5e: [E, 4] segment_max
+    67,349 ms and segment_sum 696 ms vs **79 ms** for the same op
+    padded to the 128-lane boundary ([E, 64]+ is already fine). Pad
+    with the reduction's identity so the extra columns are inert, slice
+    them off after. Returns (padded_src, original_width | None)."""
+    if src.ndim != 2 or src.shape[1] >= LANE_PAD_BELOW:
+        return src, None
+    w = src.shape[1]
+    fill = _identity('max' if reduce == 'any' else reduce, src.dtype)
+    pad = jnp.full((src.shape[0], 128 - w), fill, src.dtype)
+    return jnp.concatenate([src, pad], axis=1), w
+
+
 @partial(jax.jit, static_argnames=('dim_size', 'reduce', 'indices_are_sorted'))
 def scatter(
     src: jnp.ndarray,
@@ -72,6 +90,12 @@ def scatter(
     if mask is not None:
         # Out-of-range indices are dropped by XLA segment ops.
         index = jnp.where(mask, index, dim_size)
+
+    src, _orig_w = _pad_lanes(src, reduce)
+    if _orig_w is not None:
+        out = scatter(src, index, dim_size, reduce,
+                      indices_are_sorted=indices_are_sorted)
+        return out[:, :_orig_w]
 
     if reduce in ('sum', 'add'):
         return jax.ops.segment_sum(src, index, dim_size,

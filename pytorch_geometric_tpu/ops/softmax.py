@@ -41,6 +41,16 @@ def softmax(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
 @partial(jax.jit, static_argnames=('num_segments',))
 def _softmax_xla(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    # Narrow per-head logits ([E, H], H typically 1-8) hit XLA:TPU's
+    # serialized scatter lowering — measured [E, 4] segment_max at
+    # 67 s vs 79 ms padded to the 128-lane boundary (ops/scatter.py
+    # _pad_lanes). Run the whole softmax lane-padded and slice.
+    from .scatter import LANE_PAD_BELOW
+    if src.ndim == 2 and src.shape[1] < LANE_PAD_BELOW:
+        w = src.shape[1]
+        src_p = jnp.pad(src, ((0, 0), (0, 128 - w)))
+        return _softmax_xla(src_p, index, num_segments,
+                            mask=mask)[:, :w]
     if mask is not None:
         index = jnp.where(mask, index, num_segments)
         num_segments_eff = num_segments + 1
