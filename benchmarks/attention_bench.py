@@ -69,12 +69,20 @@ def main():
             l, g = jax.value_and_grad(loss, argnums=(0, 1))(logits, v)
             return l, g
 
+    import jax.numpy as _jnp
+
+    def _force(o):
+        # device-reduced scalar pull: block_until_ready returns early
+        # on the remote tunnel backend (r4 debugging)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return float(_jnp.sum(leaf))
+
     out = fwd_bwd(ei, logits, v, dst, src)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         out = fwd_bwd(ei, logits, v, dst, src)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / args.steps
     print(json.dumps({
         'metric': 'gat_softmax_aggregate_fwd_bwd',

@@ -157,12 +157,18 @@ def main():
             l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
             return l, gx, gw
 
+    def _force(o):
+        # device-reduced scalar pull; block_until_ready can return
+        # early on the remote tunnel backend (r4 debugging)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return float(jnp.sum(leaf))
+
     out = fwd_bwd(ei, x, w)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         out = fwd_bwd(ei, x, w)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / args.steps
 
     gb = roofline_bytes(
