@@ -61,7 +61,6 @@ def main():
     @jax.jit
     def pallas_sorted(x, s, d):
         lg = logits(x, s, d)
-        mx = segment_sum_sorted(jnp.zeros((E,1)), d, N)  # warm noop? skip
         mx = jax.ops.segment_max(lg, d, N, indices_are_sorted=True)
         mx = jnp.where(jnp.isfinite(mx), mx, 0)
         e = jnp.exp(lg - mx[d])

@@ -64,7 +64,7 @@ def build_products_like(n=N_PRODUCTS, e=E_PRODUCTS, seed=0,
     return coo, n, e
 
 
-def run_infer(coo, n, e, hidden, force_regime=None, bf16=False):
+def run_infer(coo, n, e, hidden, bf16=False):
     import jax
     import jax.numpy as jnp
     from pytorch_geometric_tpu import EdgeIndex
@@ -84,13 +84,6 @@ def run_infer(coo, n, e, hidden, force_regime=None, bf16=False):
     ei = EdgeIndex(coo, (n, n)).fill_cache(auto=True)
     build_s = time.perf_counter() - t0
     regime = spmm_regime(ei, num_feats=hidden)
-    if force_regime == 'gather':
-        # suppress the chunked trigger: measures what the plain
-        # gather/scatter path would do (OOMs past ~4 GB gathered —
-        # only valid on sliced-down graphs)
-        import pytorch_geometric_tpu.ops.spmm as m
-        m._CHUNK_TRIGGER_BYTES = float('inf')
-        regime = spmm_regime(ei, num_feats=hidden)
 
     # 2-layer SAGE-style inference: per layer one SpMM(mean) + two GEMMs
     import flax.linen as fnn

@@ -76,7 +76,8 @@ class EdgeIndex:
                  bsr=None, bsr_t=None, bsr_res=None,
                  bsr_perm=None, bsr_inv=None,
                  dense_scale: Optional[Tuple[jnp.ndarray,
-                                             jnp.ndarray]] = None):
+                                             jnp.ndarray]] = None,
+                 weight: Optional[jnp.ndarray] = None):
         # Host copy kept when constructed from numpy: fill_cache's
         # blocked-layout build is a host pass, and a device->host pull
         # of the COO can cost minutes over a remote-device tunnel.
@@ -114,13 +115,19 @@ class EdgeIndex:
         # int8 quantized dense cache: (row, col) f32 dequantization
         # scale pair of the two-sided factorization diag(r) Q diag(c)
         self.dense_scale = dense_scale
+        # per-edge weights carried for the SPARSE fallback regimes:
+        # fill_cache(dense_weight=...) stores them here when it
+        # declines to bake a dense/BSR cache (CPU auto mode, giant
+        # graphs), so cache_gcn_norm-style baked norms stay correct in
+        # every regime — spmm uses them when the caller passes none
+        self.weight = weight
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         children = (self.coo, self.csr, self.csc, self.blocked,
                     self.blocked_t, self.dense_adj, self.bsr, self.bsr_t,
                     self.bsr_res, self.bsr_perm, self.bsr_inv,
-                    self.dense_scale)
+                    self.dense_scale, self.weight)
         aux = (self.sparse_size, self.num_real_edges)
         return children, aux
 
@@ -130,7 +137,7 @@ class EdgeIndex:
         (obj.coo, obj.csr, obj.csc, obj.blocked,
          obj.blocked_t, obj.dense_adj, obj.bsr, obj.bsr_t,
          obj.bsr_res, obj.bsr_perm, obj.bsr_inv,
-         obj.dense_scale) = children
+         obj.dense_scale, obj.weight) = children
         obj.sparse_size, obj.num_real_edges = aux
         obj._coo_host = None
         return obj
@@ -208,13 +215,23 @@ class EdgeIndex:
         chunked/gather paths. Inspect the outcome with
         ``ops.spmm.spmm_regime``."""
         import os as _os
+        carry_weight = self.weight
         if auto:
             on_cpu = (jax.default_backend() == 'cpu'
                       and not _os.environ.get('PGT_FORCE_DENSE_SPMM'))
-            if dense_weight is None and not on_cpu:
+            if on_cpu:
                 # a baked MXU cache only pays on TPU: on CPU the dense
                 # matmul is O(N^2 F) real FLOPs with no bandwidth edge
-                # (same rationale as ops/spmm._dense_profitable)
+                # (same rationale as ops/spmm._dense_profitable).
+                # auto means "decide for me", so the guard applies even
+                # with explicit weights (cache_gcn_norm(auto=True));
+                # use auto=False to force a baked cache on CPU. The
+                # weights are CARRIED on the EdgeIndex instead so the
+                # sparse paths stay mathematically identical.
+                if dense_weight is not None:
+                    carry_weight = jnp.asarray(dense_weight)
+                dense_weight = None
+            elif dense_weight is None:
                 host = self._coo_host
                 e = (host.shape[1] if host is not None
                      else self.num_edges)
@@ -349,13 +366,19 @@ class EdgeIndex:
                             bsr_res = (pj[r_src], pj[r_dst], r_w)
                         bsr_perm = jnp.asarray(perm_np.astype(np.int32))
                         bsr_inv = jnp.asarray(inv_np.astype(np.int32))
+        if (dense_weight is not None and dense is None
+                and bsr is None and carry_weight is None):
+            # weights supplied but nothing baked (cap exceeded + BSR
+            # unprofitable): carry them for the sparse regimes
+            carry_weight = jnp.asarray(dense_weight)
         out = EdgeIndex(self.coo, self.sparse_size,
                         csr=csr, csc=csc,
                         num_real_edges=self.num_real_edges,
                         blocked=blk, blocked_t=blk_t,
                         dense_adj=dense, bsr=bsr, bsr_t=bsr_t,
                         bsr_res=bsr_res, bsr_perm=bsr_perm,
-                        bsr_inv=bsr_inv, dense_scale=dense_scale)
+                        bsr_inv=bsr_inv, dense_scale=dense_scale,
+                        weight=carry_weight)
         out._coo_host = self._coo_host
         return out
 
@@ -373,6 +396,7 @@ class EdgeIndex:
         return EdgeIndex(self.coo[::-1], (self.sparse_size[1],
                                           self.sparse_size[0]),
                          csr=self.csc, csc=self.csr,
+                         weight=self.weight,
                          num_real_edges=self.num_real_edges,
                          blocked=self.blocked_t,
                          blocked_t=self.blocked,

@@ -109,14 +109,26 @@ def _name_to_dict(name: str) -> Dict[str, object]:
     ``name_to_dict``)."""
     import ast
     out = {}
-    for part in name.split('-')[1:]:
-        if '=' not in part:
-            continue
-        k, v = part.split('=', 1)
+    # split on '-' but re-join tokens without '=' into the previous
+    # value ('lr=1e-05' / 'd=-3' survive the separator collision)
+    cur_k = None
+    cur_v = []
+    def flush():
+        if cur_k is None:
+            return
+        v = '-'.join(cur_v)
         try:
-            out[k] = ast.literal_eval(v)
+            out[cur_k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
-            out[k] = v
+            out[cur_k] = v
+    for part in name.split('-')[1:]:
+        if '=' in part:
+            flush()
+            cur_k, v0 = part.split('=', 1)
+            cur_v = [v0]
+        elif cur_k is not None:
+            cur_v.append(part)
+    flush()
     return out
 
 

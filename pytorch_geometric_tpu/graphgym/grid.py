@@ -47,7 +47,9 @@ def grid_points(dims: List[Tuple[str, str, list]],
     """Cross product (or random sample) of the grid as
     [{key: value}, ...] (reference ``grid2list``/``grid2list_sample``)."""
     keys = [d[0] for d in dims]
-    spaces = [d[2] for d in dims]
+    # dedupe value lists: duplicates would make the sample loop's
+    # distinct-tuple target unreachable (infinite loop)
+    spaces = [list(dict.fromkeys(d[2])) for d in dims]
     if sample_num is None:
         combos = list(itertools.product(*spaces))
     else:

@@ -85,11 +85,19 @@ class XConv(fnn.Module):
             ei, valid = knn(pos, pos, K * self.dilation, batch, batch,
                             mask, mask)
             idx = ei[1].reshape(n, K * self.dilation)
+            vmask = valid.reshape(n, K * self.dilation)
             if self.dilation > 1:
                 # reference: edge_index[:, ::dilation] — row-major
                 # stride equals per-node stride at contiguous layout
                 idx = idx[:, ::self.dilation]
-            idx = jnp.minimum(idx, n - 1)
+                vmask = vmask[:, ::self.dilation]
+            # invalid slots (padded/masked points, clouds smaller than
+            # K*dilation) fall back to the CENTER point: rel = 0 and
+            # own features — the degenerate self-loop knn_graph
+            # (loop=True) effectively yields, instead of a clamped
+            # arbitrary point's data
+            idx = jnp.where(vmask, jnp.minimum(idx, n - 1),
+                            jnp.arange(n)[:, None])
         else:
             idx = neighbor_idx
 

@@ -46,7 +46,11 @@ def _softmax_xla(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
     # 67 s vs 79 ms padded to the 128-lane boundary (ops/scatter.py
     # _pad_lanes). Run the whole softmax lane-padded and slice.
     from .scatter import LANE_PAD_BELOW
-    if src.ndim == 2 and src.shape[1] < LANE_PAD_BELOW:
+    try:
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+    except Exception:
+        on_tpu = False
+    if on_tpu and src.ndim == 2 and src.shape[1] < LANE_PAD_BELOW:
         w = src.shape[1]
         src_p = jnp.pad(src, ((0, 0), (0, 128 - w)))
         return _softmax_xla(src_p, index, num_segments,

@@ -274,6 +274,13 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
     if transpose:
         adj = adj.flip()
 
+    if edge_weight is None and getattr(adj, 'weight', None) is not None:
+        # weights carried from a fill_cache that declined to bake a
+        # dense/BSR cache (CPU auto mode, giant graphs) — the sparse
+        # regimes apply them here so cache_gcn_norm-style baked norms
+        # stay correct in every regime
+        edge_weight = adj.weight
+
     num_out = adj.num_dst_nodes
     src, dst = adj.row, adj.col
 

@@ -43,6 +43,18 @@ def init_gcn_params(rng, num_features: int, hidden: int,
     }
 
 
+# Leaf-count dispatch contract between shard_partitions (producer) and
+# partition_gcn_apply (consumer). The counts MUST stay distinct — a
+# collision would silently misroute edge arrays into the wrong exchange
+# kernel. shard_partitions asserts the tuple it emits matches.
+N_LEAVES_GATHER = 8          # base: x,y,own,train,src,dst,mask,w
+N_LEAVES_HALO = 10           # + halo_send, halo_send_mask
+N_LEAVES_HUB = 16            # + hub books (2) + merge-at-source (4)
+N_LEAVES_BSR = 18            # halo + 8 BSR block leaves
+assert len({N_LEAVES_GATHER, N_LEAVES_HALO, N_LEAVES_HUB,
+            N_LEAVES_BSR}) == 4
+
+
 def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
     """2-layer GCN on one partition shard (inside shard_map).
 
@@ -67,7 +79,7 @@ def partition_gcn_apply(params, shard_leaves, axis_name: str = 'graph'):
         spmm = partial(partition_spmm_ring, ring_src=edge_src,
                        ring_dst=edge_dst, ring_mask=edge_mask,
                        ring_w=edge_weight, axis_name=axis_name)
-    elif len(shard_leaves) == 16:
+    elif len(shard_leaves) == N_LEAVES_HUB:
         # hub replication (Partitioner(hub_frac=...)): halo + hub
         # all_gather + merge-at-source psum_scatter
         hs, hm = halo[0][0], halo[1][0]
@@ -165,6 +177,9 @@ def shard_partitions(mesh: Mesh, parts: GraphPartitions,
         leaves = (parts.x.astype(np.float32), parts.y.astype(np.int32),
                   parts.own_mask, tm, parts.edge_src, parts.edge_dst,
                   parts.edge_mask, ew.astype(np.float32))
+    assert len(leaves) in (N_LEAVES_GATHER, N_LEAVES_HALO,
+                           N_LEAVES_HUB, N_LEAVES_BSR), \
+        f'leaf-count dispatch contract violated: {len(leaves)}'
     spec = NamedSharding(mesh, P(axis_name))
     return tuple(jax.device_put(jnp.asarray(a), spec) for a in leaves)
 

@@ -86,6 +86,44 @@ def test_auto_on_cpu_backend_stays_sparse():
     assert spmm_regime(ei) in ('gather-sorted', 'pallas')
 
 
+def test_auto_on_cpu_carries_weights_not_bakes():
+    """cache_gcn_norm(auto=True) on the CPU backend must stay sparse
+    AND mathematically identical — weights are carried on the
+    EdgeIndex for the sparse regimes (r4 review fix)."""
+    from pytorch_geometric_tpu.nn import cache_gcn_norm
+    coo = rng.integers(0, 120, (2, 900)).astype(np.int32)
+    ei = cache_gcn_norm(EdgeIndex(coo, (120, 120)), auto=True)
+    assert ei.dense_adj is None and ei.bsr is None
+    assert ei.weight is not None
+    x = jnp.asarray(rng.standard_normal((120, 8)).astype(np.float32))
+    # reference: the same norm applied explicitly on the sparse path
+    ref_ei = cache_gcn_norm(EdgeIndex(coo, (120, 120)))  # non-auto CPU
+    out = spmm(ei, x)
+    # uncached GCN norm math via gcn_norm weights
+    from pytorch_geometric_tpu.nn import gcn_norm
+    nei, w = gcn_norm(EdgeIndex(coo, (120, 120)), None, 120, False,
+                      True)
+    ref = spmm(nei, x, edge_weight=w)
+    assert jnp.allclose(out, ref, atol=1e-4), (
+        float(jnp.abs(out - ref).max()))
+
+
+def test_explicit_edge_weight_overrides_carried():
+    coo = rng.integers(0, 60, (2, 300)).astype(np.int32)
+    w_carried = np.full(300, 2.0, np.float32)
+    ei = EdgeIndex(coo, (60, 60), weight=jnp.asarray(w_carried))
+    x = jnp.asarray(rng.standard_normal((60, 4)).astype(np.float32))
+    w_explicit = jnp.ones(300)
+    out = spmm(ei, x, edge_weight=w_explicit)
+    ref = spmm(EdgeIndex(coo, (60, 60)), x, edge_weight=w_explicit)
+    assert jnp.allclose(out, ref, atol=1e-5)
+    # and carried weights engage when none passed
+    out2 = spmm(ei, x)
+    ref2 = spmm(EdgeIndex(coo, (60, 60)), x,
+                edge_weight=jnp.asarray(w_carried))
+    assert jnp.allclose(out2, ref2, atol=1e-5)
+
+
 def test_auto_respects_explicit_weights_and_dtype(tpu_decisions):
     coo = rng.integers(0, 200, (2, 1500)).astype(np.int32)
     w = rng.standard_normal(1500).astype(np.float32)
