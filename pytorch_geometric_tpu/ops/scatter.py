@@ -62,13 +62,15 @@ def _pad_lanes(src: jnp.ndarray, reduce: str):
     them off after. Returns (padded_src, original_width | None)."""
     if src.ndim != 2 or src.shape[1] >= LANE_PAD_BELOW:
         return src, None
-    try:
-        if jax.default_backend() not in ('tpu', 'axon'):
-            # the pathology is XLA:TPU's scatter lowering; padding on
-            # CPU/GPU only inflates traffic up to 128/width x
+    import os
+    if not os.environ.get('PGT_FORCE_LANE_PAD'):    # test hook
+        try:
+            if jax.default_backend() not in ('tpu', 'axon'):
+                # the pathology is XLA:TPU's scatter lowering; padding
+                # on CPU/GPU only inflates traffic up to 128/width x
+                return src, None
+        except Exception:
             return src, None
-    except Exception:
-        return src, None
     w = src.shape[1]
     # 'any' pads with zeros (false); _identity('max') would need iinfo
     # of a possibly-bool dtype

@@ -45,12 +45,14 @@ def _softmax_xla(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
     # serialized scatter lowering — measured [E, 4] segment_max at
     # 67 s vs 79 ms padded to the 128-lane boundary (ops/scatter.py
     # _pad_lanes). Run the whole softmax lane-padded and slice.
+    import os
     from .scatter import LANE_PAD_BELOW
     try:
-        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        pad = (jax.default_backend() in ('tpu', 'axon')
+               or bool(os.environ.get('PGT_FORCE_LANE_PAD')))
     except Exception:
-        on_tpu = False
-    if on_tpu and src.ndim == 2 and src.shape[1] < LANE_PAD_BELOW:
+        pad = False
+    if pad and src.ndim == 2 and src.shape[1] < LANE_PAD_BELOW:
         w = src.shape[1]
         src_p = jnp.pad(src, ((0, 0), (0, 128 - w)))
         return _softmax_xla(src_p, index, num_segments,
