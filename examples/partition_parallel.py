@@ -21,6 +21,26 @@ def main():
         mesh=mesh)
     print(f'{n_dev} devices; loss {losses[0]:.4f} -> {losses[-1]:.4f}')
 
+    # Power-law graphs defeat edge-cut partitioning (hubs touch most
+    # edges); hub_frac replicates the top-degree nodes instead — their
+    # sources ride one all_gather per layer, their in-edges are merged
+    # at the source part and shipped via one psum_scatter
+    # (parallel/spmm.py::partition_spmm_hub; quality numbers in
+    # benchmarks/partition_quality.py).
+    rng = np.random.default_rng(0)
+    n, e = 4000, 24000
+    src = (n * rng.random(e) ** 3).astype(np.int64)     # hub-skewed
+    coo = np.stack([np.concatenate([src, rng.integers(0, n, e)]),
+                    np.concatenate([rng.integers(0, n, e), src])])
+    pl = pgt.Data(x=rng.standard_normal((n, 32)).astype(np.float32),
+                  edge_index=coo.astype(np.int32),
+                  y=rng.integers(0, 8, n).astype(np.int32), num_nodes=n)
+    params, losses = train_partition_parallel(
+        pl, num_parts=n_dev, hidden=64, num_steps=30, lr=1e-2,
+        mesh=mesh, hub_frac=0.05)
+    print(f'power-law + 5% hub replication; '
+          f'loss {losses[0]:.4f} -> {losses[-1]:.4f}')
+
 
 if __name__ == '__main__':
     main()
