@@ -321,7 +321,12 @@ def main():
                     help='run the torch reference arm instead')
     ap.add_argument('--arms', default='hgt,rgcn,proj')
     ap.add_argument('--remat', action='store_true')
-    ap.add_argument('--no-blocked', action='store_true')
+    ap.add_argument('--no-blocked', action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help='raw-COO HGT path (default: measured FASTER '
+                         'than the fused blocked arm at H=4/D=16 MAG '
+                         'shapes — 6.9 vs 8.5 s/step; pass '
+                         '--no-no-blocked to A/B the fused arm)')
     args = ap.parse_args()
 
     if args.reference:
