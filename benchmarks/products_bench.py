@@ -184,39 +184,15 @@ def run_train(coo, n, e, steps, scan_k, workers):
     params = model.init(jax.random.PRNGKey(0), X[:n_cap],
                         np.asarray(b0.edge_index))
     opt = tx.init(params)
-
-    @jax.jit
-    def dscan(params, opt, X, Y, n_ids, node_masks, coos, emasks,
-              seed_masks):
-        def body(carry, b):
-            params, opt = carry
-            n_id, node_mask, coo_b, emask, seed_mask = b
-            safe = jnp.where(node_mask, n_id, 0)
-            x = jnp.where(node_mask[:, None], X[safe], 0)
-            y = Y[safe]
-
-            def loss_fn(p):
-                logits = model.apply(p, x, coo_b, edge_mask=emask)
-                l = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, y)
-                return jnp.where(seed_mask, l, 0).sum() / seed_mask.sum()
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt = tx.update(grads, opt)
-            return (optax.apply_updates(params, updates), opt), loss
-        (params, opt), losses = jax.lax.scan(
-            body, (params, opt),
-            (n_ids, node_masks, coos, emasks, seed_masks))
-        return params, opt, losses[-1]
+    # the library scan-K pair (loader/scan_train.py): K steps per
+    # dispatch, int16 wire format for the batch-local edge ids
+    from pytorch_geometric_tpu.loader import (make_device_train_step,
+                                              stack_batches)
+    _, dscan_lib = make_device_train_step(model, tx)
 
     def scan_group(params, opt, batches):
-        def stk(key):
-            return jnp.asarray(np.stack(
-                [np.asarray(getattr(b, key)) for b in batches]))
-        seed = np.stack([np.arange(n_cap) < int(b.batch_size)
-                         for b in batches])
-        return dscan(params, opt, X, Y, stk('n_id'), stk('node_mask'),
-                     stk('edge_index'), stk('edge_mask'),
-                     jnp.asarray(seed))
+        stacked = stack_batches(batches)
+        return dscan_lib(params, opt, X, Y, stacked)
 
     def run(n_steps):
         nonlocal params, opt

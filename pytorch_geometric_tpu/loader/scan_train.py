@@ -32,14 +32,20 @@ def stack_batches(batches: List) -> dict:
         return jnp.asarray(np.stack([np.asarray(getattr(b, key))
                                      for b in batches]))
 
-    coos = jnp.asarray(np.stack([
+    coos = np.stack([
         np.asarray(b.edge_index.coo
                    if hasattr(b.edge_index, 'coo') else b.edge_index)
-        for b in batches]))
+        for b in batches])
+    if n_cap < 2 ** 15 - 1:
+        # batch-LOCAL endpoints (incl. the n_cap pad sentinel) fit
+        # int16 — halves the dominant H2D stream of the scan group
+        # (the coo upload is ~80% of the group's bytes at products
+        # scale); the device step widens back to int32 before indexing
+        coos = coos.astype(np.int16)
     seed = np.stack([np.arange(n_cap) < int(b.batch_size)
                      for b in batches])
     return {'n_id': stk('n_id'), 'node_mask': stk('node_mask'),
-            'edge_index': coos, 'edge_mask': stk('edge_mask'),
+            'edge_index': jnp.asarray(coos), 'edge_mask': stk('edge_mask'),
             'seed_mask': jnp.asarray(seed)}
 
 
@@ -71,8 +77,11 @@ def make_device_train_step(model, tx, loss_fn: Callable = None):
         safe = jnp.where(b['node_mask'], b['n_id'], 0)
         x = jnp.where(b['node_mask'][:, None], X[safe], 0)
         y = Y[safe]
+        # int16 wire format (stack_batches) widened on device — the
+        # cast is free next to the H2D bytes it saves
+        coo = b['edge_index'].astype(jnp.int32)
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, x, b['edge_index'],
+            lambda p: loss_fn(model, p, x, coo,
                               b['edge_mask'], y, b['seed_mask']))(params)
         updates, opt = tx.update(grads, opt)
         return optax.apply_updates(params, updates), opt, loss
