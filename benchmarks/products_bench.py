@@ -227,9 +227,43 @@ def run_train(coo, n, e, steps, scan_k, workers):
     t0 = time.perf_counter()
     host_s = run(eff)
     total = time.perf_counter() - t0
+
+    # --- wall decomposition: device compute vs H2D vs dispatch -------
+    # (a) device-only: ONE pre-uploaded group re-run M times — no
+    # sampling, no upload; (b) H2D-only: device_put of a fresh host
+    # group. Whatever the end-to-end number misses beyond (a)+(b)+host
+    # sampling is the tunnel's per-dispatch latency.
+    it = iter(loader)
+    group = [next(it) for _ in range(scan_k)]
+    if hasattr(it, 'close'):
+        it.close()
+    stacked_host = {k: np.asarray(v)
+                    for k, v in stack_batches(group).items()}
+    stacked_dev = {k: jax.device_put(v)
+                   for k, v in stacked_host.items()}
+    p2, o2, l2 = dscan_lib(params, opt, X, Y, stacked_dev)
+    float(jnp.sum(l2))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, _, l2 = dscan_lib(params, opt, X, Y, stacked_dev)
+    float(jnp.sum(l2))
+    dev_s_per_group = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        up = {k: jax.device_put(v) for k, v in stacked_host.items()}
+        jax.block_until_ready(list(up.values()))
+    h2d_s_per_group = (time.perf_counter() - t0) / reps
+    group_mb = sum(v.nbytes for v in stacked_host.values()) / 1e6
+
     e_pad = int(np.asarray(b0.edge_index).shape[1])
     e_real = int(np.asarray(b0.edge_mask).sum())
     return {
+        'device_only_batches_per_s': round(
+            scan_k / dev_s_per_group, 1),
+        'h2d_s_per_group': round(h2d_s_per_group, 3),
+        'group_upload_mb': round(group_mb, 1),
+        'device_s_per_group': round(dev_s_per_group, 3),
         'metric': 'products_sampled_train',
         'graph': f'{n}n/{e}e/F{F}',
         'protocol': 'sage b512 fanouts[15,10] h64',
