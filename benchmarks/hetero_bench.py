@@ -81,7 +81,8 @@ def _timeit_step(step, args, reps):
     return (time.perf_counter() - t0) / reps, out
 
 
-def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True):
+def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True,
+            attn_path=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -98,8 +99,10 @@ def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True):
     class Net(fnn.Module):
         @fnn.compact
         def __call__(self, x_dict, ei_dict):
-            x_dict = Conv(64, metadata, heads=4)(x_dict, ei_dict)
-            x_dict = Conv(64, metadata, heads=4)(x_dict, ei_dict)
+            x_dict = Conv(64, metadata, heads=4,
+                          attn_path=attn_path)(x_dict, ei_dict)
+            x_dict = Conv(64, metadata, heads=4,
+                          attn_path=attn_path)(x_dict, ei_dict)
             return fnn.Dense(C)(x_dict['paper'])
 
     net = Net()
@@ -321,6 +324,11 @@ def main():
                     help='run the torch reference arm instead')
     ap.add_argument('--arms', default='hgt,rgcn,proj')
     ap.add_argument('--remat', action='store_true')
+    ap.add_argument('--attn-path', default=None,
+                    choices=['fused', 'concat', 'blocked'],
+                    help='HGT aggregation path (default: auto — fused '
+                         'for raw COO, blocked kernel when blocked '
+                         'caches are supplied)')
     ap.add_argument('--no-blocked', action=argparse.BooleanOptionalAction,
                     default=True,
                     help='raw-COO HGT path (default: measured FASTER '
@@ -343,9 +351,11 @@ def main():
     arms = args.arms.split(',')
     if 'hgt' in arms:
         rec = run_hgt(nodes, edges, x, y, args.reps,
-                      remat=args.remat, blocked=not args.no_blocked)
+                      remat=args.remat, blocked=not args.no_blocked,
+                      attn_path=args.attn_path)
         rec['remat'] = args.remat
         rec['blocked'] = not args.no_blocked
+        rec['attn_path'] = args.attn_path or 'auto'
         print(json.dumps(rec), flush=True)
     if 'rgcn' in arms:
         print(json.dumps(run_rgcn(nodes, edges, x, y, args.reps)),

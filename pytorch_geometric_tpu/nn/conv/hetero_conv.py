@@ -77,10 +77,23 @@ class HGTConv(fnn.Module):
     MXU GEMM), per-edge-type attention with relation-specific
     transform + prior, edge softmax over all incoming relations, typed
     output projection with skip.
+
+    ``attn_path`` selects the union-softmax aggregation:
+
+    * ``'fused'`` (the plain-COO default) — all relations of a dst type
+      collapse into one wide gather from a concatenated [M, H, 2D] K|V
+      table and a single custom-VJP softmax+aggregate
+      (:func:`ops.edge_attention.hetero_edge_attention`); backward
+      saves only alpha, so no ``remat`` is needed at MAG scale.
+    * ``'blocked'`` (auto when every relation carries a blocked cache)
+      — the Pallas MXU multi-relation kernel (``ops/sddmm.py``).
+    * ``'concat'`` — per-relation gathers + one XLA segment softmax
+      (the pre-r4 path, kept for A/B and parity tests).
     """
     out_channels: int
     metadata: Tuple[Tuple[str, ...], Tuple[EdgeType, ...]]
     heads: int = 1
+    attn_path: Optional[str] = None   # None = auto
 
     @fnn.compact
     def __call__(self, x_dict: Dict[str, jnp.ndarray],
@@ -98,12 +111,13 @@ class HGTConv(fnn.Module):
             q_dict[t] = fnn.Dense(H * D, name=f'q_{t}')(x).reshape(-1, H, D)
             v_dict[t] = fnn.Dense(H * D, name=f'v_{t}')(x).reshape(-1, H, D)
 
-        # accumulate messages + attention logits per dst type over all
-        # relations, then softmax across the union of incoming edges.
-        per_dst: Dict[str, list] = {}
+        # group relations by destination type; the softmax spans the
+        # union of a destination's incoming edges across ALL relations.
+        rels_by_dst: Dict[str, list] = {}
         for et in edge_types:
             src, rel, dst = et
-            if et not in edge_index_dict or src not in k_dict:
+            if (et not in edge_index_dict or src not in k_dict
+                    or dst not in q_dict):
                 continue
             name = _ekey(et)
             a_rel = self.param(f'a_rel_{name}',
@@ -111,50 +125,81 @@ class HGTConv(fnn.Module):
             m_rel = self.param(f'm_rel_{name}',
                                fnn.initializers.glorot_uniform(), (H, D, D))
             p_rel = self.param(f'p_rel_{name}', fnn.initializers.ones, (H,))
-            ei = edge_index_dict[et]
-            coo = ei.coo if hasattr(ei, 'coo') else ei
-            n_src = k_dict[src].shape[0]
-            n_dst = q_dict[dst].shape[0]
-            s = jnp.minimum(coo[0], n_src - 1)
-            d = jnp.minimum(coo[1], n_dst - 1)
-            # relation transform at the NODE level, then gather — the
-            # transform is per-relation, so it commutes with the edge
-            # gather (reference hgt_conv.py does the same); per-edge
-            # application cost E/N x more FLOPs and an extra [E, H, D]
-            # intermediate (measured 25% on the MAG-shape train step)
-            k = jnp.einsum('nhd,hdf->nhf', k_dict[src], a_rel)[s]
-            v = jnp.einsum('nhd,hdf->nhf', v_dict[src], m_rel)[s]
-            q = q_dict[dst][d]
-            logit = (q * k).sum(-1) * p_rel / jnp.sqrt(D)   # [E, H]
-            valid = (coo[0] < n_src) & (coo[1] < n_dst)
-            per_dst.setdefault(dst, []).append((d, logit, v, valid, ei))
+            rels_by_dst.setdefault(dst, []).append(
+                (src, a_rel, m_rel, p_rel, edge_index_dict[et]))
 
         out_dict = {}
         for t in node_types:
             if t not in x_dict:
                 continue
             n = x_dict[t].shape[0]
-            if t not in per_dst:
+            if t not in rels_by_dst:
                 out_dict[t] = x_dict[t]
                 continue
             from ...ops.sddmm import (fused_softmax_available,
                                       multi_relation_softmax_aggregate)
-            rels = per_dst[t]
-            if all(fused_softmax_available(p[4]) for p in rels):
-                # union softmax across relations through the blocked MXU
-                # kernel (shared stabilizer; see ops/sddmm.py)
-                agg = multi_relation_softmax_aggregate(
-                    [(p[4], p[1], p[2], p[3]) for p in rels], n)
+            rels = rels_by_dst[t]
+            path = self.attn_path
+            if path is None:
+                path = ('blocked'
+                        if all(fused_softmax_available(r[4]) for r in rels)
+                        else 'fused')
+            if path == 'fused':
+                from ...ops.edge_attention import hetero_edge_attention
+                kv_parts, s_parts, d_parts, p_parts = [], [], [], []
+                off = 0
+                for (src, a_rel, m_rel, p_rel, ei) in rels:
+                    coo = ei.coo if hasattr(ei, 'coo') else ei
+                    n_src = k_dict[src].shape[0]
+                    # relation transform at the NODE level (commutes
+                    # with the gather; per-edge application measured
+                    # 25% slower on the MAG-shape step) — k|v rows
+                    # concatenated so the edge gather is one 2D-wide
+                    # pass
+                    k_tab = jnp.einsum('nhd,hdf->nhf', k_dict[src], a_rel)
+                    v_tab = jnp.einsum('nhd,hdf->nhf', v_dict[src], m_rel)
+                    kv_parts.append(
+                        jnp.concatenate([k_tab, v_tab], axis=-1))
+                    valid = (coo[0] < n_src) & (coo[1] < n)
+                    s_parts.append(jnp.minimum(coo[0], n_src - 1) + off)
+                    d_parts.append(
+                        jnp.where(valid, jnp.minimum(coo[1], n - 1), n))
+                    p_parts.append(jnp.broadcast_to(
+                        p_rel / jnp.sqrt(D), (coo.shape[1], H)))
+                    off += n_src
+                agg = hetero_edge_attention(
+                    jnp.concatenate(kv_parts, axis=0), q_dict[t],
+                    jnp.concatenate(p_parts), jnp.concatenate(s_parts),
+                    jnp.concatenate(d_parts), n)
                 agg = agg.reshape(n, -1)
             else:
-                ds = jnp.concatenate([p[0] for p in rels])
-                logits = jnp.concatenate([p[1] for p in rels])
-                vs = jnp.concatenate([p[2] for p in rels])
-                valid = jnp.concatenate([p[3] for p in rels])
-                alpha = segment_softmax(logits, ds, n, mask=valid)
-                msg = vs * alpha[..., None]
-                agg = scatter(msg.reshape(msg.shape[0], -1), ds, n,
-                              'sum', mask=valid)
+                per_rel = []
+                for (src, a_rel, m_rel, p_rel, ei) in rels:
+                    coo = ei.coo if hasattr(ei, 'coo') else ei
+                    n_src = k_dict[src].shape[0]
+                    s = jnp.minimum(coo[0], n_src - 1)
+                    d = jnp.minimum(coo[1], n - 1)
+                    k = jnp.einsum('nhd,hdf->nhf', k_dict[src], a_rel)[s]
+                    v = jnp.einsum('nhd,hdf->nhf', v_dict[src], m_rel)[s]
+                    q = q_dict[t][d]
+                    logit = (q * k).sum(-1) * p_rel / jnp.sqrt(D)  # [E, H]
+                    valid = (coo[0] < n_src) & (coo[1] < n)
+                    per_rel.append((d, logit, v, valid, ei))
+                if path == 'blocked':
+                    # union softmax across relations through the blocked
+                    # MXU kernel (shared stabilizer; see ops/sddmm.py)
+                    agg = multi_relation_softmax_aggregate(
+                        [(p[4], p[1], p[2], p[3]) for p in per_rel], n)
+                    agg = agg.reshape(n, -1)
+                else:   # 'concat'
+                    ds = jnp.concatenate([p[0] for p in per_rel])
+                    logits = jnp.concatenate([p[1] for p in per_rel])
+                    vs = jnp.concatenate([p[2] for p in per_rel])
+                    valid = jnp.concatenate([p[3] for p in per_rel])
+                    alpha = segment_softmax(logits, ds, n, mask=valid)
+                    msg = vs * alpha[..., None]
+                    agg = scatter(msg.reshape(msg.shape[0], -1), ds, n,
+                                  'sum', mask=valid)
             out = fnn.gelu(agg)
             out = fnn.Dense(self.out_channels, name=f'out_{t}')(out)
             # gated skip (reference hgt_conv.py skip param)

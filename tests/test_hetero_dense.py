@@ -137,3 +137,47 @@ def test_dense_pooling():
     s2, out, oadj, sp, on, cl = mod.apply(params, x, adj)
     assert out.shape == (B, K, F)
     assert np.isfinite([sp, on, cl]).all()
+
+
+def test_hgt_fused_vs_concat_parity():
+    """The fused wide-gather custom-VJP path (ops/edge_attention.py)
+    must match the per-relation concat path exactly — outputs AND
+    gradients — including padded (out-of-range) edges."""
+    data = make_hetero()
+    ei = {et: np.array(v) for et, v in data.edge_index_dict.items()}
+    # pad some edges out of range (loader padding convention)
+    et0 = ('paper', 'cites', 'paper')
+    ei[et0] = np.concatenate(
+        [ei[et0], np.array([[8, 9], [3, 8]], np.int32)], axis=1)
+    meta = (tuple(data.metadata()[0]), tuple(data.metadata()[1]))
+    x_dict = data.x_dict
+
+    fused = HGTConv(out_channels=32, metadata=meta, heads=4,
+                    attn_path='fused')
+    concat = HGTConv(out_channels=32, metadata=meta, heads=4,
+                     attn_path='concat')
+    params = fused.init(jax.random.PRNGKey(0), x_dict, ei)
+
+    out_f = fused.apply(params, x_dict, ei)
+    out_c = concat.apply(params, x_dict, ei)
+    for t in out_f:
+        np.testing.assert_allclose(np.asarray(out_f[t]),
+                                   np.asarray(out_c[t]),
+                                   rtol=2e-5, atol=2e-6)
+
+    def loss(mod):
+        def f(p):
+            out = mod.apply(p, x_dict, ei)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+        return f
+
+    g_f = jax.grad(loss(fused))(params)
+    g_c = jax.grad(loss(concat))(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_c = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_c)}
+    assert flat_f
+    for k, v in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_c[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
