@@ -46,6 +46,48 @@ for seg in range(N):
         v = src[sel] - src[sel].max(0)
         ref[sel] = np.exp(v) / (np.exp(v).sum(0) + 1e-16)
 rec['softmax'] = float(np.abs(o - ref).max())
+
+# windowed (sorted-chunk) SpMM vs numpy (r4 session 3)
+from pytorch_geometric_tpu.edge_index import (EdgeIndex,
+                                              build_windowed_csc)
+from pytorch_geometric_tpu.ops import spmm
+n_s, n_d, e2, f2 = 301, 257, 9001, 24
+coo = np.stack([rng.integers(0, n_s, e2),
+                rng.integers(0, n_d, e2)]).astype(np.int32)
+x2 = rng.standard_normal((n_s, f2)).astype(np.float32)
+w2 = rng.standard_normal(e2).astype(np.float32)
+adj = EdgeIndex(coo, (n_s, n_d),
+                win=build_windowed_csc(coo, n_d, n_s, chunk_edges=1024),
+                win_t=build_windowed_csc(coo[::-1], n_s, n_d,
+                                         chunk_edges=1024))
+out = np.asarray(spmm(adj, jnp.asarray(x2), jnp.asarray(w2)))
+ref2 = np.zeros((n_d, f2))
+np.add.at(ref2, coo[1], w2[:, None] * x2[coo[0]])
+rec['windowed_spmm'] = float(np.abs(out - ref2).max())
+
+# fused hetero edge attention vs numpy union softmax
+from pytorch_geometric_tpu.ops.edge_attention import hetero_edge_attention
+H2, D2 = 4, 16
+m = 211
+kv = rng.standard_normal((m, H2, 2 * D2)).astype(np.float32)
+q = rng.standard_normal((n_d, H2, D2)).astype(np.float32)
+p = rng.standard_normal((e2, H2)).astype(np.float32)
+s_i = rng.integers(0, m, e2).astype(np.int32)
+d_i = rng.integers(0, n_d, e2).astype(np.int32)
+out = np.asarray(hetero_edge_attention(
+    jnp.asarray(kv), jnp.asarray(q), jnp.asarray(p),
+    jnp.asarray(s_i), jnp.asarray(d_i), n_d))
+k_e, v_e = kv[s_i, :, :D2], kv[s_i, :, D2:]
+logit = (q[d_i] * k_e).sum(-1) * p
+ref3 = np.zeros((n_d, H2, D2))
+for seg in range(n_d):
+    sel = d_i == seg
+    if sel.any():
+        a = np.exp(logit[sel] - logit[sel].max(0))
+        a = a / (a.sum(0) + 1e-16)
+        ref3[seg] = (a[..., None] * v_e[sel]).sum(0)
+rec['hetero_edge_attention'] = float(np.abs(out - ref3).max())
+
 import jax
 rec['backend'] = jax.default_backend()
 print(json.dumps(rec))

@@ -41,19 +41,34 @@ class TransformerConv(MessagePassing):
         coo = edge_index.coo if hasattr(edge_index, 'coo') else edge_index
         src = jnp.minimum(coo[0], n_src - 1)
         dst = jnp.minimum(coo[1], n_dst - 1)
-        k_j = k[src]
-        if e is not None:
-            k_j = k_j + e
-        alpha = (q[dst] * k_j).sum(-1) / jnp.sqrt(C)     # [E, H]
 
         from ...ops.gat_fused import fused_gat_available, gat_aggregate
         from ...ops.pallas_spmm import _use_pallas
-        fused_ok = (e is None and not return_attention_weights
-                    and fused_gat_available(edge_index) and _use_pallas())
-        if fused_ok:
+        plain = e is None and not return_attention_weights
+        fused_ok = (plain and fused_gat_available(edge_index)
+                    and _use_pallas())
+        if plain and not fused_ok:
+            # single-relation wide-gather attention: one [E, H, 2C]
+            # gather + alpha-only custom VJP (ops/edge_attention.py) —
+            # the autodiff path below keeps three [E, H, C] residuals
+            from ...ops.edge_attention import hetero_edge_attention
+            valid = (coo[0] < n_src) & (coo[1] < n_dst)
+            if edge_mask is not None:
+                valid = valid & edge_mask
+            d_eff = jnp.where(valid, dst, n_dst)
+            p = jnp.full((coo.shape[1], H), 1.0 / jnp.sqrt(C))
+            out = hetero_edge_attention(
+                jnp.concatenate([k, v], axis=-1), q, p, src, d_eff,
+                n_dst)
+        elif fused_ok:
+            alpha = (q[dst] * k[src]).sum(-1) / jnp.sqrt(C)   # [E, H]
             # one MXU pass for softmax numerator + denominator
             out = gat_aggregate(edge_index, alpha, v, edge_mask=edge_mask)
         else:
+            k_j = k[src]
+            if e is not None:
+                k_j = k_j + e
+            alpha = (q[dst] * k_j).sum(-1) / jnp.sqrt(C)      # [E, H]
             alpha = self.edge_softmax(alpha, dst, n_dst, edge_mask)
             msg = v[src]
             if e is not None:

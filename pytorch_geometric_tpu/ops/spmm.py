@@ -71,8 +71,8 @@ def spmm_regime(adj: EdgeIndex, num_feats: int = 64,
     ladder here picks what to *run*). Mirrors the reference's private
     dispatch at ``edge_index.py:1925``.
 
-    Returns one of ``'dense-cached' | 'bsr' | 'dense' | 'chunked' |
-    'pallas' | 'gather-sorted' | 'gather'``."""
+    Returns one of ``'dense-cached' | 'bsr' | 'dense' | 'windowed' |
+    'chunked' | 'pallas' | 'gather-sorted' | 'gather'``."""
     if not isinstance(adj, EdgeIndex):
         adj = EdgeIndex(adj)
     simple = reduce in ('sum', 'mean')
@@ -89,6 +89,10 @@ def spmm_regime(adj: EdgeIndex, num_feats: int = 64,
                                    jnp.float32)
     if simple and _dense_profitable(adj, x_probe):
         return 'dense'
+    if (getattr(adj, 'win', None) is not None
+            and getattr(adj, 'win_t', None) is not None and simple
+            and not os.environ.get('PGT_DISABLE_WIN_SPMM')):
+        return 'windowed'
     if (simple
             and adj.num_edges * num_feats * 4 > _CHUNK_TRIGGER_BYTES):
         return 'chunked'
@@ -255,6 +259,83 @@ def _chunked_spmm_bwd(num_out, chunk, res, g):
 _chunked_spmm.defvjp(_chunked_spmm_fwd, _chunked_spmm_bwd)
 
 
+# Windowed giant-E path: like the naive chunked scan above but over the
+# host-presorted WindowedCSC layout — each chunk scatter-adds directly
+# into the carried accumulator with ``indices_are_sorted=True``, which
+# XLA:TPU lowers ~1.7x faster than the unsorted scatter (A/B'd on v5e,
+# products scale 0.2: 0.437 s vs 0.735 s same reduction). Backward runs
+# the transpose layout (cached at fill_cache time).
+
+
+def _win_pass(win, w_ext, x, num_out):
+    """sum_e w_e * x[src_e] into out[dst_e] over a WindowedCSC layout.
+    ``w_ext``: [E+1] per-edge weights with a trailing 0 for padded
+    slots, or None."""
+    f = x.shape[1]
+    n_src = x.shape[0]
+    acc0 = jnp.zeros((num_out, f), x.dtype)
+
+    def body(acc, args):
+        s, d, p = args
+        valid = s < n_src
+        msg = x[jnp.minimum(s, n_src - 1)]
+        if w_ext is not None:
+            msg = msg * w_ext[p][:, None].astype(msg.dtype)
+        msg = jnp.where(valid[:, None], msg, 0)
+        # d == num_out marks pads / out-of-range edges -> dropped
+        return acc.at[d].add(msg, mode='drop',
+                             indices_are_sorted=True), None
+
+    acc, _ = jax.lax.scan(body, acc0, (win.src, win.dst, win.perm))
+    return acc
+
+
+def _win_zeros(win):
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), win)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _windowed_spmm(win, win_t, w, x, n_src, n_dst):
+    """out = A @ x over the windowed layouts; ``w`` is per-edge [E]
+    weights or None."""
+    out, _ = _windowed_spmm_fwd(win, win_t, w, x, n_src, n_dst)
+    return out
+
+
+def _ext(w):
+    return (None if w is None
+            else jnp.concatenate([w, jnp.zeros((1,), w.dtype)]))
+
+
+def _windowed_spmm_fwd(win, win_t, w, x, n_src, n_dst):
+    return (_win_pass(win, _ext(w), x, n_dst), (win, win_t, w, x))
+
+
+def _windowed_spmm_bwd(n_src, n_dst, res, g):
+    win, win_t, w, x = res
+    # grad_x = A^T g: the same pass over the transpose windows
+    grad_x = _win_pass(win_t, _ext(w), g, n_src)
+    if w is None:
+        grad_w = None
+    else:
+        # per-slot <x[src], g[dst]> then one gather back to edge order
+        def body(_, args):
+            s, d, p = args
+            valid = (s < n_src) & (d < n_dst)
+            xe = x[jnp.minimum(s, n_src - 1)]
+            ge = g[jnp.minimum(d, n_dst - 1)]
+            return None, jnp.where(valid, (xe * ge).sum(-1), 0)
+
+        _, dots = jax.lax.scan(body, None, (win.src, win.dst, win.perm))
+        # inv_pos maps every original edge to its (real) sorted slot
+        grad_w = dots.reshape(-1)[win.inv_pos].astype(w.dtype)
+    return (_win_zeros(win), _win_zeros(win_t), grad_w, grad_x)
+
+
+_windowed_spmm.defvjp(_windowed_spmm_fwd, _windowed_spmm_bwd)
+
+
 def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
          edge_weight: Optional[jnp.ndarray] = None, reduce: str = 'sum',
          transpose: bool = False, use_pallas: Optional[bool] = None
@@ -374,6 +455,28 @@ def spmm(adj: Union[EdgeIndex, jnp.ndarray], x: jnp.ndarray,
             ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
             deg = jax.ops.segment_sum(
                 ones, jnp.minimum(dst, num_out - 1), num_out)
+            out = out / jnp.maximum(deg, 1)[:, None]
+        return out
+
+    # Windowed giant-E path (preferred over the naive chunked scan
+    # whenever fill_cache prebuilt the layout): per-window [W, F]
+    # updates instead of full [N, F] partials per chunk.
+    win, win_t = getattr(adj, 'win', None), getattr(adj, 'win_t', None)
+    if (win is not None and win_t is not None
+            and reduce in ('sum', 'mean') and x.ndim == 2
+            and not os.environ.get('PGT_DISABLE_WIN_SPMM')):
+        out = _windowed_spmm(win, win_t, edge_weight, x,
+                             adj.num_src_nodes, num_out)
+        if reduce == 'mean':
+            csc = adj.csc
+            if csc is not None:
+                # cached dst-degree: a [E] 1-D segment-sum is exactly
+                # the narrow-scatter shape XLA:TPU serializes on
+                deg = jnp.diff(csc.indptr).astype(x.dtype)[:num_out]
+            else:
+                ones = jnp.where(dst < num_out, 1.0, 0.0).astype(x.dtype)
+                deg = jax.ops.segment_sum(
+                    ones, jnp.minimum(dst, num_out - 1), num_out)
             out = out / jnp.maximum(deg, 1)[:, None]
         return out
 

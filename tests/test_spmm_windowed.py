@@ -1,0 +1,157 @@
+"""Windowed giant-E SpMM path (ops/spmm.py _windowed_spmm +
+EdgeIndex.build_windowed_csc) vs the scatter oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_geometric_tpu.edge_index import (EdgeIndex,
+                                              build_windowed_csc)
+from pytorch_geometric_tpu.ops import spmm, spmm_regime
+from pytorch_geometric_tpu.ops.spmm import _windowed_spmm
+
+rng = np.random.default_rng(7)
+
+
+def make_graph(n_src=200, n_dst=150, e=2000, pad=0):
+    coo = np.stack([rng.integers(0, n_src, e),
+                    rng.integers(0, n_dst, e)]).astype(np.int32)
+    if pad:
+        # loader-style padding: endpoints out of range
+        coo = np.concatenate(
+            [coo, np.stack([np.full(pad, n_src, np.int32),
+                            np.full(pad, n_dst, np.int32)])], axis=1)
+    return coo
+
+
+def windowed_ei(coo, n_src, n_dst, chunk=256):
+    ei = EdgeIndex(coo, (n_src, n_dst))
+    win = build_windowed_csc(coo, n_dst, n_src, chunk_edges=chunk)
+    win_t = build_windowed_csc(coo[::-1], n_src, n_dst, chunk_edges=chunk)
+    return EdgeIndex(coo, (n_src, n_dst), win=win, win_t=win_t)
+
+
+def oracle(coo, w, x, n_src, n_dst):
+    out = np.zeros((n_dst, x.shape[1]), np.float64)
+    for i in range(coo.shape[1]):
+        s, d = int(coo[0, i]), int(coo[1, i])
+        if s < n_src and d < n_dst:
+            out[d] += (w[i] if w is not None else 1.0) * x[s].astype(
+                np.float64)
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize('pad', [0, 7])
+@pytest.mark.parametrize('weighted', [False, True])
+def test_windowed_matches_oracle(pad, weighted):
+    n_src, n_dst, e = 180, 140, 1500
+    coo = make_graph(n_src, n_dst, e, pad=pad)
+    x = rng.standard_normal((n_src, 12)).astype(np.float32)
+    w = (rng.standard_normal(coo.shape[1]).astype(np.float32)
+         if weighted else None)
+    adj = windowed_ei(coo, n_src, n_dst, chunk=200)
+    assert spmm_regime(adj) == 'windowed'
+    out = spmm(adj, jnp.asarray(x),
+               None if w is None else jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out),
+                               oracle(coo, w, x, n_src, n_dst),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_grads_match_dense():
+    """grad_x and grad_w vs autodiff through an explicit dense matmul."""
+    n_src, n_dst, e = 60, 50, 400
+    coo = make_graph(n_src, n_dst, e)
+    x = jnp.asarray(rng.standard_normal((n_src, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    adj = windowed_ei(coo, n_src, n_dst, chunk=64)
+    g_out = jnp.asarray(
+        rng.standard_normal((n_dst, 8)).astype(np.float32))
+
+    def f_win(w, x):
+        return jnp.sum(_windowed_spmm(adj.win, adj.win_t, w, x,
+                                      n_src, n_dst) * g_out)
+
+    def f_dense(w, x):
+        A = jnp.zeros((n_dst, n_src)).at[coo[1], coo[0]].add(w)
+        return jnp.sum((A @ x) * g_out)
+
+    gw, gx = jax.grad(f_win, argnums=(0, 1))(w, x)
+    gw_ref, gx_ref = jax.grad(f_dense, argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # unweighted op: grad_x only
+    gx2 = jax.grad(
+        lambda x: jnp.sum(_windowed_spmm(adj.win, adj.win_t, None, x,
+                                         n_src, n_dst) * g_out))(x)
+    gx2_ref = jax.grad(
+        lambda x: f_dense(jnp.ones((e,)), x))(x)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx2_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_transpose_and_mean():
+    n_src, n_dst, e = 90, 70, 700
+    coo = make_graph(n_src, n_dst, e)
+    adj = windowed_ei(coo, n_src, n_dst, chunk=128)
+    x = rng.standard_normal((n_dst, 6)).astype(np.float32)
+    out = spmm(adj, jnp.asarray(x), transpose=True)
+    np.testing.assert_allclose(
+        np.asarray(out), oracle(coo[::-1], None, x, n_dst, n_src),
+        rtol=1e-4, atol=1e-4)
+    # mean over destinations
+    x2 = rng.standard_normal((n_src, 6)).astype(np.float32)
+    out = spmm(adj, jnp.asarray(x2), reduce='mean')
+    deg = np.zeros(n_dst)
+    np.add.at(deg, coo[1][coo[1] < n_dst], 1)
+    ref = oracle(coo, None, x2, n_src, n_dst) / np.maximum(
+        deg, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_windowed_inside_jit_and_pytree():
+    """The layout must survive the pytree boundary (jit arg) and run
+    under jit with static window shapes."""
+    n_src = n_dst = 64
+    coo = make_graph(n_src, n_dst, 300)
+    adj = windowed_ei(coo, n_src, n_dst, chunk=64)
+    x = jnp.asarray(rng.standard_normal((n_src, 4)).astype(np.float32))
+
+    @jax.jit
+    def f(adj, x):
+        return spmm(adj, x)
+
+    out = f(adj, x)
+    np.testing.assert_allclose(np.asarray(out),
+                               oracle(coo, None, np.asarray(x),
+                                      n_src, n_dst),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fill_cache_auto_windowed_build():
+    """auto=True builds the windowed pair past the edge threshold (the
+    threshold is env-tunable; force a tiny one)."""
+    import os
+    n = 50
+    coo = make_graph(n, n, 600)
+    os.environ['PGT_AUTO_WIN_MIN_EDGES'] = '100'
+    # keep the graph off the dense regime so auto lands on windowed
+    os.environ['PGT_DENSE_SPMM_ENTRIES'] = '10'
+    try:
+        adj = EdgeIndex(coo, (n, n)).fill_cache(auto=True,
+                                                block_sparse=False)
+    finally:
+        del os.environ['PGT_AUTO_WIN_MIN_EDGES']
+        del os.environ['PGT_DENSE_SPMM_ENTRIES']
+    assert adj.win is not None and adj.win_t is not None
+    # carried auto-unit weights would be the identity — must NOT be set
+    assert adj.weight is None
+    x = rng.standard_normal((n, 5)).astype(np.float32)
+    out = spmm(adj, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out),
+                               oracle(coo, None, x, n, n),
+                               rtol=1e-4, atol=1e-4)
