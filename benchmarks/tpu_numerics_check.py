@@ -69,16 +69,20 @@ rec['windowed_spmm'] = float(np.abs(out - ref2).max())
 from pytorch_geometric_tpu.ops.edge_attention import hetero_edge_attention
 H2, D2 = 4, 16
 m = 211
-kv = rng.standard_normal((m, H2, 2 * D2)).astype(np.float32)
+k_t = rng.standard_normal((m, H2, D2)).astype(np.float32)
+v_t = rng.standard_normal((m, H2, D2)).astype(np.float32)
+kv = np.concatenate([k_t.reshape(m, -1), v_t.reshape(m, -1)], axis=1)
 q = rng.standard_normal((n_d, H2, D2)).astype(np.float32)
-p = rng.standard_normal((e2, H2)).astype(np.float32)
+R2 = 3
+p_stack = rng.standard_normal((R2, H2)).astype(np.float32)
+rel = rng.integers(0, R2, e2).astype(np.int32)
 s_i = rng.integers(0, m, e2).astype(np.int32)
 d_i = rng.integers(0, n_d, e2).astype(np.int32)
 out = np.asarray(hetero_edge_attention(
-    jnp.asarray(kv), jnp.asarray(q), jnp.asarray(p),
-    jnp.asarray(s_i), jnp.asarray(d_i), n_d))
-k_e, v_e = kv[s_i, :, :D2], kv[s_i, :, D2:]
-logit = (q[d_i] * k_e).sum(-1) * p
+    jnp.asarray(kv), jnp.asarray(q), jnp.asarray(p_stack),
+    jnp.asarray(rel), jnp.asarray(s_i), jnp.asarray(d_i), n_d))
+k_e, v_e = k_t[s_i], v_t[s_i]
+logit = (q[d_i] * k_e).sum(-1) * p_stack[rel]
 ref3 = np.zeros((n_d, H2, D2))
 for seg in range(n_d):
     sel = d_i == seg

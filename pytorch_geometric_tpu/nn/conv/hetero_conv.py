@@ -129,6 +129,7 @@ class HGTConv(fnn.Module):
                 (src, a_rel, m_rel, p_rel, edge_index_dict[et]))
 
         out_dict = {}
+        type_tok = None   # sequences dst types (see edge_attention._seq)
         for t in node_types:
             if t not in x_dict:
                 continue
@@ -145,33 +146,35 @@ class HGTConv(fnn.Module):
                         if all(fused_softmax_available(r[4]) for r in rels)
                         else 'fused')
             if path == 'fused':
-                from ...ops.edge_attention import hetero_edge_attention
-                kv_parts, s_parts, d_parts, p_parts = [], [], [], []
-                off = 0
+                from ...ops.edge_attention import \
+                    hetero_edge_attention_multi
+                k_tabs, v_tabs, s_parts, d_parts, p_parts = \
+                    [], [], [], [], []
                 for (src, a_rel, m_rel, p_rel, ei) in rels:
                     coo = ei.coo if hasattr(ei, 'coo') else ei
                     n_src = k_dict[src].shape[0]
                     # relation transform at the NODE level (commutes
                     # with the gather; per-edge application measured
-                    # 25% slower on the MAG-shape step) — k|v rows
-                    # concatenated so the edge gather is one 2D-wide
-                    # pass
-                    k_tab = jnp.einsum('nhd,hdf->nhf', k_dict[src], a_rel)
-                    v_tab = jnp.einsum('nhd,hdf->nhf', v_dict[src], m_rel)
-                    kv_parts.append(
-                        jnp.concatenate([k_tab, v_tab], axis=-1))
+                    # 25% slower on the MAG-shape step)
+                    k_tabs.append(
+                        jnp.einsum('nhd,hdf->nhf', k_dict[src], a_rel))
+                    v_tabs.append(
+                        jnp.einsum('nhd,hdf->nhf', v_dict[src], m_rel))
                     valid = (coo[0] < n_src) & (coo[1] < n)
-                    s_parts.append(jnp.minimum(coo[0], n_src - 1) + off)
+                    s_parts.append(jnp.minimum(coo[0], n_src - 1))
                     d_parts.append(
                         jnp.where(valid, jnp.minimum(coo[1], n - 1), n))
-                    p_parts.append(jnp.broadcast_to(
-                        p_rel / jnp.sqrt(D), (coo.shape[1], H)))
-                    off += n_src
-                agg = hetero_edge_attention(
-                    jnp.concatenate(kv_parts, axis=0), q_dict[t],
-                    jnp.concatenate(p_parts), jnp.concatenate(s_parts),
-                    jnp.concatenate(d_parts), n)
+                    p_parts.append(p_rel / jnp.sqrt(D))
+                # one wide [E, 2HD] gather when the union transient
+                # fits the chip; past PGT_ATTN_WIDE_BYTES the online-
+                # softmax flash scan bounds memory to one edge chunk
+                # (full-MAG scale). token chains types so their edge
+                # transients don't coexist
+                agg = hetero_edge_attention_multi(
+                    k_tabs, v_tabs, q_dict[t], p_parts, s_parts,
+                    d_parts, n, token=type_tok)
                 agg = agg.reshape(n, -1)
+                type_tok = agg
             else:
                 per_rel = []
                 for (src, a_rel, m_rel, p_rel, ei) in rels:

@@ -56,10 +56,12 @@ class TransformerConv(MessagePassing):
             if edge_mask is not None:
                 valid = valid & edge_mask
             d_eff = jnp.where(valid, dst, n_dst)
-            p = jnp.full((coo.shape[1], H), 1.0 / jnp.sqrt(C))
-            out = hetero_edge_attention(
-                jnp.concatenate([k, v], axis=-1), q, p, src, d_eff,
-                n_dst)
+            p = jnp.full((1, H), 1.0 / jnp.sqrt(C))
+            rel = jnp.zeros((coo.shape[1],), jnp.int32)
+            kv = jnp.concatenate([k.reshape(n_src, -1),
+                                  v.reshape(n_src, -1)], axis=1)
+            out = hetero_edge_attention(kv, q, p, rel, src, d_eff,
+                                        n_dst)
         elif fused_ok:
             alpha = (q[dst] * k[src]).sum(-1) / jnp.sqrt(C)   # [E, H]
             # one MXU pass for softmax numerator + denominator

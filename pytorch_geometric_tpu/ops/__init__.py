@@ -11,6 +11,7 @@ __all__ = [
     'softmax', 'spmm', 'spmm_regime', 'auto_dense_cap',
     'sddmm', 'edge_softmax', 'edge_softmax_aggregate',
     'multi_relation_softmax_aggregate', 'fused_softmax_available',
+    'hetero_edge_attention', 'hetero_edge_attention_multi',
     'sampled_op', 'sampled_add', 'sampled_sub', 'sampled_mul',
     'sampled_div',
 ]
@@ -22,3 +23,5 @@ from .sddmm import (sddmm, edge_softmax, edge_softmax_aggregate,
                     fused_softmax_available)
 from .sampled import (sampled_op, sampled_add, sampled_sub,
                       sampled_mul, sampled_div)
+from .edge_attention import (hetero_edge_attention,
+                             hetero_edge_attention_multi)

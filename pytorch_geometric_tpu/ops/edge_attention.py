@@ -4,19 +4,35 @@ The MAG-shape HGT step attribution (``bench_windows.jsonl``
 ``hgt_step_attribution``) showed the train-step wall is many medium
 ``[E_r, H*D]`` gather/scatter passes — 7 relations x 2 layers x ~6
 passes each, doubled again by full-layer ``fnn.remat`` recompute. This
-op collapses ALL relations sharing a destination type into:
+module collapses ALL relations sharing a destination type into one
+union-softmax attention with two execution strategies:
 
-* ONE wide gather from a concatenated ``[M, H, 2D]`` K|V node table
-  (512-byte rows at f32 instead of two 256-byte gathers — fatter DMA,
-  half the passes),
-* ONE union segment-softmax over the destination type and ONE wide
-  scatter for the aggregation,
-* a ``jax.custom_vjp`` that saves only ``alpha`` ``[E, H]`` plus the
-  node-level tables it was handed (which autodiff would keep live
-  anyway) instead of rematerialising the whole layer: the backward is
-  three gathers + two wide scatters with NO forward recompute, and the
-  per-edge ``[E, H, D]`` k/v intermediates are never residuals — HGT
-  at full MAG scale fits a 16 GB chip without ``remat``.
+* **wide** (:func:`_attention`): ONE gather from a concatenated
+  ``[M, 2*H*D]`` K|V node table + one union segment-softmax + one wide
+  scatter; the ``custom_vjp`` saves only ``alpha`` (bit-packed, see
+  below) — backward is three gathers + two wide scatters with NO
+  forward recompute and no remat.
+* **flash** (:func:`_attention_flash`): past the wide transient cap,
+  an online-softmax ``lax.scan`` over fixed edge chunks (the graph
+  analogue of flash attention) with running ``(max, normaliser,
+  accumulator)`` carries — peak HBM is ONE chunk's transients, so
+  full-MAG HGT (29M union edges) trains on a 16 GB chip. The backward
+  is a single scan too: the softmax-VJP segment term needs no extra
+  pass because ``sum_seg(alpha * dalpha) = <g, out>[seg]``.
+
+TPU memory/layout rules learned the hard way (full-MAG OOM forensics):
+
+* XLA:TPU tiles the minor dimension to 128 lanes — a ``[E, H=4]`` f32
+  array is STORED at 32x its logical size, and a 3-D ``[E, H, D=16]``
+  gather output at 8x. So every gather/scatter here runs on flat 2-D
+  ``[E, H*D]`` operands (64 -> 128 lanes, 2x), per-edge ``[E, H]``
+  priors are never materialised (per-relation ``[R, H]`` priors +
+  int32 relation ids instead — the ``dp`` cotangent is ``[R, H]``,
+  accumulated in-scan), and the saved ``alpha`` residual is bit-packed
+  to ``[E*H/128, 128]`` (:func:`_pack`).
+* ``optimization_barrier`` does NOT bound peak memory — execution on a
+  TPU core is serial and buffer lifetimes are decided by buffer
+  assignment; only loop structure (``lax.scan``) bounds them.
 
 Reference boundary: ``torch_geometric/nn/conv/hgt_conv.py:17`` computes
 the same union softmax with per-relation ``scatter`` buffers; pyg-lib's
@@ -32,87 +48,336 @@ import numpy as np
 from .scatter import scatter
 from .softmax import _softmax_xla
 
-__all__ = ['hetero_edge_attention']
+__all__ = ['hetero_edge_attention', 'hetero_edge_attention_multi']
 
 
 def _float0(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _attention(num_dst, kv_table, q_table, p_edge, src, dst):
-    """out[n] = sum_{e: dst_e == n} softmax_n(p_e * <q[n], k[src_e]>) v[src_e].
+def _rep(a, d):
+    """[E, H] -> [E, H*D] by repeating each head's column D times
+    (matches the head-major flat layout of ``reshape(e, h * d)``)."""
+    return jnp.repeat(a, d, axis=1)
 
-    kv_table: [M, H, 2D] — k rows in [..., :D], v rows in [..., D:];
-    per-relation tables concatenated along M with ``src`` pre-offset.
-    q_table: [num_dst, H, D]. p_edge: [E, H] per-edge prior (already
-    divided by sqrt(D)). src: [E] in-range into M. dst: [E]; entries
-    ``>= num_dst`` mark padded/invalid edges and are dropped.
+
+def _pack(x):
+    """[E, H] -> [ceil(E*H/128), 128]: narrow arrays lane-pad 32x on
+    TPU; packing the flat elements into full 128-lane rows stores them
+    compactly (one relayout copy each way)."""
+    flat = x.reshape(-1)
+    pad = (-flat.shape[0]) % 128
+    return jnp.pad(flat, (0, pad)).reshape(-1, 128), x.shape
+
+
+def _unpack(packed, shape):
+    e = shape[0] * shape[1]
+    return packed.reshape(-1)[:e].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# wide variant
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attention(num_dst, kv_table, q_table, p_stack, rel, src, dst):
+    """out[n] = sum_{e: dst_e==n} softmax_n(p[rel_e] * <q[n], k[src_e]>) v[src_e].
+
+    kv_table: [M, 2*H*D] FLAT — k rows in [:, :H*D], v rows in
+    [:, H*D:], each half head-major; per-relation tables concatenated
+    along M with ``src`` pre-offset. q_table: [num_dst, H, D].
+    p_stack: [R, H] per-relation prior (already divided by sqrt(D));
+    rel: [E] relation id per edge. src: [E] in-range into M. dst: [E];
+    entries ``>= num_dst`` mark padded/invalid edges and are dropped.
     """
-    out, _ = _attention_fwd(num_dst, kv_table, q_table, p_edge, src, dst)
+    out, _ = _attention_fwd(num_dst, kv_table, q_table, p_stack, rel,
+                            src, dst)
     return out
 
 
-def _attention_fwd(num_dst, kv_table, q_table, p_edge, src, dst):
-    d2 = kv_table.shape[2]
-    d = d2 // 2
-    kve = kv_table[src]                              # [E, H, 2D] one wide gather
-    k, v = kve[..., :d], kve[..., d:]
+def _attention_fwd(num_dst, kv_table, q_table, p_stack, rel, src, dst):
+    hd = kv_table.shape[1] // 2
+    h = q_table.shape[1]
+    d = hd // h
+    e = src.shape[0]
+    kve = kv_table[src]                        # [E, 2HD] one wide gather
+    k, v = kve[:, :hd], kve[:, hd:]
     dsafe = jnp.minimum(dst, num_dst - 1)
-    qe = q_table[dsafe]                              # [E, H, D]
-    logit = (qe * k).sum(-1) * p_edge                # [E, H]
+    qe = q_table.reshape(num_dst, hd)[dsafe]   # [E, HD]
+    logit = (qe * k).reshape(e, h, d).sum(-1) * p_stack[rel]   # [E, H]
     valid = dst < num_dst
     alpha = _softmax_xla(logit, dst, num_dst, mask=valid)
-    e, h = alpha.shape
-    msg = (v * alpha[..., None]).reshape(e, h * d)
-    out = scatter(msg, dst, num_dst, 'sum')          # OOB dst rows drop
+    msg = v * _rep(alpha, d)
+    out = scatter(msg, dst, num_dst, 'sum')    # OOB dst rows drop
     out = out.reshape(num_dst, h, d)
-    return out, (kv_table, q_table, p_edge, src, dst, alpha)
+    a_packed, a_shape = _pack(alpha)
+    return out, (kv_table, q_table, p_stack, rel, src, dst, a_packed,
+                 a_shape)
 
 
 def _attention_bwd(num_dst, res, g):
-    kv_table, q_table, p_edge, src, dst, alpha = res
+    (kv_table, q_table, p_stack, rel, src, dst, a_packed,
+     a_shape) = res
+    alpha = _unpack(a_packed, a_shape)
     m = kv_table.shape[0]
     e, h = alpha.shape
-    d2 = kv_table.shape[2]
-    d = d2 // 2
+    hd = kv_table.shape[1] // 2
+    d = hd // h
     valid = dst < num_dst
     dsafe = jnp.minimum(dst, num_dst - 1)
-    kve = kv_table[src]                              # regather (not a residual)
-    k, v = kve[..., :d], kve[..., d:]
-    qe = q_table[dsafe]
-    ge = jnp.where(valid[:, None, None], g[dsafe], 0)    # [E, H, D]
+    kve = kv_table[src]                        # regather (not a residual)
+    k, v = kve[:, :hd], kve[:, hd:]
+    qe = q_table.reshape(num_dst, hd)[dsafe]
+    ge = jnp.where(valid[:, None],
+                   g.reshape(num_dst, hd)[dsafe], 0)     # [E, HD]
     # out = sum alpha * v
-    dalpha = (ge * v).sum(-1)                        # [E, H]
-    dv = ge * alpha[..., None]
+    dalpha = (ge * v).reshape(e, h, d).sum(-1)           # [E, H]
+    dv = ge * _rep(alpha, d)
     # softmax VJP: dlogit = alpha * (dalpha - sum_seg(alpha * dalpha))
     seg = scatter(alpha * dalpha, dst, num_dst, 'sum', mask=valid)
     dlogit = alpha * (dalpha - jnp.where(valid[:, None], seg[dsafe], 0))
-    base = (qe * k).sum(-1)                          # recompute: 0 extra passes
-    dp = jnp.where(valid[:, None], dlogit * base, 0)
-    dbase = dlogit * p_edge
-    dqe = dbase[..., None] * k
-    dk = dbase[..., None] * qe
-    dkv_e = jnp.where(valid[:, None, None],
-                      jnp.concatenate([dk, dv], axis=-1), 0)
-    # two wide scatters: [E, H*2D] and [E, H*D]
-    dkv = scatter(dkv_e.reshape(e, h * d2), jnp.where(valid, src, m), m,
-                  'sum').reshape(m, h, d2)
-    dq = scatter(dqe.reshape(e, h * d), dst, num_dst, 'sum',
+    base = (qe * k).reshape(e, h, d).sum(-1)   # recompute: 0 extra passes
+    dp = scatter(jnp.where(valid[:, None], dlogit * base, 0), rel,
+                 p_stack.shape[0], 'sum')      # [R, H]
+    dbase = _rep(dlogit * p_stack[rel], d)     # [E, HD]
+    dqe = dbase * k
+    dk = dbase * qe
+    dkv_e = jnp.where(valid[:, None], jnp.concatenate([dk, dv], axis=1),
+                      0)
+    # two wide scatters: [E, 2HD] and [E, HD]
+    dkv = scatter(dkv_e, jnp.where(valid, src, m), m, 'sum')
+    dq = scatter(dqe, dst, num_dst, 'sum',
                  mask=valid).reshape(num_dst, h, d)
-    return dkv, dq, dp, _float0(src), _float0(dst)
+    return (dkv, dq, dp, _float0(rel), _float0(src), _float0(dst))
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
 def hetero_edge_attention(kv_table: jnp.ndarray, q_table: jnp.ndarray,
-                          p_edge: jnp.ndarray, src: jnp.ndarray,
-                          dst: jnp.ndarray, num_dst: int) -> jnp.ndarray:
+                          p_stack: jnp.ndarray, rel: jnp.ndarray,
+                          src: jnp.ndarray, dst: jnp.ndarray,
+                          num_dst: int) -> jnp.ndarray:
     """Union-softmax edge attention over one destination node set.
 
     See :func:`_attention`; ``num_dst`` must be static under ``jit``.
-    ``src`` must be in-range (clamp before offsetting); invalid /
-    padded edges are flagged by ``dst >= num_dst``.
+    ``kv_table`` is FLAT ``[M, 2*H*D]`` (k half then v half, head-major
+    — build with ``concatenate([k.reshape(m, -1), v.reshape(m, -1)],
+    1)``). ``p_stack`` is the [R, H] per-relation prior and ``rel`` the
+    per-edge relation id (single relation: ``p_stack=[1, H]``,
+    ``rel=zeros``). ``src`` must be in-range; invalid / padded edges
+    are flagged by ``dst >= num_dst``.
     """
-    return _attention(int(num_dst), kv_table, q_table, p_edge, src, dst)
+    return _attention(int(num_dst), kv_table, q_table, p_stack, rel,
+                      src, dst)
+
+
+# ---------------------------------------------------------------------------
+# flash variant: online-softmax scan over fixed-size edge chunks
+# ---------------------------------------------------------------------------
+
+
+def _pad128(x, fill):
+    """Lane-pad [C, H<16] to [C, 128] (XLA:TPU serializes narrow
+    scatters — ops/scatter.py _pad_lanes measurements)."""
+    h = x.shape[1]
+    if h >= 16:
+        return x, h
+    return jnp.pad(x, ((0, 0), (0, 128 - h)), constant_values=fill), h
+
+
+def _seg_max(x, d, n, fill):
+    xp, h = _pad128(x, fill)
+    return jax.ops.segment_max(xp, d, n)[:, :h]
+
+
+def _seg_sum(x, d, n):
+    if x.shape[1] < 16:
+        xp, h = _pad128(x, 0.0)
+        return jax.ops.segment_sum(xp, d, n)[:, :h]
+    return jax.ops.segment_sum(x, d, n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attention_flash(num_dst, k_glob, v_glob, q_table, p_stack, rel_ch,
+                     s_ch, d_ch):
+    """Chunked online-softmax edge attention.
+
+    k_glob/v_glob: [M, H*D] flat global tables (all relations
+    concatenated, ``s_ch`` pre-offset). q_table: [num_dst, H, D].
+    p_stack: [R, H]; rel_ch/s_ch/d_ch: [nc, C] (pad: d == num_dst).
+    """
+    out, _ = _attention_flash_fwd(num_dst, k_glob, v_glob, q_table,
+                                  p_stack, rel_ch, s_ch, d_ch)
+    return out
+
+
+def _flash_logit(q_flat, k_glob, p_stack, r, s, d, num_dst, h, dh):
+    c = s.shape[0]
+    dsafe = jnp.minimum(d, num_dst - 1)
+    base = (q_flat[dsafe] * k_glob[s]).reshape(c, h, dh).sum(-1)
+    logit = base * p_stack[r]
+    valid = d < num_dst
+    return jnp.where(valid[:, None], logit, -jnp.inf), base, valid, dsafe
+
+
+def _attention_flash_fwd(num_dst, k_glob, v_glob, q_table, p_stack,
+                         rel_ch, s_ch, d_ch):
+    h, dh = q_table.shape[1], q_table.shape[2]
+    hd = h * dh
+    q_flat = q_table.reshape(num_dst, hd)
+
+    def step(carry, xs):
+        m, l, acc = carry
+        s, d, r = xs
+        logit, _, valid, dsafe = _flash_logit(
+            q_flat, k_glob, p_stack, r, s, d, num_dst, h, dh)
+        dseg = jnp.where(valid, d, num_dst)
+        cm = _seg_max(logit, dseg, num_dst + 1, -jnp.inf)[:num_dst]
+        m_new = jnp.maximum(m, cm)
+        # rescale running sums from old max to new; -inf - -inf guards
+        # (empty rows keep m = -inf until touched)
+        scale = jnp.exp(jnp.where(m > m_new, 0.0, m - m_new))
+        scale = jnp.where(jnp.isfinite(m), scale, 0.0)
+        z = jnp.exp(logit - jnp.where(jnp.isfinite(m_new),
+                                      m_new, 0.0)[dsafe])
+        z = jnp.where(valid[:, None], z, 0.0)
+        l = l * scale + _seg_sum(z, dseg, num_dst + 1)[:num_dst]
+        msg = v_glob[s] * _rep(z, dh)
+        acc = (acc * _rep(scale, dh)
+               + _seg_sum(msg, dseg, num_dst + 1)[:num_dst])
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((num_dst, h), -jnp.inf, q_table.dtype)
+    l0 = jnp.zeros((num_dst, h), q_table.dtype)
+    a0 = jnp.zeros((num_dst, hd), q_table.dtype)
+    (m, l, acc), _ = jax.lax.scan(step, (m0, l0, a0),
+                                  (s_ch, d_ch, rel_ch))
+    out = acc / _rep(jnp.maximum(l, 1e-16), dh)
+    res = (k_glob, v_glob, q_table, p_stack, rel_ch, s_ch, d_ch, m, l,
+           out)
+    return out.reshape(num_dst, h, dh), res
+
+
+def _attention_flash_bwd(num_dst, res, g):
+    (k_glob, v_glob, q_table, p_stack, rel_ch, s_ch, d_ch, m, l,
+     out) = res
+    h, dh = q_table.shape[1], q_table.shape[2]
+    hd = h * dh
+    q_flat = q_table.reshape(num_dst, hd)
+    g_flat = g.reshape(num_dst, hd)
+    l_safe = jnp.maximum(l, 1e-16)
+    # sum_seg(alpha * dalpha) = <g, out>[seg] per head — node-level,
+    # no extra scan needed
+    gdot = (g_flat * out).reshape(num_dst, h, dh).sum(-1)   # [N, H]
+
+    def step(carry, xs):
+        dk, dv, dq, dp = carry
+        s, d, r = xs
+        c = s.shape[0]
+        logit, base, valid, dsafe = _flash_logit(
+            q_flat, k_glob, p_stack, r, s, d, num_dst, h, dh)
+        alpha = jnp.exp(logit - jnp.where(jnp.isfinite(m),
+                                          m, 0.0)[dsafe]) / l_safe[dsafe]
+        alpha = jnp.where(valid[:, None], alpha, 0.0)
+        g_e = g_flat[dsafe]
+        v_e = v_glob[s]
+        dalpha = (g_e * v_e).reshape(c, h, dh).sum(-1)
+        dlogit = alpha * (dalpha - gdot[dsafe])
+        dp = dp + _seg_sum(jnp.where(valid[:, None], dlogit * base, 0),
+                           r, p_stack.shape[0])
+        dbase = _rep(dlogit * p_stack[r], dh)
+        k_e = k_glob[s]
+        q_e = q_flat[dsafe]
+        sdrop = jnp.where(valid, s, k_glob.shape[0])
+        dv = dv.at[sdrop].add(g_e * _rep(alpha, dh), mode='drop')
+        dk = dk.at[sdrop].add(dbase * q_e, mode='drop')
+        dq = dq.at[jnp.where(valid, d, num_dst)].add(
+            dbase * k_e, mode='drop')
+        return (dk, dv, dq, dp), None
+
+    dk0 = jnp.zeros_like(k_glob)
+    dv0 = jnp.zeros_like(v_glob)
+    dq0 = jnp.zeros((num_dst, hd), q_table.dtype)
+    dp0 = jnp.zeros_like(p_stack)
+    (dk, dv, dq, dp), _ = jax.lax.scan(step, (dk0, dv0, dq0, dp0),
+                                       (s_ch, d_ch, rel_ch))
+    return (dk, dv, dq.reshape(num_dst, h, dh), dp,
+            _float0(rel_ch), _float0(s_ch), _float0(d_ch))
+
+
+_attention_flash.defvjp(_attention_flash_fwd, _attention_flash_bwd)
+
+
+# wide-gather transient cap: past this many union [E, 2HD] bytes the
+# flash scan takes over. Several [E, 128-lane] buffers are live at the
+# wide bwd peak, so the real footprint is ~4-6x this figure.
+WIDE_BYTES_CAP = 1e9
+
+
+def hetero_edge_attention_multi(k_tabs, v_tabs, q_table, p_rels,
+                                s_list, d_list, num_dst: int,
+                                wide=None, token=None) -> jnp.ndarray:
+    """Union-softmax edge attention over per-relation node tables.
+
+    k_tabs/v_tabs: per-relation ``[N_r, H, D]``; p_rels: per-relation
+    ``[H]`` priors; s_list: per-relation in-range source ids into that
+    relation's table; d_list: destination ids (``>= num_dst`` marks
+    padded/invalid edges). Picks the single wide-gather op when the
+    union transient fits (``wide=None`` auto), else the chunked flash
+    scan whose peak memory is one ``PGT_ATTN_CHUNK_EDGES`` chunk.
+    ``token`` (any array) sequences this call behind earlier work via
+    an optimization barrier.
+    """
+    import os
+    e_tot = sum(int(s.shape[0]) for s in s_list)
+    h, d_hid = q_table.shape[1], q_table.shape[2]
+    if token is not None:
+        s_list, d_list = _seq((tuple(s_list), tuple(d_list)), token)
+        s_list, d_list = list(s_list), list(d_list)
+    if wide is None:
+        cap = float(os.environ.get('PGT_ATTN_WIDE_BYTES',
+                                   WIDE_BYTES_CAP))
+        wide = e_tot * h * 2 * d_hid * 4 <= cap
+
+    # global flat tables + offset sources serve both variants
+    k_cat = jnp.concatenate(
+        [k.reshape(k.shape[0], -1) for k in k_tabs], axis=0)
+    v_cat = jnp.concatenate(
+        [v.reshape(v.shape[0], -1) for v in v_tabs], axis=0)
+    p_stack = jnp.stack(list(p_rels))
+    off, s_off, rel_parts = 0, [], []
+    for i, (k, s) in enumerate(zip(k_tabs, s_list)):
+        s_off.append(s + off)
+        off += k.shape[0]
+        rel_parts.append(jnp.full((s.shape[0],), i, jnp.int32))
+    s_glob = jnp.concatenate(s_off)
+    d_glob = jnp.concatenate(d_list)
+    rel_glob = jnp.concatenate(rel_parts)
+
+    if wide:
+        kv = jnp.concatenate([k_cat, v_cat], axis=1)
+        return _attention(int(num_dst), kv, q_table, p_stack, rel_glob,
+                          s_glob, d_glob)
+
+    c = int(float(os.environ.get('PGT_ATTN_CHUNK_EDGES', 2e6)))
+    c = max(min(c, max(e_tot, 1)), 1)
+    nc = -(-e_tot // c)
+    pad = nc * c - e_tot
+    s_ch = jnp.pad(s_glob, (0, pad)).reshape(nc, c)
+    d_ch = jnp.pad(d_glob, (0, pad),
+                   constant_values=num_dst).reshape(nc, c)
+    rel_ch = jnp.pad(rel_glob, (0, pad)).reshape(nc, c)
+    return _attention_flash(int(num_dst), k_cat, v_cat, q_table,
+                            p_stack, rel_ch, s_ch, d_ch)
+
+
+def _seq(xs, token):
+    """Chain the pytree ``xs`` behind ``token`` with an optimization
+    barrier (scheduling hint only — it does NOT bound buffer lifetimes;
+    use the flash scan for hard memory bounds)."""
+    if token is None:
+        return xs
+    xs, _ = jax.lax.optimization_barrier((xs, token))
+    return xs

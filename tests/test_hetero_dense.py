@@ -181,3 +181,52 @@ def test_hgt_fused_vs_concat_parity():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_c[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_hgt_flash_scan_parity():
+    """Past PGT_ATTN_WIDE_BYTES the fused path switches to the chunked
+    online-softmax flash scan — same math, bounded transients. Force it with
+    a zero cap and compare against the concat path."""
+    import os
+    data = make_hetero()
+    ei = {et: np.array(v) for et, v in data.edge_index_dict.items()}
+    et0 = ('paper', 'cites', 'paper')
+    ei[et0] = np.concatenate(
+        [ei[et0], np.array([[8, 9], [3, 8]], np.int32)], axis=1)
+    meta = (tuple(data.metadata()[0]), tuple(data.metadata()[1]))
+    x_dict = data.x_dict
+
+    fused = HGTConv(out_channels=32, metadata=meta, heads=4,
+                    attn_path='fused')
+    concat = HGTConv(out_channels=32, metadata=meta, heads=4,
+                     attn_path='concat')
+    params = fused.init(jax.random.PRNGKey(1), x_dict, ei)
+
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    try:
+        out_2p = fused.apply(params, x_dict, ei)
+
+        def loss(p):
+            out = fused.apply(p, x_dict, ei)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+
+        g_2p = jax.grad(loss)(params)
+    finally:
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+    out_c = concat.apply(params, x_dict, ei)
+
+    def loss_c(p):
+        out = concat.apply(p, x_dict, ei)
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    g_c = jax.grad(loss_c)(params)
+    for t in out_2p:
+        np.testing.assert_allclose(np.asarray(out_2p[t]),
+                                   np.asarray(out_c[t]),
+                                   rtol=2e-5, atol=2e-6)
+    flat_c = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_c)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_2p):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_c[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
