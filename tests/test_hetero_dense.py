@@ -230,3 +230,48 @@ def test_hgt_flash_scan_parity():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_c[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_hgt_flash_multichunk_online_softmax():
+    """Tiny chunk size forces many scan steps so the online max/sum
+    rescale recurrence is exercised (a single chunk never rescales)."""
+    import os
+    data = make_hetero()
+    ei = {et: np.array(v) for et, v in data.edge_index_dict.items()}
+    meta = (tuple(data.metadata()[0]), tuple(data.metadata()[1]))
+    x_dict = data.x_dict
+    fused = HGTConv(out_channels=32, metadata=meta, heads=4,
+                    attn_path='fused')
+    concat = HGTConv(out_channels=32, metadata=meta, heads=4,
+                     attn_path='concat')
+    params = fused.init(jax.random.PRNGKey(2), x_dict, ei)
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    os.environ['PGT_ATTN_CHUNK_EDGES'] = '7'
+    try:
+        out_f = fused.apply(params, x_dict, ei)
+
+        def loss(p):
+            out = fused.apply(p, x_dict, ei)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+
+        g_f = jax.grad(loss)(params)
+    finally:
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+    out_c = concat.apply(params, x_dict, ei)
+    for t in out_f:
+        np.testing.assert_allclose(np.asarray(out_f[t]),
+                                   np.asarray(out_c[t]),
+                                   rtol=2e-5, atol=2e-6)
+
+    def loss_c(p):
+        out = concat.apply(p, x_dict, ei)
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    g_c = jax.grad(loss_c)(params)
+    flat_c = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_c)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_f):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_c[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
