@@ -29,6 +29,11 @@ def main():
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--xla', action='store_true',
                     help='run the 3-pass XLA softmax baseline instead')
+    ap.add_argument('--qkv', action='store_true',
+                    help='q.k-scored per-edge-value attention '
+                         '(TransformerConv/HGT form) through the '
+                         'wide-gather alpha-only-VJP op; with --xla, '
+                         'the equivalent raw gather/softmax/scatter')
     args = ap.parse_args()
 
     import jax
@@ -44,13 +49,54 @@ def main():
     # ARGUMENT (closure capture would bake the cache into HLO constants
     # — oversized remote-compile requests, see bench.py)
     ei = (EdgeIndex(coo, (n, n)).fill_cache(blocked=True)
-          if not args.xla else None)
+          if not (args.xla or args.qkv) else None)
     logits = jnp.asarray(rng.standard_normal((e, h)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
     dst = jnp.asarray(coo[1])
     src = jnp.asarray(coo[0])
 
-    if args.xla:
+    if args.qkv:
+        from pytorch_geometric_tpu.ops.edge_attention import \
+            hetero_edge_attention
+        k = jnp.asarray(rng.standard_normal((n, h * f)).astype(
+            np.float32) / np.sqrt(f))
+        q3 = jnp.asarray(rng.standard_normal((n, h, f)).astype(
+            np.float32))
+        vflat = v.reshape(n, h * f)
+        p1 = jnp.full((1, h), 1.0 / np.sqrt(f))
+        rel = jnp.zeros((e,), jnp.int32)
+
+        if args.xla:
+            @jax.jit
+            def fwd_bwd(ei, logits, v, dst, src):
+                def loss(k, q3, v):
+                    kk = k.reshape(n, h, f)
+                    logit = ((q3[dst] * kk[src]).sum(-1)
+                             / np.sqrt(f))
+                    alpha = _softmax_xla(logit, dst, n)
+                    msg = v[src] * alpha[:, :, None]
+                    out = jax.ops.segment_sum(msg, dst, n)
+                    return (out ** 2).sum()
+                l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                    k, q3, v)
+                return l, g
+        else:
+            @jax.jit
+            def _fwd_bwd_q(k, q3, vflat, p1, rel, dst, src):
+                def loss(k, q3, vflat):
+                    kv = jnp.concatenate([k, vflat], axis=1)
+                    out = hetero_edge_attention(kv, q3, p1, rel, src,
+                                                dst, n)
+                    return (out ** 2).sum()
+                l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                    k, q3, vflat)
+                return l, g
+
+            def fwd_bwd(ei, logits, v, dst, src):
+                # all data as ARGUMENTS: closure capture serializes
+                # into the remote-compile request (HTTP 413)
+                return _fwd_bwd_q(k, q3, vflat, p1, rel, dst, src)
+    elif args.xla:
         @jax.jit
         def fwd_bwd(ei, logits, v, dst, src):
             def loss(logits, v):
@@ -84,12 +130,16 @@ def main():
         out = fwd_bwd(ei, logits, v, dst, src)
     _force(out)
     dt = (time.perf_counter() - t0) / args.steps
+    metric = ('qkv_edge_attention_fwd_bwd' if args.qkv
+              else 'gat_softmax_aggregate_fwd_bwd')
+    path = ('xla' if args.xla else
+            ('wide-alpha-vjp' if args.qkv else 'fused'))
     print(json.dumps({
-        'metric': 'gat_softmax_aggregate_fwd_bwd',
+        'metric': metric,
         'nodes': n, 'edges': e, 'heads': h, 'features': f,
         'seconds_per_step': round(dt, 6),
         'edges_per_s': round(e / dt),
-        'path': 'xla3pass' if args.xla else 'fused',
+        'path': path,
         'backend': jax.default_backend(),
     }))
 
