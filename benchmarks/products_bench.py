@@ -280,9 +280,76 @@ def run_train(coo, n, e, steps, scan_k, workers):
     }
 
 
+def run_gat(coo, n, e, hidden):
+    """Full-graph GAT train step at products scale through the
+    online-softmax flash scan (ops/edge_attention.py): every
+    whole-edge-list attention formulation needs [E, H] logits (stored
+    32x lane-padded) + [E, H, C] messages — hundreds of GB here. The
+    reference has no configuration that runs full-graph GAT at this
+    scale on any single device."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import flax.linen as fnn
+    from pytorch_geometric_tpu.nn import GATConv
+
+    rng = np.random.default_rng(2)
+    x_np = rng.standard_normal((n, F)).astype(np.float32)
+    y_np = rng.integers(0, C, n).astype(np.int32)
+
+    class Net(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, coo):
+            x = fnn.relu(GATConv(out_channels=hidden // 4, heads=4)(
+                x, coo))
+            return GATConv(out_channels=C, heads=1,
+                           concat=False)(x, coo)
+
+    net = Net()
+    X = jax.device_put(x_np)
+    del x_np
+    COO = jax.device_put(coo)
+    Y = jax.device_put(jnp.asarray(y_np))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), X, COO)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, X, COO, Y):
+        def loss_fn(p):
+            logits = net.apply(p, X, COO)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, Y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    def _force(o):
+        import jax.numpy as _j
+        return float(_j.sum(jax.tree_util.tree_leaves(o)[-1]))
+
+    params, opt, loss = step(params, opt, X, COO, Y)   # compile
+    _force(loss)
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt, loss = step(params, opt, X, COO, Y)
+    _force(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return {'metric': 'products_fullgraph_gat_train_step',
+            'graph': f'{n}n/{e}e/F{F}/H4x{hidden // 4}',
+            'value': round(dt, 3), 'unit': 's/step',
+            'loss': round(float(loss), 4),
+            'edges_per_s': round(2 * e / dt),
+            'path': 'flash scan (online softmax)',
+            'backend': jax.default_backend()}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--train', action='store_true')
+    ap.add_argument('--gat', action='store_true',
+                    help='full-graph GAT train step (flash scan)')
     ap.add_argument('--infer', action='store_true')
     ap.add_argument('--scale', type=float, default=1.0,
                     help='shrink the graph (0.1 -> 245k nodes) for '
@@ -297,7 +364,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update('jax_platforms', 'cpu')
-    if not (args.train or args.infer):
+    if not (args.train or args.infer or args.gat):
         args.train = args.infer = True
 
     t0 = time.perf_counter()
@@ -308,6 +375,8 @@ def main():
     if args.infer:
         print(json.dumps(run_infer(coo, n, e, args.hidden,
                                    bf16=args.bf16)), flush=True)
+    if args.gat:
+        print(json.dumps(run_gat(coo, n, e, args.hidden)), flush=True)
     if args.train:
         print(json.dumps(run_train(coo, n, e, args.steps, args.scan,
                                    args.workers)), flush=True)

@@ -124,11 +124,29 @@ class GATConv(MessagePassing):
         fused_ok = (not (self.add_self_loops and num_src == num_dst)
                     and not return_attention_weights
                     and fused_gat_available(edge_index) and _use_pallas())
+        # giant-graph path: [E, H] logits lane-pad 32x and [E, H, C]
+        # messages do not fit HBM at products scale — the online-
+        # softmax flash scan bounds peak memory to one edge chunk
+        import os as _os
+        flash_ok = (not fused_ok and not return_attention_weights
+                    and edge_attr is None
+                    and (self.dropout == 0 or deterministic)
+                    and coo.shape[1] * H * C * 4 > float(_os.environ.get(
+                        'PGT_ATTN_WIDE_BYTES', 1e9)))
         if fused_ok:
             scale = _dropout_scale(self, self.dropout, deterministic,
                                    alpha.shape)
             out = gat_aggregate(edge_index, alpha, x_src,
                                 edge_mask=valid, numerator_scale=scale)
+        elif flash_ok:
+            from ...ops.edge_attention import gat_flash_attention
+            # alpha here is pre-activation (leaky_relu applied in the
+            # scan); rebuild node-level parts rather than the [E, H]
+            # edge array
+            out = gat_flash_attention(
+                alpha_src, alpha_dst, x_src, j_idx,
+                jnp.where(valid, i_idx, num_dst), num_dst,
+                negative_slope=self.negative_slope)
         else:
             alpha = softmax(alpha, i_idx, num_dst, mask=valid)
             if self.dropout > 0 and not deterministic:

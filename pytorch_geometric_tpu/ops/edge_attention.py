@@ -381,3 +381,137 @@ def _seq(xs, token):
         return xs
     xs, _ = jax.lax.optimization_barrier((xs, token))
     return xs
+
+
+# ---------------------------------------------------------------------------
+# GAT-form flash: additive node logits + leaky_relu, same online
+# softmax scan — giant-graph GATConv (products scale) on one chip.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gat_flash(num_dst, slope, a_src, a_dst, v_glob, s_ch, d_ch):
+    """out[n] = sum_e softmax_n(leaky_relu(a_src[s_e] + a_dst[n])) v[s_e].
+
+    a_src: [N_src, H]; a_dst: [num_dst, H]; v_glob: [N_src, H*C] flat.
+    s_ch/d_ch: [nc, C] chunked edges (pad: d == num_dst).
+    """
+    out, _ = _gat_flash_fwd(num_dst, slope, a_src, a_dst, v_glob, s_ch,
+                            d_ch)
+    return out
+
+
+def _gat_logit(a_src, a_dst, slope, s, d, num_dst):
+    dsafe = jnp.minimum(d, num_dst - 1)
+    base = a_src[s] + a_dst[dsafe]                 # [C, H]
+    logit = jnp.where(base >= 0, base, slope * base)
+    valid = d < num_dst
+    return jnp.where(valid[:, None], logit, -jnp.inf), base, valid, dsafe
+
+
+def _gat_flash_fwd(num_dst, slope, a_src, a_dst, v_glob, s_ch, d_ch):
+    h = a_src.shape[1]
+    hd = v_glob.shape[1]
+    dh = hd // h
+
+    def step(carry, xs):
+        m, l, acc = carry
+        s, d = xs
+        logit, _, valid, dsafe = _gat_logit(a_src, a_dst, slope, s, d,
+                                            num_dst)
+        dseg = jnp.where(valid, d, num_dst)
+        cm = _seg_max(logit, dseg, num_dst + 1, -jnp.inf)[:num_dst]
+        m_new = jnp.maximum(m, cm)
+        scale = jnp.exp(jnp.where(m > m_new, 0.0, m - m_new))
+        scale = jnp.where(jnp.isfinite(m), scale, 0.0)
+        z = jnp.exp(logit - jnp.where(jnp.isfinite(m_new),
+                                      m_new, 0.0)[dsafe])
+        z = jnp.where(valid[:, None], z, 0.0)
+        l = l * scale + _seg_sum(z, dseg, num_dst + 1)[:num_dst]
+        msg = v_glob[s] * _rep(z, dh)
+        acc = (acc * _rep(scale, dh)
+               + _seg_sum(msg, dseg, num_dst + 1)[:num_dst])
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((num_dst, h), -jnp.inf, v_glob.dtype)
+    l0 = jnp.zeros((num_dst, h), v_glob.dtype)
+    a0 = jnp.zeros((num_dst, hd), v_glob.dtype)
+    (m, l, acc), _ = jax.lax.scan(step, (m0, l0, a0), (s_ch, d_ch))
+    out = acc / _rep(jnp.maximum(l, 1e-16), dh)
+    return (out.reshape(num_dst, h, dh),
+            (a_src, a_dst, v_glob, s_ch, d_ch, m, l, out))
+
+
+def _gat_flash_bwd(num_dst, slope, res, g):
+    a_src, a_dst, v_glob, s_ch, d_ch, m, l, out = res
+    h = a_src.shape[1]
+    hd = v_glob.shape[1]
+    dh = hd // h
+    g_flat = g.reshape(num_dst, hd)
+    l_safe = jnp.maximum(l, 1e-16)
+    gdot = (g_flat * out).reshape(num_dst, h, dh).sum(-1)   # [N, H]
+    n_src = a_src.shape[0]
+
+    def step(carry, xs):
+        dsrc_p, ddst_p, dv = carry
+        s, d = xs
+        c = s.shape[0]
+        logit, base, valid, dsafe = _gat_logit(a_src, a_dst, slope, s,
+                                               d, num_dst)
+        alpha = jnp.exp(logit - jnp.where(jnp.isfinite(m),
+                                          m, 0.0)[dsafe]) / l_safe[dsafe]
+        alpha = jnp.where(valid[:, None], alpha, 0.0)
+        g_e = g_flat[dsafe]
+        v_e = v_glob[s]
+        dalpha = (g_e * v_e).reshape(c, h, dh).sum(-1)
+        dlogit = alpha * (dalpha - gdot[dsafe])
+        dbase = jnp.where(base >= 0, dlogit, slope * dlogit)
+        dbase = jnp.where(valid[:, None], dbase, 0.0)
+        # node-logit grads accumulate into 128-lane-padded carries
+        # (narrow [*, H] scatters serialize on TPU)
+        dbase_p, _ = _pad128(dbase, 0.0)
+        sdrop = jnp.where(valid, s, n_src)
+        dsrc_p = dsrc_p.at[sdrop].add(dbase_p, mode='drop')
+        ddst_p = ddst_p.at[jnp.where(valid, d, num_dst)].add(
+            dbase_p, mode='drop')
+        dv = dv.at[sdrop].add(g_e * _rep(alpha, dh), mode='drop')
+        return (dsrc_p, ddst_p, dv), None
+
+    w = max(128, h)
+    dsrc0 = jnp.zeros((n_src, w), v_glob.dtype)
+    ddst0 = jnp.zeros((num_dst, w), v_glob.dtype)
+    dv0 = jnp.zeros_like(v_glob)
+    (dsrc_p, ddst_p, dv), _ = jax.lax.scan(
+        step, (dsrc0, ddst0, dv0), (s_ch, d_ch))
+    return (dsrc_p[:, :h], ddst_p[:, :h], dv,
+            _float0(s_ch), _float0(d_ch))
+
+
+_gat_flash.defvjp(_gat_flash_fwd, _gat_flash_bwd)
+
+
+def gat_flash_attention(a_src, a_dst, v, src, dst, num_dst: int,
+                        negative_slope: float = 0.2,
+                        chunk: int = None) -> jnp.ndarray:
+    """Giant-graph GAT aggregation: additive node logits + leaky_relu +
+    segment softmax + weighted sum, as an online-softmax scan whose
+    peak memory is one edge chunk (``PGT_ATTN_CHUNK_EDGES``).
+
+    a_src: [N_src, H] source logit parts; a_dst: [num_dst, H]
+    destination parts; v: [N_src, H, C] values; src in-range; invalid /
+    padded edges flagged by ``dst >= num_dst``. Returns
+    [num_dst, H, C].
+    """
+    import os
+    e = src.shape[0]
+    if chunk is None:
+        chunk = int(float(os.environ.get('PGT_ATTN_CHUNK_EDGES', 2e6)))
+    c = max(min(chunk, max(int(e), 1)), 1)
+    nc = -(-e // c)
+    pad = nc * c - e
+    s_ch = jnp.pad(src, (0, pad)).reshape(nc, c)
+    d_ch = jnp.pad(dst, (0, pad),
+                   constant_values=num_dst).reshape(nc, c)
+    v_flat = v.reshape(v.shape[0], -1)
+    return _gat_flash(int(num_dst), float(negative_slope), a_src,
+                      a_dst, v_flat, s_ch, d_ch)

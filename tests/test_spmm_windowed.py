@@ -155,3 +155,50 @@ def test_fill_cache_auto_windowed_build():
     np.testing.assert_allclose(np.asarray(out),
                                oracle(coo, None, x, n, n),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gat_flash_parity():
+    """GATConv's giant-graph flash path (forced via env caps) must
+    match the XLA softmax path — outputs and input gradients."""
+    import os
+    import flax.linen as fnn  # noqa: F401
+    from pytorch_geometric_tpu.nn import GATConv
+
+    n, e = 40, 300
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    # pad a few invalid edges
+    coo = np.concatenate(
+        [coo, np.array([[n, 5], [3, n]], np.int32)], axis=1)
+    x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    mod = GATConv(out_channels=8, heads=4)
+    params = mod.init(jax.random.PRNGKey(0), x, coo)
+
+    out_ref = mod.apply(params, x, coo)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(mod.apply(params, x, coo) ** 2))(x)
+
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    os.environ['PGT_ATTN_CHUNK_EDGES'] = '64'
+    try:
+        out_f = mod.apply(params, x, coo)
+        g_f = jax.grad(
+            lambda x: jnp.sum(mod.apply(params, x, coo) ** 2))(x)
+        gp_f = jax.grad(lambda p: jnp.sum(
+            mod.apply(p, x, coo) ** 2))(params)
+    finally:
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+    gp_ref = jax.grad(lambda p: jnp.sum(
+        mod.apply(p, x, coo) ** 2))(params)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=5e-4, atol=1e-5)
+    flat_r = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(gp_ref)}
+    for k, v in jax.tree_util.tree_leaves_with_path(gp_f):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
