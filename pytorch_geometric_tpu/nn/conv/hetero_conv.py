@@ -252,13 +252,26 @@ class HANConv(fnn.Module):
             d = jnp.minimum(coo[1], n_dst - 1)
             e_src = (h_dict[src] * a_src).sum(-1)
             e_dst = (h_dict[dst] * a_dst).sum(-1)
-            logit = fnn.leaky_relu(e_src[s] + e_dst[d],
-                                   self.negative_slope)
             valid = (coo[0] < n_src) & (coo[1] < n_dst)
-            alpha = segment_softmax(logit, d, n_dst, mask=valid)
-            msg = h_dict[src][s] * alpha[..., None]
-            agg = scatter(msg.reshape(msg.shape[0], -1), d, n_dst, 'sum',
-                          mask=valid)
+            import os as _os
+            if (coo.shape[1] * H * D * 4
+                    > float(_os.environ.get('PGT_ATTN_WIDE_BYTES',
+                                            1e9))):
+                # giant metapath: online-softmax flash scan (additive
+                # leaky_relu logits — same form as GATConv)
+                from ...ops.edge_attention import gat_flash_attention
+                agg = gat_flash_attention(
+                    e_src, e_dst, h_dict[src], s,
+                    jnp.where(valid, d, n_dst), n_dst,
+                    negative_slope=self.negative_slope)
+                agg = agg.reshape(n_dst, -1)
+            else:
+                logit = fnn.leaky_relu(e_src[s] + e_dst[d],
+                                       self.negative_slope)
+                alpha = segment_softmax(logit, d, n_dst, mask=valid)
+                msg = h_dict[src][s] * alpha[..., None]
+                agg = scatter(msg.reshape(msg.shape[0], -1), d, n_dst,
+                              'sum', mask=valid)
             per_dst.setdefault(dst, []).append(fnn.relu(agg))
 
         # semantic attention (reference han_conv.py group()): k_lin and

@@ -48,20 +48,19 @@ class TransformerConv(MessagePassing):
         fused_ok = (plain and fused_gat_available(edge_index)
                     and _use_pallas())
         if plain and not fused_ok:
-            # single-relation wide-gather attention: one [E, H, 2C]
-            # gather + alpha-only custom VJP (ops/edge_attention.py) —
-            # the autodiff path below keeps three [E, H, C] residuals
-            from ...ops.edge_attention import hetero_edge_attention
+            # single-relation wide-gather attention: one [E, 2HC]
+            # gather + alpha-only custom VJP; past the wide cap the
+            # online-softmax flash scan bounds memory to one edge
+            # chunk (ops/edge_attention.py) — the autodiff path below
+            # keeps three [E, H, C] residuals
+            from ...ops.edge_attention import hetero_edge_attention_multi
             valid = (coo[0] < n_src) & (coo[1] < n_dst)
             if edge_mask is not None:
                 valid = valid & edge_mask
             d_eff = jnp.where(valid, dst, n_dst)
-            p = jnp.full((1, H), 1.0 / jnp.sqrt(C))
-            rel = jnp.zeros((coo.shape[1],), jnp.int32)
-            kv = jnp.concatenate([k.reshape(n_src, -1),
-                                  v.reshape(n_src, -1)], axis=1)
-            out = hetero_edge_attention(kv, q, p, rel, src, d_eff,
-                                        n_dst)
+            p = jnp.full((H,), 1.0 / jnp.sqrt(C))
+            out = hetero_edge_attention_multi(
+                [k], [v], q, [p], [src], [d_eff], n_dst)
         elif fused_ok:
             alpha = (q[dst] * k[src]).sum(-1) / jnp.sqrt(C)   # [E, H]
             # one MXU pass for softmax numerator + denominator

@@ -275,3 +275,57 @@ def test_hgt_flash_multichunk_online_softmax():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_c[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_han_flash_parity():
+    """HANConv's giant-metapath flash path matches the XLA path."""
+    import os
+    data = make_hetero()
+    mod = HANConv(out_channels=32, metadata=(tuple(data.metadata()[0]),
+                                             tuple(data.metadata()[1])),
+                  heads=4)
+    params = mod.init(jax.random.PRNGKey(0), data.x_dict,
+                      data.edge_index_dict)
+    out_ref = mod.apply(params, data.x_dict, data.edge_index_dict)
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    os.environ['PGT_ATTN_CHUNK_EDGES'] = '8'
+    try:
+        out_f = mod.apply(params, data.x_dict, data.edge_index_dict)
+    finally:
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+    np.testing.assert_allclose(np.asarray(out_f['paper']),
+                               np.asarray(out_ref['paper']),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_transformer_conv_flash_parity():
+    """TransformerConv past the wide cap rides the flash scan."""
+    import os
+    from pytorch_geometric_tpu.nn import TransformerConv
+    n, e = 30, 200
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+    mod = TransformerConv(out_channels=8, heads=2)
+    params = mod.init(jax.random.PRNGKey(0), x, coo)
+    out_ref = mod.apply(params, x, coo)
+    g_ref = jax.grad(lambda p: jnp.sum(
+        mod.apply(p, x, coo) ** 2))(params)
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    os.environ['PGT_ATTN_CHUNK_EDGES'] = '32'
+    try:
+        out_f = mod.apply(params, x, coo)
+        g_f = jax.grad(lambda p: jnp.sum(
+            mod.apply(p, x, coo) ** 2))(params)
+    finally:
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-6)
+    flat_r = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_ref)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_f):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
