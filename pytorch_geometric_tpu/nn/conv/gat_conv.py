@@ -239,11 +239,25 @@ class GATv2Conv(MessagePassing):
         fused_ok = (not (self.add_self_loops and num_src == num_dst)
                     and not return_attention_weights
                     and fused_gat_available(edge_index) and _use_pallas())
+        import os as _os
+        flash_ok = (not fused_ok and not return_attention_weights
+                    and edge_attr is None
+                    and (self.dropout == 0 or deterministic)
+                    and coo.shape[1] * H * C * 4 > float(_os.environ.get(
+                        'PGT_ATTN_WIDE_BYTES', 1e9)))
         if fused_ok:
             scale = _dropout_scale(self, self.dropout, deterministic,
                                    alpha.shape)
             out = gat_aggregate(edge_index, alpha, x_l,
                                 edge_mask=valid, numerator_scale=scale)
+        elif flash_ok:
+            # giant-graph path: the [E, H, C] joint features never fit
+            # HBM — compute them per chunk in the online-softmax scan
+            from ...ops.edge_attention import gatv2_flash_attention
+            out = gatv2_flash_attention(
+                x_l, x_r, att[0], j_idx,
+                jnp.where(valid, i_idx, num_dst), num_dst,
+                negative_slope=self.negative_slope)
         else:
             alpha = softmax(alpha, i_idx, num_dst, mask=valid)
             if self.dropout > 0 and not deterministic:

@@ -515,3 +515,133 @@ def gat_flash_attention(a_src, a_dst, v, src, dst, num_dst: int,
     v_flat = v.reshape(v.shape[0], -1)
     return _gat_flash(int(num_dst), float(negative_slope), a_src,
                       a_dst, v_flat, s_ch, d_ch)
+
+
+# ---------------------------------------------------------------------------
+# GATv2-form flash: the logit is att . leaky_relu(x_l[s] + x_r[d]) —
+# per-edge [E, H, C] joint features, computed per chunk in the scan.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gatv2_flash(num_dst, slope, heads, x_l, x_r, att, s_ch, d_ch):
+    """x_l: [N_src, H*C] flat head-major (also the values);
+    x_r: [num_dst, H*C]; att: [H*C]. s_ch/d_ch: [nc, C] chunked edges
+    (pad: d == num_dst)."""
+    out, _ = _gatv2_flash_fwd(num_dst, slope, heads, x_l, x_r, att,
+                              s_ch, d_ch)
+    return out
+
+
+def _gatv2_logit(x_l, x_r, att, slope, s, d, num_dst, h, dh):
+    c = s.shape[0]
+    dsafe = jnp.minimum(d, num_dst - 1)
+    base = x_l[s] + x_r[dsafe]                       # [C, HC]
+    joint = jnp.where(base >= 0, base, slope * base)
+    logit = (joint * att).reshape(c, h, dh).sum(-1)  # [C, H]
+    valid = d < num_dst
+    return (jnp.where(valid[:, None], logit, -jnp.inf), joint, base,
+            valid, dsafe)
+
+
+def _gatv2_flash_fwd(num_dst, slope, heads, x_l, x_r, att, s_ch, d_ch):
+    hd = x_l.shape[1]
+    h = heads
+    dh = hd // h
+
+    def step(carry, xs):
+        m, l, acc = carry
+        s, d = xs
+        logit, _, _, valid, dsafe = _gatv2_logit(
+            x_l, x_r, att, slope, s, d, num_dst, h, dh)
+        dseg = jnp.where(valid, d, num_dst)
+        cm = _seg_max(logit, dseg, num_dst + 1, -jnp.inf)[:num_dst]
+        m_new = jnp.maximum(m, cm)
+        scale = jnp.exp(jnp.where(m > m_new, 0.0, m - m_new))
+        scale = jnp.where(jnp.isfinite(m), scale, 0.0)
+        z = jnp.exp(logit - jnp.where(jnp.isfinite(m_new),
+                                      m_new, 0.0)[dsafe])
+        z = jnp.where(valid[:, None], z, 0.0)
+        l = l * scale + _seg_sum(z, dseg, num_dst + 1)[:num_dst]
+        msg = x_l[s] * _rep(z, dh)
+        acc = (acc * _rep(scale, dh)
+               + _seg_sum(msg, dseg, num_dst + 1)[:num_dst])
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((num_dst, h), -jnp.inf, x_l.dtype)
+    l0 = jnp.zeros((num_dst, h), x_l.dtype)
+    a0 = jnp.zeros((num_dst, hd), x_l.dtype)
+    (m, l, acc), _ = jax.lax.scan(step, (m0, l0, a0), (s_ch, d_ch))
+    out = acc / _rep(jnp.maximum(l, 1e-16), dh)
+    return (out.reshape(num_dst, h, dh),
+            (x_l, x_r, att, s_ch, d_ch, m, l, out))
+
+
+def _gatv2_flash_bwd(num_dst, slope, heads, res, g):
+    x_l, x_r, att, s_ch, d_ch, m, l, out = res
+    hd = x_l.shape[1]
+    h = heads
+    dh = hd // h
+    g_flat = g.reshape(num_dst, hd)
+    l_safe = jnp.maximum(l, 1e-16)
+    gdot = (g_flat * out).reshape(num_dst, h, dh).sum(-1)
+    n_src = x_l.shape[0]
+
+    def step(carry, xs):
+        dxl, dxr, datt = carry
+        s, d = xs
+        c = s.shape[0]
+        logit, joint, base, valid, dsafe = _gatv2_logit(
+            x_l, x_r, att, slope, s, d, num_dst, h, dh)
+        alpha = jnp.exp(logit - jnp.where(jnp.isfinite(m),
+                                          m, 0.0)[dsafe]) / l_safe[dsafe]
+        alpha = jnp.where(valid[:, None], alpha, 0.0)
+        g_e = g_flat[dsafe]
+        v_e = x_l[s]
+        dalpha = (g_e * v_e).reshape(c, h, dh).sum(-1)
+        dlogit = alpha * (dalpha - gdot[dsafe])
+        dlogit = jnp.where(valid[:, None], dlogit, 0.0)
+        dl_rep = _rep(dlogit, dh)
+        datt = datt + jnp.sum(joint * dl_rep, axis=0)
+        djoint = dl_rep * att
+        dbase = jnp.where(base >= 0, djoint, slope * djoint)
+        sdrop = jnp.where(valid, s, n_src)
+        dxl = dxl.at[sdrop].add(dbase + g_e * _rep(alpha, dh),
+                                mode='drop')
+        dxr = dxr.at[jnp.where(valid, d, num_dst)].add(dbase,
+                                                       mode='drop')
+        return (dxl, dxr, datt), None
+
+    dxl0 = jnp.zeros_like(x_l)
+    dxr0 = jnp.zeros((num_dst, hd), x_l.dtype)
+    datt0 = jnp.zeros_like(att)
+    (dxl, dxr, datt), _ = jax.lax.scan(step, (dxl0, dxr0, datt0),
+                                       (s_ch, d_ch))
+    return (dxl, dxr, datt, _float0(s_ch), _float0(d_ch))
+
+
+_gatv2_flash.defvjp(_gatv2_flash_fwd, _gatv2_flash_bwd)
+
+
+def gatv2_flash_attention(x_l, x_r, att, src, dst, num_dst: int,
+                          negative_slope: float = 0.2,
+                          chunk: int = None) -> jnp.ndarray:
+    """Giant-graph GATv2 aggregation (joint-feature logits) as an
+    online-softmax scan. x_l: [N_src, H, C] (values AND source logit
+    half); x_r: [num_dst, H, C]; att: [H, C]. Invalid / padded edges
+    flagged by ``dst >= num_dst``. Returns [num_dst, H, C]."""
+    import os
+    e = src.shape[0]
+    if chunk is None:
+        chunk = int(float(os.environ.get('PGT_ATTN_CHUNK_EDGES', 2e6)))
+    c = max(min(chunk, max(int(e), 1)), 1)
+    nc = -(-e // c)
+    pad = nc * c - e
+    s_ch = jnp.pad(src, (0, pad)).reshape(nc, c)
+    d_ch = jnp.pad(dst, (0, pad),
+                   constant_values=num_dst).reshape(nc, c)
+    h = x_l.shape[1]
+    return _gatv2_flash(int(num_dst), float(negative_slope), int(h),
+                        x_l.reshape(x_l.shape[0], -1),
+                        x_r.reshape(x_r.shape[0], -1),
+                        att.reshape(-1), s_ch, d_ch)

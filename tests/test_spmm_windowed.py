@@ -202,3 +202,39 @@ def test_gat_flash_parity():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_gatv2_flash_parity():
+    """GATv2Conv's giant-graph flash path (joint-feature logits
+    computed per chunk) matches the XLA path — outputs and grads."""
+    import os
+    from pytorch_geometric_tpu.nn import GATv2Conv
+
+    n, e = 36, 250
+    coo = np.stack([rng.integers(0, n, e),
+                    rng.integers(0, n, e)]).astype(np.int32)
+    coo = np.concatenate(
+        [coo, np.array([[n, 2], [7, n]], np.int32)], axis=1)
+    x = jnp.asarray(rng.standard_normal((n, 10)).astype(np.float32))
+    mod = GATv2Conv(out_channels=6, heads=3)
+    params = mod.init(jax.random.PRNGKey(0), x, coo)
+    out_ref = mod.apply(params, x, coo)
+    gp_ref = jax.grad(lambda p: jnp.sum(
+        mod.apply(p, x, coo) ** 2))(params)
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    os.environ['PGT_ATTN_CHUNK_EDGES'] = '48'
+    try:
+        out_f = mod.apply(params, x, coo)
+        gp_f = jax.grad(lambda p: jnp.sum(
+            mod.apply(p, x, coo) ** 2))(params)
+    finally:
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-6)
+    flat_r = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(gp_ref)}
+    for k, v in jax.tree_util.tree_leaves_with_path(gp_f):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
