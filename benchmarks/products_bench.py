@@ -345,11 +345,92 @@ def run_gat(coo, n, e, hidden):
             'backend': jax.default_backend()}
 
 
+def run_sol(coo, n, e, feats=100):
+    """Scatter-gather speed-of-light probe: the irreducible ops of any
+    sparse aggregation at this scale — one random row gather of the
+    edge list's sources and one dst-sorted chunked scatter-add — timed
+    RAW on the same graph, then our windowed SpMM as a fraction of
+    their sum. This is the honest denominator for '% of achievable':
+    the naive E*F-bytes HBM-roofline model is unreachable for ANY
+    row-gather formulation on this hardware (measured ~70-90 GB/s
+    effective gather vs 819 GB/s streaming)."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_tpu.edge_index import (EdgeIndex,
+                                                  build_windowed_csc)
+    from pytorch_geometric_tpu.ops.spmm import _windowed_spmm
+
+    rng = np.random.default_rng(3)
+    x = jax.device_put(
+        rng.standard_normal((n, feats)).astype(np.float32))
+    order = np.argsort(coo[1], kind='stable')
+    S = jax.device_put(coo[0][order])
+    D = jax.device_put(np.minimum(coo[1][order], n).astype(np.int32))
+    win = jax.device_put(build_windowed_csc(coo, n, n))
+    win_t = jax.device_put(build_windowed_csc(coo[::-1], n, n))
+
+    def force(o):
+        return float(jnp.sum(o))
+
+    def timeit(f, *a, reps=2):
+        force(f(*a))
+        force(f(*a))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            force(f(*a))
+        return (time.perf_counter() - t0) / reps
+
+    # chunked raw passes at the same chunk size the windowed op uses
+    c = 1 << 21
+    nc = -(-e // c)
+    pad = nc * c - e
+    S_ch = jax.device_put(np.pad(np.asarray(S), (0, pad)).reshape(nc, c))
+    D_ch = jax.device_put(np.pad(np.asarray(D), (0, pad),
+                                 constant_values=n).reshape(nc, c))
+
+    @jax.jit
+    def raw_gather(x, S_ch):
+        def body(acc, s):
+            return acc + x[s].sum(0), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((feats,)), (S_ch,))
+        return acc
+
+    @jax.jit
+    def raw_scatter(x, S_ch, D_ch):
+        def body(acc, args):
+            s, d = args
+            return acc.at[d].add(x[s], mode='drop',
+                                 indices_are_sorted=True), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((n, feats)),
+                              (S_ch, D_ch))
+        return acc
+
+    @jax.jit
+    def ours(win, win_t, x):
+        return _windowed_spmm(win, win_t, None, x, n, n)
+
+    t_gather = timeit(raw_gather, x, S_ch)
+    t_full = timeit(raw_scatter, x, S_ch, D_ch)
+    t_ours = timeit(ours, win, win_t, x)
+    return {'metric': 'spmm_speed_of_light_probe',
+            'graph': f'{n}n/{e}e/F{feats}',
+            'raw_gather_s': round(t_gather, 3),
+            'raw_gather_scatter_s': round(t_full, 3),
+            'windowed_spmm_s': round(t_ours, 3),
+            'pct_of_gather_scatter_sol': round(
+                100 * t_full / t_ours, 1),
+            'gather_gbps_effective': round(
+                e * feats * 4 / t_gather / 1e9, 1),
+            'backend': jax.default_backend()}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--train', action='store_true')
     ap.add_argument('--gat', action='store_true',
                     help='full-graph GAT train step (flash scan)')
+    ap.add_argument('--sol', action='store_true',
+                    help='scatter-gather speed-of-light probe')
     ap.add_argument('--infer', action='store_true')
     ap.add_argument('--scale', type=float, default=1.0,
                     help='shrink the graph (0.1 -> 245k nodes) for '
@@ -364,7 +445,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update('jax_platforms', 'cpu')
-    if not (args.train or args.infer or args.gat):
+    if not (args.train or args.infer or args.gat or args.sol):
         args.train = args.infer = True
 
     t0 = time.perf_counter()
@@ -377,6 +458,8 @@ def main():
                                    bf16=args.bf16)), flush=True)
     if args.gat:
         print(json.dumps(run_gat(coo, n, e, args.hidden)), flush=True)
+    if args.sol:
+        print(json.dumps(run_sol(coo, n, e)), flush=True)
     if args.train:
         print(json.dumps(run_train(coo, n, e, args.steps, args.scan,
                                    args.workers)), flush=True)
