@@ -38,9 +38,10 @@ def softmax(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
     return _softmax_xla(src, index, num_segments, mask)
 
 
-@partial(jax.jit, static_argnames=('num_segments',))
+@partial(jax.jit, static_argnames=('num_segments', 'indices_are_sorted'))
 def _softmax_xla(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 indices_are_sorted: bool = False) -> jnp.ndarray:
     # Narrow per-head logits ([E, H], H typically 1-8) hit XLA:TPU's
     # serialized scatter lowering — measured [E, 4] segment_max at
     # 67 s vs 79 ms padded to the 128-lane boundary (ops/scatter.py
@@ -55,20 +56,28 @@ def _softmax_xla(src: jnp.ndarray, index: jnp.ndarray, num_segments: int,
     if pad and src.ndim == 2 and src.shape[1] < LANE_PAD_BELOW:
         w = src.shape[1]
         src_p = jnp.pad(src, ((0, 0), (0, 128 - w)))
-        return _softmax_xla(src_p, index, num_segments,
-                            mask=mask)[:, :w]
+        return _softmax_xla(src_p, index, num_segments, mask=mask,
+                            indices_are_sorted=indices_are_sorted
+                            )[:, :w]
     if mask is not None:
+        # CAUTION (indices_are_sorted=True callers): masking rewrites
+        # masked entries to the sentinel; that preserves sortedness
+        # only when masked entries ALREADY sit at sentinel positions
+        # (mask == index < num_segments) — true for the edge_attention
+        # call sites, which fold invalidity into the index first
         index = jnp.where(mask, index, num_segments)
         num_segments_eff = num_segments + 1
     else:
         num_segments_eff = num_segments
 
-    maxes = jax.ops.segment_max(src, index, num_segments_eff)
+    maxes = jax.ops.segment_max(src, index, num_segments_eff,
+                                indices_are_sorted=indices_are_sorted)
     maxes = jnp.where(jnp.isfinite(maxes), maxes, 0)
     gathered_max = maxes[jnp.minimum(index, num_segments_eff - 1)]
     out = jnp.exp(src - gathered_max)
     if mask is not None:
         out = jnp.where(_broadcast(mask, out, 0), out, 0)
-    sums = jax.ops.segment_sum(out, index, num_segments_eff)
+    sums = jax.ops.segment_sum(out, index, num_segments_eff,
+                               indices_are_sorted=indices_are_sorted)
     denom = sums[jnp.minimum(index, num_segments_eff - 1)] + 1e-16
     return out / denom

@@ -329,3 +329,76 @@ def test_transformer_conv_flash_parity():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_attention_sorted_path_parity():
+    """PGT_ATTN_SORT_MIN_EDGES=1 forces the dst-sort + sorted-flag
+    lowering in the wide, flash, and GAT-flash paths — results must be
+    identical (the sort is an internal relayout)."""
+    import os
+    from pytorch_geometric_tpu.nn import GATConv
+
+    data = make_hetero()
+    ei = {et: np.array(v) for et, v in data.edge_index_dict.items()}
+    meta = (tuple(data.metadata()[0]), tuple(data.metadata()[1]))
+    x_dict = data.x_dict
+    fused = HGTConv(out_channels=32, metadata=meta, heads=4,
+                    attn_path='fused')
+    params = fused.init(jax.random.PRNGKey(3), x_dict, ei)
+    out_ref = fused.apply(params, x_dict, ei)
+
+    def loss(p):
+        out = fused.apply(p, x_dict, ei)
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    g_ref = jax.grad(loss)(params)
+
+    os.environ['PGT_ATTN_SORT_MIN_EDGES'] = '1'
+    try:
+        # wide path, sorted
+        out_s = fused.apply(params, x_dict, ei)
+        g_s = jax.grad(loss)(params)
+        # flash path, sorted
+        os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+        os.environ['PGT_ATTN_CHUNK_EDGES'] = '8'
+        out_fs = fused.apply(params, x_dict, ei)
+        g_fs = jax.grad(loss)(params)
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+        # gat flash, sorted
+        n, e = 30, 200
+        rng2 = np.random.default_rng(11)
+        coo = np.stack([rng2.integers(0, n, e),
+                        rng2.integers(0, n, e)]).astype(np.int32)
+        x = jnp.asarray(
+            rng2.standard_normal((n, 12)).astype(np.float32))
+        gmod = GATConv(out_channels=8, heads=4)
+        gparams = gmod.init(jax.random.PRNGKey(0), x, coo)
+        gout_ref = gmod.apply(gparams, x, coo)
+        os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+        os.environ['PGT_ATTN_CHUNK_EDGES'] = '64'
+        gout_s = gmod.apply(gparams, x, coo)
+        del os.environ['PGT_ATTN_WIDE_BYTES']
+        del os.environ['PGT_ATTN_CHUNK_EDGES']
+    finally:
+        del os.environ['PGT_ATTN_SORT_MIN_EDGES']
+        os.environ.pop('PGT_ATTN_WIDE_BYTES', None)
+        os.environ.pop('PGT_ATTN_CHUNK_EDGES', None)
+
+    for t in out_ref:
+        np.testing.assert_allclose(np.asarray(out_s[t]),
+                                   np.asarray(out_ref[t]),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(out_fs[t]),
+                                   np.asarray(out_ref[t]),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gout_s), np.asarray(gout_ref),
+                               rtol=2e-5, atol=2e-6)
+    flat_r = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_ref)}
+    for gx in (g_s, g_fs):
+        for k, v in jax.tree_util.tree_leaves_with_path(gx):
+            np.testing.assert_allclose(
+                np.asarray(v),
+                np.asarray(flat_r[jax.tree_util.keystr(k)]),
+                rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
