@@ -332,7 +332,17 @@ class EdgeIndex:
             # one stable argsort per orientation, shared between the
             # CSR/CSC builds and the windowed layout below (each sort
             # is ~30 s at 123M edges)
-            may_win = windowed is not False and self.win is None
+            # resolve the auto `windowed` decision up-front (advisor
+            # round 4): the perms cost multi-second host sorts at giant
+            # E, so only build them when the windowed layout can
+            # actually be constructed below (explicit True, or auto
+            # with the edge count past the chunk trigger) or when
+            # csr/csc are missing anyway
+            may_win = self.win is None and (
+                windowed is True
+                or (windowed is None and auto
+                    and self.num_edges >= int(float(_os.environ.get(
+                        'PGT_AUTO_WIN_MIN_EDGES', 2**24)))))
             if self.csr is None or may_win:
                 row_perm_np = np.argsort(self._coo_host[0],
                                          kind='stable')

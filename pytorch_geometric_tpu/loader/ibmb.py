@@ -89,14 +89,22 @@ def _order_batches(ys, num_classes, batch_order, rng):
 
 
 # ---------------------------------------------------------------- merge
-def get_pairs(ppr_sub: np.ndarray) -> np.ndarray:
+def get_pairs(ppr_sub) -> np.ndarray:
     """Output-pair list sorted by symmetrized PPR mass, heaviest first
-    (reference ``get_pairs``, ``ibmb_loader.py:292``)."""
-    m = ppr_sub + ppr_sub.T
-    iu = np.triu_indices(m.shape[0], k=1)
-    vals = m[iu]
-    nz = vals > 0
-    row, col, vals = iu[0][nz], iu[1][nz], vals[nz]
+    (reference ``get_pairs``, ``ibmb_loader.py:292``). Accepts a dense
+    array or a ``scipy.sparse`` matrix (the reference works on sparse
+    PPR matrices throughout — dense is O(N^2) host memory)."""
+    import scipy.sparse as sp
+    if sp.issparse(ppr_sub):
+        m = (ppr_sub + ppr_sub.T).tocoo()
+        keep = (m.row < m.col) & (m.data > 0)
+        row, col, vals = m.row[keep], m.col[keep], m.data[keep]
+    else:
+        m = ppr_sub + ppr_sub.T
+        iu = np.triu_indices(m.shape[0], k=1)
+        vals = m[iu]
+        nz = vals > 0
+        row, col, vals = iu[0][nz], iu[1][nz], vals[nz]
     order = np.argsort(vals)[::-1]
     return np.stack([row[order], col[order]], 1)
 
@@ -140,19 +148,20 @@ def prime_post_process(groups: List[List[int]],
     return [p for _, _, p in sorted(h)]
 
 
-def ppr_power_method(adj_rw: np.ndarray, sets: List[np.ndarray],
+def ppr_power_method(adj_rw, sets: List[np.ndarray],
                      topk: int, num_iter: int,
                      alpha: float) -> List[np.ndarray]:
     """Topic-sensitive PPR for several teleport sets at once (reference
     ``ppr_power_method``, ``ibmb_loader.py:223``); adj_rw is the
-    row-normalised transposed adjacency."""
+    row-normalised transposed adjacency (dense or ``scipy.sparse`` —
+    the iterate stays dense ``[N, num_sets]`` either way)."""
     n = adj_rw.shape[0]
     logits = np.zeros((n, len(sets)))
     for i, s in enumerate(sets):
         logits[s, i] = 1.0 / len(s)
     new = logits.copy()
     for _ in range(num_iter):
-        new = adj_rw @ new * (1 - alpha) + alpha * logits
+        new = np.asarray(adj_rw @ new) * (1 - alpha) + alpha * logits
     out = []
     for i in range(len(sets)):
         nz = int(min((new[:, i] > 0).sum(), topk))
@@ -183,19 +192,24 @@ class IBMBNodeLoader:
         self.output_indices = np.asarray(output_indices)
         self.rng = np.random.default_rng(seed)
 
+        import scipy.sparse as sp
         from ..utils.extra import ppr
         coo_p, vals = ppr(self.coo, n, alpha=alpha, eps=eps)
-        mat = np.zeros((n, n))
-        mat[coo_p[0], coo_p[1]] = vals
+        # sparse PPR matrix throughout (the reference's topk_ppr_matrix
+        # is scipy CSR; a dense [N, N] would be O(N^2) host memory)
+        mat = sp.csr_matrix((vals, (coo_p[0], coo_p[1])), shape=(n, n))
 
         # per-output top-k auxiliary sets (reference topk_ppr_matrix)
         rows = mat[self.output_indices]
         k = min(num_auxiliary_nodes, n)
-        nbrs = np.argsort(rows, 1)[:, -k:]
-        self._neighbors = [
-            np.union1d(nbrs[i][rows[i, nbrs[i]] > 0],
-                       [self.output_indices[i]])
-            for i in range(len(self.output_indices))]
+        self._neighbors = []
+        for i in range(len(self.output_indices)):
+            r0, r1 = rows.indptr[i], rows.indptr[i + 1]
+            cols, dat = rows.indices[r0:r1], rows.data[r0:r1]
+            order = np.argsort(dat)[-k:]
+            top = cols[order][dat[order] > 0]
+            self._neighbors.append(
+                np.union1d(top, [self.output_indices[i]]))
 
         pairs = get_pairs(rows[:, self.output_indices])
         groups = prime_orient_merge(pairs, num_nodes_per_batch,
@@ -275,12 +289,17 @@ class IBMBBatchLoader:
         part_outputs = [o for o in part_outputs if len(o)]
 
         # row-normalised transposed adjacency for the power method
-        # (reference create_adj_from_edge_index(normalization='rw'))
+        # (reference create_adj_from_edge_index(normalization='rw')) —
+        # scipy CSR, not dense: O(E) host memory at the graph scales
+        # IBMB targets
         import math
-        A = np.zeros((n, n))
-        np.add.at(A, (self.coo[1], self.coo[0]), 1.0)
-        deg = A.sum(1)
-        adj_rw = A / np.maximum(deg, 1)[:, None]
+
+        import scipy.sparse as sp
+        A = sp.csr_matrix(
+            (np.ones(self.coo.shape[1]), (self.coo[1], self.coo[0])),
+            shape=(n, n))
+        deg = np.asarray(A.sum(1)).ravel()
+        adj_rw = sp.diags(1.0 / np.maximum(deg, 1)) @ A
         topk = math.ceil(batch_expand_ratio * n / num_partitions)
         nbrs = ppr_power_method(adj_rw, part_outputs, topk,
                                 approximate_ppr_iterations, alpha)

@@ -479,6 +479,10 @@ def _gat_flash_bwd(num_dst, slope, sorted_dst, res, g):
     l_safe = jnp.maximum(l, 1e-16)
     gdot = (g_flat * out).reshape(num_dst, h, dh).sum(-1)   # [N, H]
     n_src = a_src.shape[0]
+    # carry width: lane-pad narrow [*, H] grads to 128 (narrow scatters
+    # serialize on TPU); H >= 16 scatters at its own width — the carry
+    # MUST match whatever width dbase is padded to below
+    w = 128 if h < 16 else h
 
     def step(carry, xs):
         dsrc_p, ddst_p, dv = carry
@@ -495,9 +499,8 @@ def _gat_flash_bwd(num_dst, slope, sorted_dst, res, g):
         dlogit = alpha * (dalpha - gdot[dsafe])
         dbase = jnp.where(base >= 0, dlogit, slope * dlogit)
         dbase = jnp.where(valid[:, None], dbase, 0.0)
-        # node-logit grads accumulate into 128-lane-padded carries
-        # (narrow [*, H] scatters serialize on TPU)
-        dbase_p, _ = _pad128(dbase, 0.0)
+        dbase_p = (dbase if h >= w else
+                   jnp.pad(dbase, ((0, 0), (0, w - h))))
         sdrop = jnp.where(valid, s, n_src)
         dsrc_p = dsrc_p.at[sdrop].add(dbase_p, mode='drop')
         ddst_p = ddst_p.at[jnp.where(valid, d, num_dst)].add(
@@ -505,7 +508,6 @@ def _gat_flash_bwd(num_dst, slope, sorted_dst, res, g):
         dv = dv.at[sdrop].add(g_e * _rep(alpha, dh), mode='drop')
         return (dsrc_p, ddst_p, dv), None
 
-    w = max(128, h)
     dsrc0 = jnp.zeros((n_src, w), v_glob.dtype)
     ddst0 = jnp.zeros((num_dst, w), v_glob.dtype)
     dv0 = jnp.zeros_like(v_glob)

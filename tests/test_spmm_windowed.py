@@ -238,3 +238,38 @@ def test_gatv2_flash_parity():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_gat_flash_bwd_wide_heads():
+    """Regression: 16 <= heads < 128 crashed _gat_flash_bwd (carry
+    width max(128, h) vs un-padded [C, h] dbase — advisor round 4)."""
+    from pytorch_geometric_tpu.ops.edge_attention import (
+        gat_flash_attention)
+
+    n, e, h, c = 20, 90, 16, 4
+    src = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    dst = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    a_src = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_dst = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, h, c)).astype(np.float32))
+
+    def flash(a_s, a_d, vv):
+        return jnp.sum(gat_flash_attention(a_s, a_d, vv, src, dst, n,
+                                           chunk=32) ** 2)
+
+    def oracle(a_s, a_d, vv):
+        base = a_s[src] + a_d[dst]                        # [E, H]
+        logit = jnp.where(base >= 0, base, 0.2 * base)
+        mx = jax.ops.segment_max(logit, dst, n)
+        z = jnp.exp(logit - mx[dst])
+        den = jax.ops.segment_sum(z, dst, n)
+        alpha = z / jnp.maximum(den, 1e-16)[dst]
+        msg = vv[src] * alpha[:, :, None]
+        return jnp.sum(jax.ops.segment_sum(
+            msg.reshape(e, -1), dst, n) ** 2)
+
+    g_f = jax.grad(flash, argnums=(0, 1, 2))(a_src, a_dst, v)
+    g_o = jax.grad(oracle, argnums=(0, 1, 2))(a_src, a_dst, v)
+    for gf, go in zip(g_f, g_o):
+        np.testing.assert_allclose(np.asarray(gf).reshape(go.shape),
+                                   np.asarray(go), rtol=5e-4, atol=1e-5)
