@@ -1,5 +1,9 @@
 from .models import LLM, SentenceTransformer, GRetriever, VisionTransformer
-from .rag import LargeGraphIndexer, RAGQueryLoader
+from .rag import (LargeGraphIndexer, MappedFeature, TripletLike,
+                  get_features_for_triplets,
+                  get_features_for_triplets_groups)
+from .stores import (KNNRAGFeatureStore, NeighborSamplingRAGGraphStore,
+                     RAGQueryLoader, batch_knn)
 from .glem import GLEM, glem_loss
 from .protein_mpnn import ProteinMPNN
 from .kg import (TXT2KG, LLMJudge, chunk_text, parse_n_check_triples,
@@ -10,7 +14,10 @@ from .multimodal import (MoleculeGPT, GITMol, GitMolGraphEncoder,
 
 __all__ = [
     'GLEM', 'glem_loss', 'LLM', 'SentenceTransformer', 'GRetriever',
-    'LargeGraphIndexer', 'RAGQueryLoader', 'ProteinMPNN',
+    'LargeGraphIndexer', 'MappedFeature', 'TripletLike',
+    'get_features_for_triplets', 'get_features_for_triplets_groups',
+    'KNNRAGFeatureStore', 'NeighborSamplingRAGGraphStore',
+    'RAGQueryLoader', 'batch_knn', 'ProteinMPNN',
     'TXT2KG', 'LLMJudge', 'chunk_text', 'parse_n_check_triples',
     'merge_triples', 'VectorRetriever', 'DocumentRetriever',
     'MoleculeGPT', 'GITMol', 'GitMolGraphEncoder', 'pad_or_truncate',
