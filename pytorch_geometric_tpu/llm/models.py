@@ -142,13 +142,26 @@ def apply_lora(model, r: int = 8, alpha: int = 16,
 
 
 class GRetriever:
-    """GNN soft-prompt + LLM, TRAINABLE (reference
+    """GNN soft-prompt + LLM, TRAINABLE END-TO-END (reference
     ``llm/models/g_retriever.py:46-170``).
 
-    ``gnn_encode(x, edge_index) -> [N, D]`` is any of our jax models
-    wrapped in a callable (frozen w.r.t. the LM loss — the reference
-    default trains projector + optional LoRA while the LLM body stays
-    frozen). The projector is the reference's
+    Two GNN modes:
+
+    * ``gnn_encode(x, edge_index) -> [N, D]``: a plain callable,
+      FROZEN w.r.t. the LM loss (a deliberate deviation available for
+      cheap fine-tuning; the reference's GNN is a torch submodule that
+      trains through the LM loss by default, ``g_retriever.py:52,113``).
+    * ``gnn_apply(params, x, edge_index) -> [N, D]`` + ``gnn_params``:
+      a functional JAX model that TRAINS jointly — the LM-loss
+      cotangent crosses the torch->JAX boundary at the pooled
+      projector input: forward records a ``jax.vjp`` per sample and
+      hands the pooled embedding to torch as a grad-requiring leaf;
+      after ``loss.backward()``, :meth:`gnn_grads` pulls each leaf's
+      ``.grad`` back through the saved VJPs and sums them into one
+      params-pytree gradient (one more optax update for the caller,
+      or use :meth:`train_step`). This matches the reference default.
+
+    The projector is the reference's
     Linear->Sigmoid->Linear->Unflatten MLP (``g_retriever.py:79-87``)
     in torch, so its gradients flow from the HF loss directly;
     :meth:`forward` computes the autoregressive LM loss over the label
@@ -156,13 +169,21 @@ class GRetriever:
     layout: [bos | graph tokens | question | label], labels masked to
     -100 everywhere except the label positions)."""
 
-    def __init__(self, llm: LLM, gnn_encode: Callable,
-                 gnn_out_dim: int, num_prompt_tokens: int = 1,
-                 use_lora: bool = False, seed: int = 0):
+    def __init__(self, llm: LLM, gnn_encode: Optional[Callable] = None,
+                 gnn_out_dim: int = 0, num_prompt_tokens: int = 1,
+                 use_lora: bool = False, seed: int = 0,
+                 gnn_apply: Optional[Callable] = None,
+                 gnn_params: Any = None):
         import torch
         torch.manual_seed(seed)
+        assert (gnn_encode is None) != (gnn_apply is None), \
+            'pass exactly one of gnn_encode (frozen) or ' \
+            'gnn_apply+gnn_params (jointly trained)'
         self.llm = llm
         self.gnn_encode = gnn_encode
+        self.gnn_apply = gnn_apply
+        self.gnn_params = gnn_params
+        self._pending = []    # (torch leaf, jax vjp) per fwd sample
         self.num_prompt_tokens = num_prompt_tokens
         self.d = llm.word_embedding_dim
         self.projector = torch.nn.Sequential(
@@ -176,18 +197,68 @@ class GRetriever:
                             if use_lora else [])
 
     def parameters(self):
-        """Trainable parameters: projector (+ LoRA adapters)."""
+        """Trainable TORCH parameters: projector (+ LoRA adapters).
+        The JAX GNN side trains via :meth:`gnn_grads` / optax."""
         return list(self.projector.parameters()) + self.lora_params
 
     def soft_prompt(self, x, edge_index):
         """[num_prompt_tokens, d] torch tensor with grad through the
-        projector (GNN output enters as a constant — the JAX/torch
-        boundary is the stop-gradient the reference also has when the
-        GNN is frozen)."""
+        projector; in ``gnn_apply`` mode also through the GNN (the
+        pooled embedding is a grad-requiring torch leaf whose ``.grad``
+        :meth:`gnn_grads` routes back through ``jax.vjp``)."""
         import torch
-        z = np.asarray(self.gnn_encode(x, edge_index))
-        g = torch.as_tensor(z.mean(0), dtype=torch.float32)
+        if self.gnn_apply is not None:
+            import jax
+            import jax.numpy as jnp
+
+            def pooled(params):
+                return self.gnn_apply(params, x, edge_index).mean(0)
+
+            g_jax, vjp = jax.vjp(pooled, self.gnn_params)
+            g = torch.tensor(np.asarray(g_jax), dtype=torch.float32,
+                             requires_grad=True)
+            if torch.is_grad_enabled():
+                self._pending.append((g, vjp, jnp))
+        else:
+            z = np.asarray(self.gnn_encode(x, edge_index))
+            g = torch.as_tensor(z.mean(0), dtype=torch.float32)
         return self.projector(g).reshape(self.num_prompt_tokens, self.d)
+
+    def gnn_grads(self):
+        """Pull the LM-loss cotangents recorded since the last call
+        back through the saved VJPs; returns the summed gradient
+        pytree for ``gnn_params`` (None when the GNN is frozen or no
+        backward has run)."""
+        import jax
+        grads = None
+        for g, vjp, jnp_mod in self._pending:
+            if g.grad is None:
+                continue
+            (dp,) = vjp(jnp_mod.asarray(
+                np.asarray(g.grad.detach(), np.float32)))
+            grads = dp if grads is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, grads, dp)
+        self._pending.clear()
+        return grads
+
+    def train_step(self, question, graphs, label, torch_opt,
+                   gnn_opt=None, gnn_opt_state=None):
+        """One joint update: torch loss/backward/step plus, in
+        ``gnn_apply`` mode, an optax update on ``gnn_params``.
+        Returns ``(loss, gnn_opt_state)``."""
+        import optax
+        torch_opt.zero_grad()
+        loss = self.forward(question, graphs, label)
+        loss.backward()
+        torch_opt.step()
+        if self.gnn_apply is not None and gnn_opt is not None:
+            grads = self.gnn_grads()
+            if grads is not None:
+                updates, gnn_opt_state = gnn_opt.update(
+                    grads, gnn_opt_state, self.gnn_params)
+                self.gnn_params = optax.apply_updates(
+                    self.gnn_params, updates)
+        return float(loss.detach()), gnn_opt_state
 
     def _ids(self, text):
         import torch

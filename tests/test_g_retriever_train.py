@@ -118,3 +118,58 @@ def test_apply_lora_targets_attention_projections():
     params = apply_lora(llm.model)
     # 2 layers x (q_proj, v_proj) x (A, B)
     assert len(params) == 8
+
+
+def test_joint_gnn_training_beats_projector_only():
+    """VERDICT r4 #7: the LM-loss cotangent crosses torch->JAX at the
+    projector input and trains the GNN (reference default,
+    ``g_retriever.py:52,113``). The planted signal passes through a
+    zero-initialised GNN output map, so the projector-only model sees
+    a CONSTANT soft prompt (chance level) while joint training must
+    learn the map to separate the answers."""
+    import jax.numpy as jnp
+    import optax
+
+    graphs, labels = _planted_dataset()
+    questions = ['answer ?'] * len(graphs)
+
+    def gnn_apply(params, x, coo):
+        # one mean-aggregation step then the trainable output map
+        xj = jnp.asarray(_gnn_encode(np.asarray(x), np.asarray(coo)))
+        return xj @ params['w'] + params['b']
+
+    params0 = {'w': jnp.zeros((4, 4), jnp.float32),
+               'b': jnp.zeros((4,), jnp.float32)}
+
+    def run(joint: bool):
+        llm = _tiny_llm()
+        if joint:
+            model = GRetriever(llm, gnn_apply=gnn_apply,
+                               gnn_params=params0, gnn_out_dim=4,
+                               num_prompt_tokens=2, seed=0,
+                               use_lora=True)
+        else:
+            frozen = lambda x, coo: np.asarray(  # noqa: E731
+                gnn_apply(params0, x, coo))
+            model = GRetriever(llm, frozen, gnn_out_dim=4,
+                               num_prompt_tokens=2, seed=0,
+                               use_lora=True)
+        topt = torch.optim.Adam(model.parameters(), lr=5e-2)
+        gopt = optax.adam(5e-2)
+        gstate = gopt.init(params0)
+        loss = None
+        for _ in range(100):
+            loss, gstate = model.train_step(questions, graphs, labels,
+                                            topt, gopt, gstate)
+        answers = model.inference(questions, graphs, max_tokens=1)
+        acc = np.mean([a.strip() == l for a, l in zip(answers, labels)])
+        return loss, acc, model
+
+    loss_joint, acc_joint, model_j = run(joint=True)
+    loss_frozen, acc_frozen, _ = run(joint=False)
+
+    # the GNN params actually moved
+    assert float(jnp.abs(model_j.gnn_params['w']).sum()) > 0
+    assert loss_joint < loss_frozen - 0.05, (loss_joint, loss_frozen)
+    assert acc_joint == 1.0
+    assert acc_frozen < 1.0          # constant prompt can't separate
