@@ -20,18 +20,65 @@ import jax
 import numpy as np
 
 
-def _analytic_flops(mod, args, out) -> int:
+def _num_edges(args, kwargs=None) -> int:
+    """Edge count from a module's call args: an EdgeIndex (has
+    ``num_edges``) or a ``[2, E]`` integer array."""
+    cand = list(args) + list((kwargs or {}).values())
+    for a in cand:
+        ne = getattr(a, 'num_edges', None)
+        if ne is not None:
+            return int(ne)
+    for a in cand:
+        if (hasattr(a, 'shape') and len(getattr(a, 'shape', ())) == 2
+                and a.shape[0] == 2
+                and np.issubdtype(np.asarray(a).dtype
+                                  if not hasattr(a, 'dtype') else a.dtype,
+                                  np.integer)):
+            return int(a.shape[1])
+    return 0
+
+
+# attention-style convs: per-edge logit + segment softmax on top of the
+# weighted aggregation (reference gat_conv.py:387-408 edge_update path)
+_ATTENTION_CONVS = frozenset(
+    n.lower() for n in
+    ('GATConv', 'GATv2Conv', 'TransformerConv', 'RGATConv', 'HGTConv',
+     'HANConv', 'AGNNConv', 'PointTransformerConv', 'HEATConv'))
+
+
+def _analytic_flops(mod, args, out, kwargs=None) -> int:
     """Per-module analytic FLOPs for the layers whose cost is a closed
     form (the reference leans on fvcore's per-module handles,
-    ``test/nn/test_fvcore.py``): Dense/Linear -> 2 * batch * in * out.
-    Other modules report the sum of their children (computed by the
-    tree pass), so only leaf GEMMs need a formula here."""
+    ``test/nn/test_fvcore.py``):
+
+    * Dense/Linear family -> ``2 * batch * in * out`` (one GEMM);
+    * MessagePassing convs -> the sparse aggregation
+      ``2 * E * F_out`` (gather-multiply-segment-add per edge per
+      output feature, the SpMM cost model of ``ops/spmm.py``), plus
+      ``2 * E * F + 5 * E * H`` for attention convs (per-edge logits +
+      segment softmax: max, sub, exp, segsum, div);
+
+    their Linear children (the dense projections) report their own
+    GEMMs and roll up into the conv row via the tree pass."""
     name = type(mod).__name__.lower()
     if name in ('dense', 'densegeneral', 'linear', 'heterolinear'):
         x = args[0] if args else None
         if hasattr(x, 'shape') and hasattr(out, 'shape') and x.ndim >= 1:
             batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
             return 2 * batch * int(x.shape[-1]) * int(out.shape[-1])
+    from ..nn.message_passing import MessagePassing
+    if isinstance(mod, MessagePassing):
+        e = _num_edges(args, kwargs)
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, 'shape') and getattr(x, 'ndim', 0) >= 1]
+        if e and leaves:
+            f = int(np.prod(leaves[0].shape[1:])) \
+                if leaves[0].ndim > 1 else 1
+            flops = 2 * e * f
+            if name in _ATTENTION_CONVS:
+                h = int(getattr(mod, 'heads', 1) or 1)
+                flops += 2 * e * f + 5 * e * h
+            return flops
     return 0
 
 
@@ -91,7 +138,8 @@ class Profiler:
                 order.append(path)
             ev['calls'] += 1
             ev['total_time_s'] += dt
-            ev['flops'] += _analytic_flops(context.module, iargs, out)
+            ev['flops'] += _analytic_flops(context.module, iargs, out,
+                                           ikwargs)
             return out
 
         with fnn.intercept_methods(interceptor):
