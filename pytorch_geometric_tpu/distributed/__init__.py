@@ -16,7 +16,8 @@ from .partition_io import (save_partitions, load_partition,
                            load_partition_books, load_type_books)
 from .partition import Partitioner
 from .local_stores import LocalFeatureStore, LocalGraphStore
-from .dist_neighbor_sampler import DistNeighborSampler
+from .dist_neighbor_sampler import (DistNeighborSampler,
+                                    SharedRootPeers)
 from .dist_loader import (DistLoader, DistNeighborLoader,
                           DistLinkNeighborLoader)
 from .runtime import (global_mesh, process_local_shard,
@@ -29,6 +30,7 @@ __all__ = classes = [
     'LocalGraphStore',
     'Partitioner',
     'DistNeighborSampler',
+    'SharedRootPeers',
     'DistLoader',
     'DistNeighborLoader',
     'DistLinkNeighborLoader',

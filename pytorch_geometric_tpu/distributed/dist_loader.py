@@ -59,12 +59,15 @@ class DistNeighborLoader(DistLoader):
                  drop_last: bool = False, replace: bool = False,
                  disjoint: bool = False,
                  current_ctx: Optional[DistContext] = None,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, root: Optional[str] = None, **kwargs):
         super().__init__(current_ctx, **kwargs)
         self.feature_store = feature_store
+        # root engages reference-parity cross-partition multi-hop
+        # expansion (see DistNeighborSampler docstring)
         self.sampler = DistNeighborSampler(
             feature_store, graph_store, num_neighbors, replace=replace,
-            disjoint=disjoint, seed=seed, batch_size=batch_size)
+            disjoint=disjoint, seed=seed, batch_size=batch_size,
+            root=root)
         if input_nodes is None:
             input_nodes = self.sampler.local_node_ids()
         elif np.asarray(input_nodes).dtype == bool:
@@ -94,13 +97,37 @@ class DistNeighborLoader(DistLoader):
             yield self._filter(out)
 
     def _filter(self, out: SamplerOutput) -> Data:
-        """Feature join from the LOCAL store by global id."""
+        """Feature join by global id: from the LOCAL store (local
+        closure), or each row from its owner's dir (full expansion —
+        sampled nodes may lie outside this partition's own+halo)."""
         fs = self.feature_store
+        kwargs = {}
+        peers = self.sampler.peers
+        if peers is not None:
+            safe_ids = np.where(out.node_mask, out.node, fs.n_id[0])
+            x = peers.lookup('x', safe_ids).astype(np.float32,
+                                                   copy=True)
+            x[~out.node_mask] = 0
+            kwargs['x'] = x
+            try:
+                y = peers.lookup('y', safe_ids).copy()
+                y[~out.node_mask] = 0
+                kwargs['y'] = y
+            except KeyError:
+                pass
+            coo = np.stack([out.row, out.col]).astype(np.int32)
+            new = Data(edge_index=coo, num_nodes=out.num_nodes_cap,
+                       **kwargs)
+            return new.replace(
+                n_id=out.node, e_id=out.edge, node_mask=out.node_mask,
+                edge_mask=out.edge_mask,
+                batch_size=np.asarray(out.batch_size),
+                num_sampled_nodes=np.asarray(out.num_sampled_nodes),
+                num_sampled_edges=np.asarray(out.num_sampled_edges))
         local = np.where(out.node_mask,
                          fs.local_index(np.where(out.node_mask,
                                                  out.node, fs.n_id[0])),
                          0)
-        kwargs = {}
         try:
             x = fs.get_tensor('node', 'x')[local]
             x[~out.node_mask] = 0

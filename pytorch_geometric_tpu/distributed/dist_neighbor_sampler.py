@@ -1,28 +1,124 @@
-"""Per-host neighbor sampling over the local partition.
+"""Per-host neighbor sampling over partitioned graphs.
 
 Reference: ``torch_geometric/distributed/dist_neighbor_sampler.py`` —
 per hop, look up each frontier node's owner, issue async RPCs, merge
-the returned neighborhoods (``merge_sampler_outputs``). TPU redesign:
-the partition dir statically replicates the 1-hop halo (srcs of local
-edges), so every owned seed's ENTIRE dst-owned neighborhood — local
-and remote srcs alike — is sampleable without leaving the host. Hops
-beyond the first recurse only through owned destinations, matching the
-reference's dst-partitioned expansion; no event loop, no RPC, no merge.
+the returned neighborhoods in seed order
+(``merge_sampler_outputs``, reference ``:804-947``). TPU redesign: the
+sampling plane is host-side numpy/C++ over partition dirs on SHARED
+storage (the Partitioner writes one root; the reference's own
+``Partitioner`` does too), so "ask the owner" needs no RPC — a
+:class:`SharedRootPeers` accessor memory-maps the owner's CSC and the
+per-hop frontier exchange becomes a partition-grouped gather.
+
+Two modes:
+
+* ``root=None`` (**local closure**): every owned seed's FULL dst-owned
+  1-hop neighborhood is sampleable (the partition dir replicates the
+  1-hop halo), but hops beyond the first recurse only through OWNED
+  destinations — a hop-2 expansion whose hop-1 node lives on another
+  partition is TRUNCATED. Near partition boundaries the sampled
+  subgraph therefore under-covers relative to the reference's sampling
+  distribution. Cheapest mode; use for throughput when the loss of
+  boundary fan-in is acceptable (hub-replicated partitioning,
+  ``loader/cluster.py::partition_graph_hubs``, shrinks the boundary).
+* ``root=<partition dir>`` (**full expansion**, reference parity):
+  every frontier node is expanded AT ITS OWNER per hop — same
+  semantics as the reference's RPC fan-out; validated against the
+  single-machine sampler in ``tests/test_dist_multihop.py``.
 """
 
-from typing import Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from ..data.data import Data
-from ..sampler import (NeighborSampler, NodeSamplerInput, SamplerOutput)
+from ..sampler import NeighborSampler, NodeSamplerInput, SamplerOutput
+from ..sampler.base import NumNeighbors
+from ..sampler.neighbor_sampler import _CSC, _sample_neighbors
 from .local_stores import LocalFeatureStore, LocalGraphStore
+from .partition_io import load_partition, load_partition_books
+
+
+class SharedRootPeers:
+    """Owner-side one-hop sampling for every partition, served from the
+    shared partition root (the TPU answer to the reference's
+    ``RPCSamplingCallee``, ``dist_neighbor_sampler.py:925``)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        meta, node_map, _ = load_partition_books(root)
+        self.node_map = node_map            # global id -> owner pid
+        self.num_parts = int(meta['num_parts'])
+        self._parts: Dict[int, tuple] = {}
+
+    def _part(self, pid: int):
+        got = self._parts.get(pid)
+        if got is None:
+            part = load_partition(self.root, pid)
+            n_id = part['sample_n_id']            # local -> global
+            g2l = {int(g): i for i, g in enumerate(n_id)}
+            csc = _CSC(part['sample_edge_index'], len(n_id))
+            self._parts[pid] = got = (csc, n_id, g2l, part)
+        return got
+
+    def lookup(self, attr: str, global_ids: np.ndarray) -> np.ndarray:
+        """Node features for arbitrary global ids, each row served by
+        its owner's dir (the reference's ``RPCCallFeatureLookup``,
+        ``local_feature_store.py:22``)."""
+        ids = np.asarray(global_ids, np.int64)
+        owners = self.node_map[ids]
+        out = None
+        for pid in np.unique(owners):
+            _, _, g2l, part = self._part(int(pid))
+            tab = part['sample_' + attr]
+            sel = np.nonzero(owners == pid)[0]
+            local = np.fromiter((g2l[int(g)] for g in ids[sel]),
+                                np.int64, len(sel))
+            vals = np.asarray(tab)[local]
+            if out is None:
+                out = np.zeros((len(ids),) + vals.shape[1:], vals.dtype)
+            out[sel] = vals
+        if out is None:
+            out = np.zeros((0,), np.float32)
+        return out
+
+    def sample_one_hop(self, global_ids: np.ndarray, fanout: int,
+                       rng: np.random.Generator, replace: bool):
+        """Sample ``fanout`` in-neighbors of each (globally-id'd)
+        frontier node at its owner. Returns ``(src_global, eid, owner,
+        valid)``, each ``[len(ids) * fanout]``, ORDER-PRESERVING per
+        frontier node (the reference's ``merge_sampler_outputs``
+        contract)."""
+        ids = np.asarray(global_ids, np.int64)
+        f = len(ids)
+        src = np.zeros(f * fanout, np.int64)
+        eid = np.zeros(f * fanout, np.int64)
+        owner = np.zeros(f * fanout, np.int64)
+        valid = np.zeros(f * fanout, bool)
+        owners = self.node_map[ids]
+        for pid in np.unique(owners):
+            csc, n_id, g2l, _ = self._part(int(pid))
+            sel = np.nonzero(owners == pid)[0]
+            local = np.fromiter((g2l[int(g)] for g in ids[sel]),
+                                np.int64, len(sel))
+            s, e, v = _sample_neighbors(csc, local, fanout, rng,
+                                        replace)
+            # scatter rows back into frontier order
+            slots = (sel[:, None] * fanout
+                     + np.arange(fanout)[None, :]).reshape(-1)
+            src[slots] = n_id[np.maximum(s, 0)]
+            eid[slots] = e
+            owner[slots] = pid
+            valid[slots] = v
+        return src, eid, owner, valid
 
 
 class DistNeighborSampler:
-    """(reference ``dist_neighbor_sampler.py:63``). Samples in LOCAL
-    ids, then translates outputs to GLOBAL ids via the partition's
-    ``n_id`` map so downstream feature joins are host-agnostic."""
+    """(reference ``dist_neighbor_sampler.py:63``). With ``root`` set,
+    multi-hop sampling expands every frontier node at its owner
+    (reference-parity fan-out); otherwise the local-closure fast path
+    (see module docstring for the truncation it implies). Outputs are
+    GLOBAL-id'd either way."""
 
     def __init__(self, feature_store: LocalFeatureStore,
                  graph_store: LocalGraphStore,
@@ -30,10 +126,19 @@ class DistNeighborSampler:
                  replace: bool = False, disjoint: bool = False,
                  temporal_strategy: str = 'uniform',
                  time_attr: Optional[str] = None,
-                 seed: int = 0, batch_size: int = 1):
+                 seed: int = 0, batch_size: int = 1,
+                 root: Optional[str] = None):
         self.feature_store = feature_store
         self.graph_store = graph_store
         self.num_neighbors = list(num_neighbors)
+        self.replace = replace
+        self.rng = np.random.default_rng(seed)
+        self.peers = SharedRootPeers(root) if root is not None else None
+        if self.peers is not None and (disjoint
+                                       or time_attr is not None):
+            raise NotImplementedError(
+                'full cross-partition expansion supports the basic '
+                'sampling mode; use root=None for disjoint/temporal')
         edge_index = graph_store.coo(None)
         n_local = int(feature_store.n_id.shape[0])
         kwargs = {}
@@ -57,17 +162,25 @@ class DistNeighborSampler:
     def local_data(self) -> Data:
         return self._local_data
 
-    def sample_from_nodes(self, inputs: NodeSamplerInput) -> SamplerOutput:
-        """``inputs.node`` are GLOBAL ids owned by this partition."""
+    def _check_owned(self, node: np.ndarray) -> np.ndarray:
         fs = self.feature_store
-        local_seeds = fs.local_index(inputs.node)
+        local_seeds = fs.local_index(node)
         if (local_seeds < 0).any() or \
                 (local_seeds >= fs.num_own).any():
-            bad = np.asarray(inputs.node)[
+            bad = np.asarray(node)[
                 (local_seeds < 0) | (local_seeds >= fs.num_own)][:5]
             raise ValueError(
                 f'seeds {bad.tolist()} are not owned by partition '
                 f'{fs.partition_idx} (use input_nodes=local_node_ids())')
+        return local_seeds
+
+    def sample_from_nodes(self, inputs: NodeSamplerInput) -> SamplerOutput:
+        """``inputs.node`` are GLOBAL ids owned by this partition."""
+        if self.peers is not None:
+            self._check_owned(inputs.node)
+            return self._sample_full(inputs)
+        fs = self.feature_store
+        local_seeds = self._check_owned(inputs.node)
         out = self.sampler.sample_from_nodes(
             NodeSamplerInput(node=local_seeds, input_id=inputs.input_id,
                              time=inputs.time))
@@ -76,6 +189,78 @@ class DistNeighborSampler:
         node_global = fs.n_id[np.where(out.node_mask, out.node, 0)]
         node_global = np.where(out.node_mask, node_global, 0)
         return SamplerOutput(**{**out.__dict__, 'node': node_global})
+
+    def _sample_full(self, inputs: NodeSamplerInput) -> SamplerOutput:
+        """Reference-parity multi-hop: per hop, expand the NEW unique
+        frontier nodes at their owners (``sample_one_hop`` -> the
+        shared-root peers), merge preserving frontier order, relabel
+        against the growing unique-node list
+        (``dist_neighbor_sampler.py:212-947``)."""
+        seeds = np.asarray(inputs.node, np.int64)
+        bs = len(seeds)
+        nn = NumNeighbors(self.num_neighbors)
+        node_caps = nn.node_budget(bs)
+        edge_caps = nn.edge_budget(bs)
+        n_cap, e_cap = sum(node_caps), sum(edge_caps)
+
+        pos: Dict[int, int] = {int(g): i for i, g in enumerate(seeds)}
+        nodes: List[int] = [int(g) for g in seeds]
+        rows: List[int] = []
+        cols: List[int] = []
+        eids: List[int] = []
+        eowner: List[int] = []
+        frontier = seeds
+        num_sampled_nodes = [bs]
+        num_sampled_edges = []
+        for fanout in self.num_neighbors:
+            if len(frontier) == 0:
+                num_sampled_nodes.append(0)
+                num_sampled_edges.append(0)
+                frontier = np.zeros(0, np.int64)
+                continue
+            src, eid, owner, valid = self.peers.sample_one_hop(
+                frontier, fanout, self.rng, self.replace)
+            new_nodes = []
+            ne = 0
+            for k in np.nonzero(valid)[0]:
+                g = int(src[k])
+                dst_pos = pos[int(frontier[k // fanout])]
+                p = pos.get(g)
+                if p is None:
+                    p = len(nodes)
+                    pos[g] = p
+                    nodes.append(g)
+                    new_nodes.append(g)
+                rows.append(p)
+                cols.append(dst_pos)
+                eids.append(int(eid[k]))
+                eowner.append(int(owner[k]))
+                ne += 1
+            num_sampled_nodes.append(len(new_nodes))
+            num_sampled_edges.append(ne)
+            frontier = np.asarray(new_nodes, np.int64)
+
+        n_real, e_real = len(nodes), len(rows)
+        node = np.zeros(n_cap, np.int64)
+        node[:n_real] = nodes
+        node_mask = np.zeros(n_cap, bool)
+        node_mask[:n_real] = True
+        row = np.full(e_cap, n_cap, np.int64)
+        col = np.full(e_cap, n_cap, np.int64)
+        edge = np.zeros(e_cap, np.int64)
+        epart = np.zeros(e_cap, np.int64)
+        edge_mask = np.zeros(e_cap, bool)
+        row[:e_real] = rows
+        col[:e_real] = cols
+        edge[:e_real] = eids
+        epart[:e_real] = eowner
+        edge_mask[:e_real] = True
+        return SamplerOutput(
+            node=node, row=row, col=col, edge=edge,
+            node_mask=node_mask, edge_mask=edge_mask,
+            num_sampled_nodes=num_sampled_nodes,
+            num_sampled_edges=num_sampled_edges, batch_size=bs,
+            metadata={'edge_part': epart})
 
     def local_node_ids(self) -> np.ndarray:
         """Global ids of the nodes this partition owns — the per-host
