@@ -37,12 +37,12 @@ from .misc_datasets import (AmazonBook, HM, CityNetwork, DGraphFin,
                             SuiteSparseMatrixCollection, PCQM4Mv2,
                             CornellTemporalHyperGraphDataset,
                             CWQDataset, WebQSPDataset, AirfRANS,
-                            NeuroGraphDataset, OPFDataset, HydroNet,
-                            OMDB, OSE_GVCS, RCDD, IGMCDataset,
-                            GraphLandDataset, TAGDataset,
-                            ProteinMPNNDataset, GitMolDataset,
+                            NeuroGraphDataset, HydroNet,
+                            OMDB, OSE_GVCS, GitMolDataset,
                             InstructMolDataset, MoleculeGPTDataset,
                             QM7b, PascalVOCKeypoints)
+from .industrial import (OPFDataset, RCDD, GraphLandDataset,
+                         IGMCDataset, TAGDataset, ProteinMPNNDataset)
 
 __all__ = [
     'FakeDataset', 'planetoid_like', 'KarateClub',

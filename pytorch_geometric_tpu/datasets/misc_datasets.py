@@ -418,17 +418,14 @@ class _GatedDataset:
                           '(not available in this image)')
 
 
+# permanently dep-gated (packages absent from this image); the former
+# raw-dump stubs (OPF, RCDD, GraphLand, TAG, IGMC, ProteinMPNN) now have
+# real parsers in datasets/industrial.py
 AirfRANS = _GatedDataset('AirfRANS', 'pyvista')
 NeuroGraphDataset = _GatedDataset('NeuroGraphDataset', 'boto3 download')
-OPFDataset = _GatedDataset('OPFDataset', 'gridstatus raw dumps')
 HydroNet = _GatedDataset('HydroNet', 'hydronet raw dumps')
 OMDB = _GatedDataset('OMDB', 'ase')
 OSE_GVCS = _GatedDataset('OSE_GVCS', 'kuzu')
-RCDD = _GatedDataset('RCDD', 'ali-ccp raw dumps')
-IGMCDataset = _GatedDataset('IGMCDataset', 'matlab raw dumps')
-GraphLandDataset = _GatedDataset('GraphLandDataset', 'graphland dumps')
-TAGDataset = _GatedDataset('TAGDataset', 'LLM text embeddings')
-ProteinMPNNDataset = _GatedDataset('ProteinMPNNDataset', 'pdb dumps')
 GitMolDataset = _GatedDataset('GitMolDataset', 'rdkit')
 InstructMolDataset = _GatedDataset('InstructMolDataset', 'rdkit')
 MoleculeGPTDataset = _GatedDataset('MoleculeGPTDataset', 'rdkit')
