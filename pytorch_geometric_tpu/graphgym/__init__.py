@@ -9,6 +9,9 @@ from .register import (register, registry, register_base, register_act,
                        register_train, register_metric)
 from .model_builder import create_model
 from .train import train
+from .lightning import (GraphGymModule, GraphGymDataModule, Callback,
+                        EarlyStopping, ModelCheckpoint, LRMonitor,
+                        Trainer, lightning_train)
 from .logger import Logger
 from .checkpoint import save_ckpt, load_ckpt, clean_ckpt, remove_ckpt
 from .grid import load_grid, grid_points, grid_configs
@@ -27,6 +30,8 @@ __all__ = [
     'register_loader', 'register_optimizer', 'register_scheduler',
     'register_loss', 'register_train', 'register_metric',
     'create_model', 'train', 'Logger', 'save_ckpt', 'load_ckpt',
+    'GraphGymModule', 'GraphGymDataModule', 'Callback', 'EarlyStopping',
+    'ModelCheckpoint', 'LRMonitor', 'Trainer', 'lightning_train',
     'clean_ckpt', 'remove_ckpt', 'configs_gen', 'agg_runs', 'agg_batch',
     'load_grid', 'grid_points', 'grid_configs',
     'get_fname', 'set_out_dir', 'set_run_dir', 'set_printing',
