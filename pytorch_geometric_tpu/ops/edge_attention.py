@@ -206,6 +206,93 @@ def _seg_sum(x, d, n, sorted_=False):
     return jax.ops.segment_sum(x, d, n, indices_are_sorted=sorted_)
 
 
+def _scatter_mode() -> bool:
+    import os
+    return os.environ.get('PGT_ATTN_FLASH_IMPL', 'scatter') == 'scatter'
+
+
+def _padw(x, fill, w):
+    """Pad [C, h] to the carry lane width ``w``."""
+    h = x.shape[1]
+    if h >= w:
+        return x
+    return jnp.pad(x, ((0, 0), (0, w - h)), constant_values=fill)
+
+
+def _scatter_online_update(m, l, acc, logit, valid, d, v_e, num_dst,
+                           h, dh, w):
+    """One chunk of online softmax as PURE in-place scatter updates.
+
+    The segment-op formulation materializes a full ``[N, ·]`` output
+    per chunk and rescales the whole accumulator
+    (``acc * scale + seg_sum(...)``) — at full-MAG scale that is
+    ~8 GB of carry traffic per 2M-edge chunk, the measured wall of the
+    28 s/step (``bench_windows.jsonl`` ``hgt_step_attribution``). With
+    dst-SORTED edges every update touches only the chunk's rows:
+
+    * running max: one sorted scatter-max;
+    * the per-row rescale ``exp(m_old - m_new)`` rides a sorted
+      scatter-MULTIPLY whose value is the rescale at each row's FIRST
+      edge in the chunk and exactly ``1.0`` at the duplicates (so the
+      duplicate-combining multiply reproduces one application per row);
+    * the accumulations are sorted scatter-adds.
+
+    Everything is O(chunk) — no O(N) pass anywhere. Carries have
+    ``num_dst + 1`` rows ([-1] collects pad/invalid garbage, sliced
+    off by the caller) and lane width ``w`` (narrow [*, H] scatters
+    serialize on TPU — ops/scatter.py measurements).
+
+    REQUIRES dst-sorted chunks: the first-occurrence test
+    ``d[i] != d[i-1]`` only finds every duplicate group's head when
+    equal dsts are adjacent.
+    """
+    dseg = jnp.where(valid, d, num_dst)
+    dsafe = jnp.minimum(d, num_dst - 1)
+    m_old = m[dsafe][:, :h]
+    m = m.at[dseg].max(_padw(logit, -jnp.inf, w),
+                       indices_are_sorted=True)
+    m_new = m[dsafe][:, :h]
+    scale = jnp.where(jnp.isfinite(m_old),
+                      jnp.exp(m_old - m_new), 0.0)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), d[1:] != d[:-1]])
+    mul = jnp.where((first & valid)[:, None], scale, 1.0)
+    l = l.at[dseg].multiply(_padw(mul, 1.0, w),
+                            indices_are_sorted=True)
+    z = jnp.where(valid[:, None],
+                  jnp.exp(logit - jnp.where(jnp.isfinite(m_new),
+                                            m_new, 0.0)), 0.0)
+    l = l.at[dseg].add(_padw(z, 0.0, w), indices_are_sorted=True)
+    acc = acc.at[dseg].multiply(_rep(mul, dh),
+                                indices_are_sorted=True)
+    acc = acc.at[dseg].add(v_e * _rep(z, dh),
+                           indices_are_sorted=True)
+    return m, l, acc
+
+
+def _scatter_flash_scan(num_dst, h, dh, dtype, logit_fn, v_fn, xs):
+    """Run the scatter-based online scan; returns ``(m, l, out)`` each
+    sliced to ``[num_dst, ·]`` (h-wide m/l, h*dh-wide out)."""
+    w = 128 if h < 16 else h
+
+    def step(carry, x):
+        m, l, acc = carry
+        logit, valid, d = logit_fn(x)
+        v_e = v_fn(x)
+        m, l, acc = _scatter_online_update(
+            m, l, acc, logit, valid, d, v_e, num_dst, h, dh, w)
+        return (m, l, acc), None
+
+    m0 = jnp.full((num_dst + 1, w), -jnp.inf, dtype)
+    l0 = jnp.zeros((num_dst + 1, w), dtype)
+    a0 = jnp.zeros((num_dst + 1, h * dh), dtype)
+    (m, l, acc), _ = jax.lax.scan(step, (m0, l0, a0), xs)
+    m = m[:num_dst, :h]
+    l = l[:num_dst, :h]
+    out = acc[:num_dst] / _rep(jnp.maximum(l, 1e-16), dh)
+    return m, l, out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _attention_flash(num_dst, sorted_dst, k_glob, v_glob, q_table,
                      p_stack, rel_ch, s_ch, d_ch):
@@ -234,6 +321,20 @@ def _attention_flash_fwd(num_dst, sorted_dst, k_glob, v_glob, q_table,
     h, dh = q_table.shape[1], q_table.shape[2]
     hd = h * dh
     q_flat = q_table.reshape(num_dst, hd)
+
+    if sorted_dst and _scatter_mode():
+        def logit_fn(x):
+            s, d, r = x
+            logit, _, valid, _ = _flash_logit(
+                q_flat, k_glob, p_stack, r, s, d, num_dst, h, dh)
+            return logit, valid, d
+
+        m, l, out = _scatter_flash_scan(
+            num_dst, h, dh, q_table.dtype, logit_fn,
+            lambda x: v_glob[x[0]], (s_ch, d_ch, rel_ch))
+        res = (k_glob, v_glob, q_table, p_stack, rel_ch, s_ch, d_ch,
+               m, l, out)
+        return out.reshape(num_dst, h, dh), res
 
     def step(carry, xs):
         m, l, acc = carry
@@ -439,6 +540,19 @@ def _gat_flash_fwd(num_dst, slope, sorted_dst, a_src, a_dst, v_glob,
     hd = v_glob.shape[1]
     dh = hd // h
 
+    if sorted_dst and _scatter_mode():
+        def logit_fn(x):
+            s, d = x
+            logit, _, valid, _ = _gat_logit(a_src, a_dst, slope, s, d,
+                                            num_dst)
+            return logit, valid, d
+
+        m, l, out = _scatter_flash_scan(
+            num_dst, h, dh, v_glob.dtype, logit_fn,
+            lambda x: v_glob[x[0]], (s_ch, d_ch))
+        return (out.reshape(num_dst, h, dh),
+                (a_src, a_dst, v_glob, s_ch, d_ch, m, l, out))
+
     def step(carry, xs):
         m, l, acc = carry
         s, d = xs
@@ -586,6 +700,19 @@ def _gatv2_flash_fwd(num_dst, slope, heads, sorted_dst, x_l, x_r, att,
     hd = x_l.shape[1]
     h = heads
     dh = hd // h
+
+    if sorted_dst and _scatter_mode():
+        def logit_fn(x):
+            s, d = x
+            logit, _, _, valid, _ = _gatv2_logit(
+                x_l, x_r, att, slope, s, d, num_dst, h, dh)
+            return logit, valid, d
+
+        m, l, out = _scatter_flash_scan(
+            num_dst, h, dh, x_l.dtype, logit_fn,
+            lambda x: x_l[x[0]], (s_ch, d_ch))
+        return (out.reshape(num_dst, h, dh),
+                (x_l, x_r, att, s_ch, d_ch, m, l, out))
 
     def step(carry, xs):
         m, l, acc = carry

@@ -273,3 +273,82 @@ def test_gat_flash_bwd_wide_heads():
     for gf, go in zip(g_f, g_o):
         np.testing.assert_allclose(np.asarray(gf).reshape(go.shape),
                                    np.asarray(go), rtol=5e-4, atol=1e-5)
+
+
+def test_flash_scatter_vs_segment_impls():
+    """The scatter-based online-softmax scan (in-place sorted
+    scatter-max / scatter-multiply rescale / scatter-add — the
+    full-MAG carry-traffic fix) must be numerically equivalent to the
+    segment-op scan, including a hub dst spanning many chunks and
+    rows first touched mid-scan."""
+    import os
+    from pytorch_geometric_tpu.ops import edge_attention as ea
+
+    n_src, n_dst, h, dh = 25, 18, 4, 8
+    # hub row 7: 120 edges; plus random tail; plus rows only touched
+    # by late chunks (high dst ids appear last after sorting)
+    dst = np.concatenate([np.full(120, 7), np.arange(10, 18).repeat(3),
+                          np.zeros(5)]).astype(np.int32)
+    src = rng.integers(0, n_src, len(dst)).astype(np.int32)
+    order = np.argsort(dst, kind='stable')
+    src, dst = src[order], dst[order]
+    e = len(dst)
+    c = 16                               # ~10 chunks; hub spans 8
+    nc = -(-e // c)
+    pad = nc * c - e
+    s_ch = jnp.asarray(np.pad(src, (0, pad)).reshape(nc, c))
+    d_ch = jnp.asarray(np.pad(dst, (0, pad),
+                              constant_values=n_dst).reshape(nc, c))
+    rel = np.zeros(e, np.int32)
+    r_ch = jnp.asarray(np.pad(rel, (0, pad)).reshape(nc, c))
+
+    k = jnp.asarray(rng.standard_normal((n_src, h * dh)).astype(
+        np.float32))
+    v = jnp.asarray(rng.standard_normal((n_src, h * dh)).astype(
+        np.float32))
+    q = jnp.asarray(rng.standard_normal((n_dst, h, dh)).astype(
+        np.float32))
+    p = jnp.asarray(rng.standard_normal((1, h)).astype(np.float32))
+
+    def run(impl):
+        os.environ['PGT_ATTN_FLASH_IMPL'] = impl
+        try:
+            def f(k, v, q, p):
+                out = ea._attention_flash(n_dst, True, k, v, q, p,
+                                          r_ch, s_ch, d_ch)
+                return jnp.sum(out ** 2), out
+            (loss, out), grads = jax.value_and_grad(
+                f, argnums=(0, 1, 2, 3), has_aux=True)(k, v, q, p)
+            return out, grads
+        finally:
+            del os.environ['PGT_ATTN_FLASH_IMPL']
+
+    out_sc, g_sc = run('scatter')
+    out_sg, g_sg = run('segment')
+    np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_sg),
+                               rtol=2e-5, atol=1e-6)
+    for a, b in zip(g_sc, g_sg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+    # GAT form through the public wrapper
+    a_src = jnp.asarray(rng.standard_normal((n_src, h)).astype(
+        np.float32))
+    a_dst = jnp.asarray(rng.standard_normal((n_dst, h)).astype(
+        np.float32))
+    vv = jnp.asarray(rng.standard_normal((n_src, h, dh)).astype(
+        np.float32))
+    os.environ['PGT_ATTN_SORT_MIN_EDGES'] = '1'
+    try:
+        outs = {}
+        for impl in ('scatter', 'segment'):
+            os.environ['PGT_ATTN_FLASH_IMPL'] = impl
+            outs[impl] = ea.gat_flash_attention(
+                a_src, a_dst, vv, jnp.asarray(src), jnp.asarray(dst),
+                n_dst, chunk=16)
+    finally:
+        del os.environ['PGT_ATTN_SORT_MIN_EDGES']
+        os.environ.pop('PGT_ATTN_FLASH_IMPL', None)
+    np.testing.assert_allclose(np.asarray(outs['scatter']),
+                               np.asarray(outs['segment']),
+                               rtol=2e-5, atol=1e-6)
