@@ -26,6 +26,7 @@ Prints one JSON line per arm.
 """
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -345,6 +346,201 @@ def run_gat(coo, n, e, hidden):
             'backend': jax.default_backend()}
 
 
+def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False):
+    """Full-graph GAT train step at products scale as K DISPATCHES:
+    the axon tunnel kills single executions past ~60-90 s, so the
+    scale-1.0 (124M-edge) step could only be projected until now. The
+    two flash scans (one per layer) and their backward scans run as
+    ``kblocks`` chunk-block dispatches with the scan carries living on
+    device between calls (ops/edge_attention.py block API,
+    parity-pinned in tests/test_spmm_windowed.py); the dense
+    projection / loss / optimizer stages are their own small
+    dispatches. Identical math to :func:`run_gat`'s single-dispatch
+    step (set ``check=True`` to assert the loss matches at small
+    scale)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import flax.linen as fnn
+    from pytorch_geometric_tpu.nn import GATConv
+    from pytorch_geometric_tpu.ops import edge_attention as ea
+
+    H1, C1 = 4, hidden // 4
+    rng = np.random.default_rng(2)
+    x_np = rng.standard_normal((n, F)).astype(np.float32)
+    y_np = rng.integers(0, C, n).astype(np.int32)
+
+    # host prep (the fill_cache analogue): drop existing self loops,
+    # append fresh ones (GATConv's add_self_loops semantics), dst-sort
+    # ONCE, chunk. This also removes the per-step device argsort the
+    # in-module path pays.
+    keep = coo[0] != coo[1]
+    loops = np.arange(n, dtype=coo.dtype)
+    src = np.concatenate([coo[0][keep], loops])
+    dst = np.concatenate([coo[1][keep], loops])
+    order = np.argsort(dst, kind='stable')
+    src, dst = src[order], dst[order]
+    e_eff = len(src)
+    chunk = int(float(os.environ.get('PGT_ATTN_CHUNK_EDGES', 2e6)))
+    c = max(min(chunk, e_eff), 1)
+    nc = -(-e_eff // c)
+    # round the chunk count up to a multiple of kblocks
+    nc = -(-nc // kblocks) * kblocks
+    pad = nc * c - e_eff
+    s_ch = np.pad(src, (0, pad)).reshape(nc, c)
+    d_ch = np.pad(dst, (0, pad), constant_values=n).reshape(nc, c)
+    kb = nc // kblocks
+    S = [jax.device_put(s_ch[i * kb:(i + 1) * kb])
+         for i in range(kblocks)]
+    D = [jax.device_put(d_ch[i * kb:(i + 1) * kb])
+         for i in range(kblocks)]
+    del s_ch, d_ch
+
+    # params from the SAME flax net run_gat uses (exact parity)
+    class Net(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, coo):
+            x = fnn.relu(GATConv(out_channels=C1, heads=H1)(x, coo))
+            return GATConv(out_channels=C, heads=1,
+                           concat=False)(x, coo)
+
+    net = Net()
+    coo_tiny = np.stack([src[:64], dst[:64]]).astype(np.int32)
+    p0 = jax.jit(net.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((n, F), jnp.float32), coo_tiny)
+    g0, g1 = p0['params']['GATConv_0'], p0['params']['GATConv_1']
+    params = {
+        'w1': g0['lin_src']['kernel'], 'as1': g0['att_src'],
+        'ad1': g0['att_dst'], 'b1': g0['bias'],
+        'w2': g1['lin_src']['kernel'], 'as2': g1['att_src'],
+        'ad2': g1['att_dst'], 'b2': g1['bias'],
+    }
+    X = jax.device_put(x_np)
+    del x_np
+    Y = jax.device_put(jnp.asarray(y_np))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    slope = 0.2
+
+    @jax.jit
+    def proj(x, w, att_s, att_d):
+        h = att_s.shape[1]
+        xp = (x @ w).reshape(n, h, -1)
+        return (xp.reshape(n, -1), (xp * att_s).sum(-1),
+                (xp * att_d).sum(-1))
+
+    f_blk1 = jax.jit(functools.partial(ea.gat_flash_fwd_block, n,
+                                       slope))
+    f_blk2 = jax.jit(functools.partial(ea.gat_flash_fwd_block, n,
+                                       slope))
+    b_blk1 = jax.jit(functools.partial(ea.gat_flash_bwd_block, n,
+                                       slope))
+    b_blk2 = jax.jit(functools.partial(ea.gat_flash_bwd_block, n,
+                                       slope))
+
+    def flash_fwd(f_blk, a_s, a_d, v, h, dh):
+        carry = ea.gat_flash_fwd_start(n, h, dh)
+        for i in range(kblocks):
+            carry = f_blk(a_s, a_d, v, S[i], D[i], carry)
+        return jax.jit(functools.partial(
+            ea.gat_flash_fwd_finish, n, h, dh))(carry)
+
+    def flash_bwd(b_blk, a_s, a_d, v, m, l, out, g, h):
+        carry = ea.gat_flash_bwd_start(n, n, h, v.shape[1])
+        for i in range(kblocks):
+            carry = b_blk(a_s, a_d, v, m, l, out, g, S[i], D[i],
+                          carry)
+        return jax.jit(functools.partial(
+            ea.gat_flash_bwd_finish, n, h))(carry)
+
+    @jax.jit
+    def layer1_post(acc_out, b1):
+        return jnp.maximum(acc_out + b1, 0.0)          # concat + relu
+
+    @jax.jit
+    def loss_head(out2_flat, b2, y):
+        logits = out2_flat + b2                        # heads=1 mean
+        logz = jax.nn.log_softmax(logits)
+        loss = -jnp.take_along_axis(logz, y[:, None], 1).mean()
+        dlogits = (jnp.exp(logz)
+                   - jax.nn.one_hot(y, C, dtype=logits.dtype)) / n
+        return loss, dlogits
+
+    @jax.jit
+    def alpha_param_bwd(dsrc, ddst, dv, xp_flat, att_s, att_d, x_in,
+                        w):
+        h = att_s.shape[1]
+        xp = xp_flat.reshape(n, h, -1)
+        dxp = (dv.reshape(n, h, -1) + dsrc[:, :, None] * att_s
+               + ddst[:, :, None] * att_d)
+        datt_s = (dsrc[:, :, None] * xp).sum(0, keepdims=True)
+        datt_d = (ddst[:, :, None] * xp).sum(0, keepdims=True)
+        dw = x_in.T @ dxp.reshape(n, -1)
+        dx_in = dxp.reshape(n, -1) @ w.T
+        return dw, datt_s, datt_d, dx_in
+
+    @jax.jit
+    def adam_step(params, opt, grads):
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt
+
+    def one_step(params, opt):
+        # ---- forward
+        v1, as1, ad1 = proj(X, params['w1'], params['as1'],
+                            params['ad1'])
+        m1, l1, o1 = flash_fwd(f_blk1, as1, ad1, v1, H1, C1)
+        h1 = layer1_post(o1, params['b1'].reshape(1, -1))
+        v2, as2, ad2 = proj(h1, params['w2'], params['as2'],
+                            params['ad2'])
+        m2, l2, o2 = flash_fwd(f_blk2, as2, ad2, v2, 1, C)
+        loss, dlogits = loss_head(o2, params['b2'][None], Y)
+        # ---- backward
+        db2 = dlogits.sum(0)
+        ds2, dd2, dv2 = flash_bwd(b_blk2, as2, ad2, v2, m2, l2, o2,
+                                  dlogits, 1)
+        dw2, das2, dad2, dh1 = alpha_param_bwd(
+            ds2, dd2, dv2, v2, params['as2'], params['ad2'], h1,
+            params['w2'])
+        do1 = jax.jit(lambda dh, hh: jnp.where(hh > 0, dh, 0.0))(
+            dh1, h1)
+        db1 = do1.sum(0)
+        ds1, dd1, dv1 = flash_bwd(b_blk1, as1, ad1, v1, m1, l1, o1,
+                                  do1, H1)
+        dw1, das1, dad1, _ = alpha_param_bwd(
+            ds1, dd1, dv1, v1, params['as1'], params['ad1'], X,
+            params['w1'])
+        grads = {'w1': dw1, 'as1': das1, 'ad1': dad1, 'b1': db1,
+                 'w2': dw2, 'as2': das2, 'ad2': dad2, 'b2': db2}
+        params, opt = adam_step(params, opt, grads)
+        return params, opt, loss
+
+    def _force(o):
+        return float(jnp.sum(jax.tree_util.tree_leaves(o)[-1]))
+
+    params, opt, loss = one_step(params, opt)      # compile
+    _force(loss)
+    if check:
+        ref = run_gat(coo, n, e, hidden)
+        assert abs(ref['loss'] - float(loss)) < 5e-2, (ref['loss'],
+                                                       float(loss))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt, loss = one_step(params, opt)
+    _force(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return {'metric': 'products_fullgraph_gat_train_step_md',
+            'graph': f'{n}n/{e}e/F{F}/H4x{hidden // 4}',
+            'value': round(dt, 3), 'unit': 's/step',
+            'loss': round(float(loss), 4),
+            'edges_per_s': round(2 * e_eff / dt),
+            'dispatch_blocks': kblocks,
+            'path': 'flash scan, multi-dispatch (scatter impl)',
+            'backend': jax.default_backend()}
+
+
 def run_sol(coo, n, e, feats=100):
     """Scatter-gather speed-of-light probe: the irreducible ops of any
     sparse aggregation at this scale — one random row gather of the
@@ -429,6 +625,13 @@ def main():
     ap.add_argument('--train', action='store_true')
     ap.add_argument('--gat', action='store_true',
                     help='full-graph GAT train step (flash scan)')
+    ap.add_argument('--gat-md', action='store_true',
+                    help='full-graph GAT step as K dispatches '
+                         '(dodges the tunnel per-execution limit)')
+    ap.add_argument('--kblocks', type=int, default=8)
+    ap.add_argument('--check', action='store_true',
+                    help='gat-md: assert loss parity vs the '
+                         'single-dispatch step')
     ap.add_argument('--sol', action='store_true',
                     help='scatter-gather speed-of-light probe')
     ap.add_argument('--infer', action='store_true')
@@ -445,7 +648,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update('jax_platforms', 'cpu')
-    if not (args.train or args.infer or args.gat or args.sol):
+    if not (args.train or args.infer or args.gat or args.gat_md
+            or args.sol):
         args.train = args.infer = True
 
     t0 = time.perf_counter()
@@ -458,6 +662,10 @@ def main():
                                    bf16=args.bf16)), flush=True)
     if args.gat:
         print(json.dumps(run_gat(coo, n, e, args.hidden)), flush=True)
+    if args.gat_md:
+        print(json.dumps(run_gat_md(coo, n, e, args.hidden,
+                                    kblocks=args.kblocks,
+                                    check=args.check)), flush=True)
     if args.sol:
         print(json.dumps(run_sol(coo, n, e)), flush=True)
     if args.train:

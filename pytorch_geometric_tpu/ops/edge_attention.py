@@ -634,6 +634,104 @@ def _gat_flash_bwd(num_dst, slope, sorted_dst, res, g):
 _gat_flash.defvjp(_gat_flash_fwd, _gat_flash_bwd)
 
 
+# -- resumable block API ----------------------------------------------------
+# The axon tunnel kills single dispatches past ~60-90 s; a products-
+# scale-1.0 (124M-edge) GAT train step must therefore run as K
+# dispatches with the scan carries as dispatch I/O (device-resident
+# between calls). These blocks share the exact per-chunk math with the
+# one-shot scans above; parity is pinned in tests/test_spmm_windowed.py.
+
+
+def gat_flash_fwd_start(num_dst, h, dh, dtype=jnp.float32):
+    """Initial (m, l, acc) carry in the scatter layout
+    ([num_dst+1, w] rows; see :func:`_scatter_online_update`)."""
+    w = 128 if h < 16 else h
+    return (jnp.full((num_dst + 1, w), -jnp.inf, dtype),
+            jnp.zeros((num_dst + 1, w), dtype),
+            jnp.zeros((num_dst + 1, h * dh), dtype))
+
+
+def gat_flash_fwd_block(num_dst, slope, a_src, a_dst, v_glob, s_blk,
+                        d_blk, carry):
+    """Advance the forward scan over one ``[kb, C]`` chunk block.
+    Chunks must be globally dst-sorted across ALL blocks."""
+    h = a_src.shape[1]
+    dh = v_glob.shape[1] // h
+    w = carry[0].shape[1]
+
+    def step(c, x):
+        s, d = x
+        logit, _, valid, _ = _gat_logit(a_src, a_dst, slope, s, d,
+                                        num_dst)
+        m, l, acc = _scatter_online_update(
+            c[0], c[1], c[2], logit, valid, d, v_glob[s], num_dst, h,
+            dh, w)
+        return (m, l, acc), None
+
+    carry, _ = jax.lax.scan(step, carry, (s_blk, d_blk))
+    return carry
+
+
+def gat_flash_fwd_finish(num_dst, h, dh, carry):
+    """(m, l, out) from the final carry."""
+    m, l, acc = carry
+    m = m[:num_dst, :h]
+    l = l[:num_dst, :h]
+    out = acc[:num_dst] / _rep(jnp.maximum(l, 1e-16), dh)
+    return m, l, out
+
+
+def gat_flash_bwd_start(n_src, num_dst, h, hd, dtype=jnp.float32):
+    w = 128 if h < 16 else h
+    return (jnp.zeros((n_src, w), dtype),
+            jnp.zeros((num_dst + 1, w), dtype),
+            jnp.zeros((n_src, hd), dtype))
+
+
+def gat_flash_bwd_block(num_dst, slope, a_src, a_dst, v_glob, m, l,
+                        out, g_flat, s_blk, d_blk, carry):
+    """Advance the backward scan (dsrc, ddst, dv carries) over one
+    chunk block; same math as ``_gat_flash_bwd``'s step."""
+    h = a_src.shape[1]
+    hd = v_glob.shape[1]
+    dh = hd // h
+    l_safe = jnp.maximum(l, 1e-16)
+    gdot = (g_flat * out).reshape(num_dst, h, dh).sum(-1)
+    n_src = a_src.shape[0]
+    w = carry[0].shape[1]
+
+    def step(c, x):
+        dsrc_p, ddst_p, dv = c
+        s, d = x
+        cc = s.shape[0]
+        logit, base, valid, dsafe = _gat_logit(a_src, a_dst, slope, s,
+                                               d, num_dst)
+        alpha = jnp.exp(logit - jnp.where(jnp.isfinite(m),
+                                          m, 0.0)[dsafe]) / l_safe[dsafe]
+        alpha = jnp.where(valid[:, None], alpha, 0.0)
+        g_e = g_flat[dsafe]
+        v_e = v_glob[s]
+        dalpha = (g_e * v_e).reshape(cc, h, dh).sum(-1)
+        dlogit = alpha * (dalpha - gdot[dsafe])
+        dbase = jnp.where(base >= 0, dlogit, slope * dlogit)
+        dbase = jnp.where(valid[:, None], dbase, 0.0)
+        dbase_p = _padw(dbase, 0.0, w)
+        sdrop = jnp.where(valid, s, n_src)
+        dsrc_p = dsrc_p.at[sdrop].add(dbase_p, mode='drop')
+        ddst_p = ddst_p.at[jnp.where(valid, d, num_dst)].add(
+            dbase_p, indices_are_sorted=True)
+        dv = dv.at[sdrop].add(g_e * _rep(alpha, dh), mode='drop')
+        return (dsrc_p, ddst_p, dv), None
+
+    carry, _ = jax.lax.scan(step, carry, (s_blk, d_blk))
+    return carry
+
+
+def gat_flash_bwd_finish(num_dst, h, carry):
+    dsrc_p, ddst_p, dv = carry
+    return dsrc_p[:, :h], ddst_p[:num_dst, :h], dv
+
+
 def gat_flash_attention(a_src, a_dst, v, src, dst, num_dst: int,
                         negative_slope: float = 0.2,
                         chunk: int = None) -> jnp.ndarray:

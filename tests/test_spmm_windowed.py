@@ -352,3 +352,57 @@ def test_flash_scatter_vs_segment_impls():
     np.testing.assert_allclose(np.asarray(outs['scatter']),
                                np.asarray(outs['segment']),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_gat_flash_block_api_matches_oneshot():
+    """Resumable fwd/bwd blocks (multi-dispatch giant-graph records)
+    reproduce the one-shot flash scan exactly."""
+    import jax
+    from pytorch_geometric_tpu.ops import edge_attention as ea
+
+    n_src, n_dst, h, dh = 22, 15, 4, 8
+    e, c = 200, 16
+    src = rng.integers(0, n_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n_dst, e)).astype(np.int32)
+    nc = -(-e // c)
+    pad = nc * c - e
+    s_ch = jnp.asarray(np.pad(src, (0, pad)).reshape(nc, c))
+    d_ch = jnp.asarray(np.pad(dst, (0, pad),
+                              constant_values=n_dst).reshape(nc, c))
+    a_src = jnp.asarray(rng.standard_normal((n_src, h)).astype(
+        np.float32))
+    a_dst = jnp.asarray(rng.standard_normal((n_dst, h)).astype(
+        np.float32))
+    v = jnp.asarray(rng.standard_normal((n_src, h * dh)).astype(
+        np.float32))
+
+    # one-shot reference (scatter impl, sorted)
+    def f(a_s, a_d, vv):
+        out = ea._gat_flash(n_dst, 0.2, True, a_s, a_d, vv, s_ch, d_ch)
+        return jnp.sum(out ** 2), out
+    (_, out_ref), (gs_ref, gd_ref, gv_ref) = jax.value_and_grad(
+        f, argnums=(0, 1, 2), has_aux=True)(a_src, a_dst, v)
+
+    # block-wise: two fwd dispatches, two bwd dispatches
+    carry = ea.gat_flash_fwd_start(n_dst, h, dh)
+    for blk in (slice(0, nc // 2), slice(nc // 2, nc)):
+        carry = ea.gat_flash_fwd_block(n_dst, 0.2, a_src, a_dst, v,
+                                       s_ch[blk], d_ch[blk], carry)
+    m, l, out_flat = ea.gat_flash_fwd_finish(n_dst, h, dh, carry)
+    np.testing.assert_allclose(
+        np.asarray(out_flat).reshape(n_dst, h, dh),
+        np.asarray(out_ref), rtol=1e-6, atol=1e-7)
+
+    g_flat = 2.0 * out_flat                     # d(sum out^2)/d out
+    bc = ea.gat_flash_bwd_start(n_src, n_dst, h, h * dh)
+    for blk in (slice(0, nc // 2), slice(nc // 2, nc)):
+        bc = ea.gat_flash_bwd_block(n_dst, 0.2, a_src, a_dst, v, m, l,
+                                    out_flat, g_flat, s_ch[blk],
+                                    d_ch[blk], bc)
+    dsrc, ddst, dv = ea.gat_flash_bwd_finish(n_dst, h, bc)
+    np.testing.assert_allclose(np.asarray(dsrc), np.asarray(gs_ref),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ddst), np.asarray(gd_ref),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv_ref),
+                               rtol=5e-5, atol=1e-6)
