@@ -14,7 +14,8 @@ REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
 @pytest.mark.parametrize('name', ['gcn', 'label_prop',
-                                  'graphgym_grid_search'])
+                                  'graphgym_grid_search',
+                                  'rag_retrieval', 'graphgym_trainer'])
 def test_example_runs(name):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -28,4 +29,5 @@ def test_example_runs(name):
         [sys.executable, osp.join(REPO, 'examples', f'{name}.py')],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
-    assert 'acc' in out.stdout or 'grid points' in out.stdout
+    assert ('acc' in out.stdout or 'grid points' in out.stdout
+            or 'retrieved: True' in out.stdout)
