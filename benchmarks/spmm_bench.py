@@ -54,6 +54,9 @@ def main():
     ap.add_argument('--steps', type=int, default=50)
     ap.add_argument('--xla', action='store_true',
                     help='force the XLA path (no Pallas)')
+    ap.add_argument('--windowed', action='store_true',
+                    help='force the sorted-chunk windowed layout '
+                         '(BSR-vs-windowed A/B, VERDICT r5 #5)')
     ap.add_argument('--bsr', action='store_true',
                     help='cache the block-sparse adjacency '
                          '(ops/bsr_spmm.py); weights are baked, so the '
@@ -77,8 +80,11 @@ def main():
     ap.add_argument('--dense', action='store_true',
                     help='cache the dense [N,N] adjacency')
     ap.add_argument('--gen', default='v5e')
+    ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
     import os
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
     if args.xla:
         os.environ['PGT_DISABLE_PALLAS'] = '1'
     ensure_backend()
@@ -132,6 +138,9 @@ def main():
             dense_weight=w_np,
             cache_dtype=(_jnp.int8 if args.int8 else
                          _jnp.bfloat16 if args.bf16 else None))
+    elif args.windowed:
+        ei = EdgeIndex(coo_np, (n, n)).fill_cache(windowed=True)
+        assert ei.win is not None
     else:
         ei = EdgeIndex(coo_np, (n, n)).fill_cache()
 
@@ -209,7 +218,8 @@ def main():
         'roofline_frac': round(gbps / peak, 3),
         **out_rec_alg,
         'backend': jax.default_backend(),
-        'path': ('dense_int8_infer' if args.int8 else
+        'path': ('windowed' if args.windowed else
+                 'dense_int8_infer' if args.int8 else
                  'bsr_bf16' if (args.bsr and args.bf16) else
                  'bsr' if args.bsr else
                  'dense_bf16' if (args.dense and args.bf16) else
