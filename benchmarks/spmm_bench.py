@@ -85,6 +85,9 @@ def main():
     import os
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
+    if args.windowed and (args.bsr or args.dense or args.int8):
+        ap.error('--windowed is exclusive with --bsr/--dense/--int8 '
+                 '(one layout per record)')
     if args.xla:
         os.environ['PGT_DISABLE_PALLAS'] = '1'
     ensure_backend()

@@ -110,7 +110,10 @@ class OPFDataset(_ListDataset):
         for g in range(self.num_groups):
             gdir = osp.join(self.raw_dir, f'group_{g}')
             for name in sorted(os.listdir(gdir)):
-                if not name.endswith('.json'):
+                # group dirs may hold several cases/releases — only
+                # this dataset's case (reference: one raw_dir per case)
+                if not (name.endswith('.json')
+                        and name.startswith(self.case_name + '_')):
                     continue
                 with open(osp.join(gdir, name)) as f:
                     obj = json.load(f)
@@ -466,7 +469,25 @@ class IGMCDataset(_ListDataset):
     def load_matlab_file(path: str, name: str) -> np.ndarray:
         import h5py
         with h5py.File(path, 'r') as db:
-            return np.asarray(db[name], np.float32).T
+            obj = db[name]
+            if isinstance(obj, h5py.Group):
+                # MATLAB v7.3 sparse matrix: CSC data/ir/jc triplets
+                import scipy.sparse as sp
+                data = np.asarray(obj['data'], np.float64).ravel()
+                ir = np.asarray(obj['ir'], np.int64).ravel()
+                jc = np.asarray(obj['jc'], np.int64).ravel()
+                shape = tuple(int(v) for v in
+                              obj.attrs['MATLAB_sparse_shape']) \
+                    if 'MATLAB_sparse_shape' in obj.attrs else None
+                ncols = len(jc) - 1
+                nrows = (int(ir.max()) + 1 if len(ir) else 0) \
+                    if shape is None else shape[0]
+                mat = sp.csc_matrix((data, ir, jc),
+                                    shape=(nrows, ncols))
+                # v7.3 stores column-major: csc over (rows, cols)
+                # already matches the logical orientation
+                return np.asarray(mat.todense(), np.float32)
+            return np.asarray(obj, np.float32).T
 
     def process(self):
         path = osp.join(self.raw_dir, 'training_test_dataset.mat')

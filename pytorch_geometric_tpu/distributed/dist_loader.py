@@ -105,10 +105,13 @@ class DistNeighborLoader(DistLoader):
         peers = self.sampler.peers
         if peers is not None:
             safe_ids = np.where(out.node_mask, out.node, fs.n_id[0])
-            x = peers.lookup('x', safe_ids).astype(np.float32,
-                                                   copy=True)
-            x[~out.node_mask] = 0
-            kwargs['x'] = x
+            try:
+                x = peers.lookup('x', safe_ids).astype(np.float32,
+                                                       copy=True)
+                x[~out.node_mask] = 0
+                kwargs['x'] = x
+            except KeyError:
+                pass
             try:
                 y = peers.lookup('y', safe_ids).copy()
                 y[~out.node_mask] = 0

@@ -203,43 +203,64 @@ class DistNeighborSampler:
         edge_caps = nn.edge_budget(bs)
         n_cap, e_cap = sum(node_caps), sum(edge_caps)
 
-        pos: Dict[int, int] = {int(g): i for i, g in enumerate(seeds)}
-        nodes: List[int] = [int(g) for g in seeds]
-        rows: List[int] = []
-        cols: List[int] = []
-        eids: List[int] = []
-        eowner: List[int] = []
+        # vectorized relabel state: nodes in discovery order, plus a
+        # sorted view for O(log) id -> position lookups (a per-edge
+        # Python dict loop was the loader bottleneck at real batch
+        # sizes — ~80k iterations per hop at bs=512 fanouts [15,10])
+        nodes = np.asarray(seeds, np.int64)
+        known_sorted = np.sort(nodes)
+        known_pos = np.argsort(nodes, kind='stable')
+        rows_l: List[np.ndarray] = []
+        cols_l: List[np.ndarray] = []
+        eids_l: List[np.ndarray] = []
+        eowner_l: List[np.ndarray] = []
         frontier = seeds
+        frontier_pos = np.arange(bs, dtype=np.int64)
         num_sampled_nodes = [bs]
         num_sampled_edges = []
         for fanout in self.num_neighbors:
             if len(frontier) == 0:
                 num_sampled_nodes.append(0)
                 num_sampled_edges.append(0)
-                frontier = np.zeros(0, np.int64)
                 continue
             src, eid, owner, valid = self.peers.sample_one_hop(
                 frontier, fanout, self.rng, self.replace)
-            new_nodes = []
-            ne = 0
-            for k in np.nonzero(valid)[0]:
-                g = int(src[k])
-                dst_pos = pos[int(frontier[k // fanout])]
-                p = pos.get(g)
-                if p is None:
-                    p = len(nodes)
-                    pos[g] = p
-                    nodes.append(g)
-                    new_nodes.append(g)
-                rows.append(p)
-                cols.append(dst_pos)
-                eids.append(int(eid[k]))
-                eowner.append(int(owner[k]))
-                ne += 1
-            num_sampled_nodes.append(len(new_nodes))
-            num_sampled_edges.append(ne)
-            frontier = np.asarray(new_nodes, np.int64)
+            vi = np.nonzero(valid)[0]                 # slot order
+            src_v = src[vi]
+            dst_pos_v = frontier_pos[vi // fanout]
+            # new unique ids, in first-occurrence (slot) order —
+            # matching the reference's order-preserving merge
+            uniq, first_idx = np.unique(src_v, return_index=True)
+            ins = np.searchsorted(known_sorted, uniq)
+            insc = np.minimum(ins, max(len(known_sorted) - 1, 0))
+            is_new = (known_sorted[insc] != uniq) if \
+                len(known_sorted) else np.ones(len(uniq), bool)
+            new_ids = uniq[is_new][np.argsort(first_idx[is_new],
+                                              kind='stable')]
+            new_pos = np.arange(len(nodes),
+                                len(nodes) + len(new_ids))
+            nodes = np.concatenate([nodes, new_ids])
+            order = np.argsort(nodes, kind='stable')
+            known_sorted = nodes[order]
+            known_pos = order
+            row_pos = known_pos[np.searchsorted(known_sorted, src_v)]
+            rows_l.append(row_pos)
+            cols_l.append(dst_pos_v)
+            eids_l.append(eid[vi])
+            eowner_l.append(owner[vi])
+            num_sampled_nodes.append(len(new_ids))
+            num_sampled_edges.append(len(vi))
+            frontier = new_ids
+            frontier_pos = new_pos
 
+        rows = (np.concatenate(rows_l) if rows_l
+                else np.zeros(0, np.int64))
+        cols = (np.concatenate(cols_l) if cols_l
+                else np.zeros(0, np.int64))
+        eids = (np.concatenate(eids_l) if eids_l
+                else np.zeros(0, np.int64))
+        eowner = (np.concatenate(eowner_l) if eowner_l
+                  else np.zeros(0, np.int64))
         n_real, e_real = len(nodes), len(rows)
         node = np.zeros(n_cap, np.int64)
         node[:n_real] = nodes

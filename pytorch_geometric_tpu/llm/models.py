@@ -251,9 +251,9 @@ class GRetriever:
         loss = self.forward(question, graphs, label)
         loss.backward()
         torch_opt.step()
-        if self.gnn_apply is not None and gnn_opt is not None:
-            grads = self.gnn_grads()
-            if grads is not None:
+        if self.gnn_apply is not None:
+            grads = self.gnn_grads()       # always drain the records
+            if gnn_opt is not None and grads is not None:
                 updates, gnn_opt_state = gnn_opt.update(
                     grads, gnn_opt_state, self.gnn_params)
                 self.gnn_params = optax.apply_updates(
@@ -272,6 +272,10 @@ class GRetriever:
         """Mean LM loss over the batch (reference forward
         ``g_retriever.py:117-170``)."""
         import torch
+        # drop any cotangent records a previous forward left undrained
+        # (backward never ran, or the caller skipped gnn_grads) — they
+        # pin VJP residuals and would mix stale gradients in
+        self._pending.clear()
         emb = self.llm.model.get_input_embeddings()
         losses = []
         for q, g, lab in zip(question, graphs, label):

@@ -312,8 +312,13 @@ class LargeGraphIndexer:
         """Persist index + attribute maps under a directory (reference
         ``large_graph_indexer.py:469``; arrays as ``.npy``, object
         lists pickled)."""
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        # only clear the files THIS class owns — never the whole
+        # directory (the caller may keep unrelated outputs there)
+        for sub in ('node_attr', 'edge_attr'):
+            if os.path.isdir(os.path.join(path, sub)):
+                shutil.rmtree(os.path.join(path, sub))
+        if os.path.exists(os.path.join(path, 'ids.pkl')):
+            os.remove(os.path.join(path, 'ids.pkl'))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, 'ids.pkl'), 'wb') as f:
             pickle.dump({'nodes': self._nodes, 'edges': self._edges,
