@@ -406,3 +406,47 @@ def test_gat_flash_block_api_matches_oneshot():
                                rtol=5e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gv_ref),
                                rtol=5e-5, atol=1e-6)
+
+
+def test_gatv2_flash_scatter_vs_segment_grads():
+    """GATv2 form: scatter vs segment flash impls agree on outputs AND
+    parameter gradients under the sorted path."""
+    import os
+    from pytorch_geometric_tpu.ops import edge_attention as ea
+
+    n_src, n_dst, h, dh = 20, 14, 3, 8
+    e, c = 150, 16
+    src = rng.integers(0, n_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n_dst, e)).astype(np.int32)
+    nc = -(-e // c)
+    pad = nc * c - e
+    s_ch = jnp.asarray(np.pad(src, (0, pad)).reshape(nc, c))
+    d_ch = jnp.asarray(np.pad(dst, (0, pad),
+                              constant_values=n_dst).reshape(nc, c))
+    x_l = jnp.asarray(rng.standard_normal((n_src, h * dh)).astype(
+        np.float32))
+    x_r = jnp.asarray(rng.standard_normal((n_dst, h * dh)).astype(
+        np.float32))
+    att = jnp.asarray(rng.standard_normal((h * dh,)).astype(
+        np.float32))
+
+    def run(impl):
+        os.environ['PGT_ATTN_FLASH_IMPL'] = impl
+        try:
+            def f(xl, xr, a):
+                out = ea._gatv2_flash(n_dst, 0.2, h, True, xl, xr, a,
+                                      s_ch, d_ch)
+                return jnp.sum(out ** 2), out
+            (_, out), grads = jax.value_and_grad(
+                f, argnums=(0, 1, 2), has_aux=True)(x_l, x_r, att)
+            return out, grads
+        finally:
+            del os.environ['PGT_ATTN_FLASH_IMPL']
+
+    out_sc, g_sc = run('scatter')
+    out_sg, g_sg = run('segment')
+    np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_sg),
+                               rtol=2e-5, atol=1e-6)
+    for a, b in zip(g_sc, g_sg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
