@@ -4,6 +4,10 @@ from .rag import (LargeGraphIndexer, MappedFeature, TripletLike,
                   get_features_for_triplets_groups)
 from .stores import (KNNRAGFeatureStore, NeighborSamplingRAGGraphStore,
                      RAGQueryLoader, batch_knn)
+from .backend_utils import (preprocess_triplet, retrieval_via_pcst,
+                            create_graph_from_triples,
+                            create_remote_backend_from_graph_data,
+                            RemoteGraphBackendLoader, make_pcst_filter)
 from .glem import GLEM, glem_loss
 from .protein_mpnn import ProteinMPNN
 from .kg import (TXT2KG, LLMJudge, chunk_text, parse_n_check_triples,
@@ -17,7 +21,10 @@ __all__ = [
     'LargeGraphIndexer', 'MappedFeature', 'TripletLike',
     'get_features_for_triplets', 'get_features_for_triplets_groups',
     'KNNRAGFeatureStore', 'NeighborSamplingRAGGraphStore',
-    'RAGQueryLoader', 'batch_knn', 'ProteinMPNN',
+    'RAGQueryLoader', 'batch_knn', 'preprocess_triplet',
+    'retrieval_via_pcst', 'create_graph_from_triples',
+    'create_remote_backend_from_graph_data', 'RemoteGraphBackendLoader',
+    'make_pcst_filter', 'ProteinMPNN',
     'TXT2KG', 'LLMJudge', 'chunk_text', 'parse_n_check_triples',
     'merge_triples', 'VectorRetriever', 'DocumentRetriever',
     'MoleculeGPT', 'GITMol', 'GitMolGraphEncoder', 'pad_or_truncate',

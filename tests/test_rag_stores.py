@@ -183,3 +183,80 @@ def test_rag_query_loader_requires_config_keys():
     gstore.edge_index = np.array([[0, 1, 2], [1, 2, 3]])
     with pytest.raises(ValueError, match='k_nodes'):
         RAGQueryLoader((fstore, gstore), config={'num_neighbors': [2]})
+
+
+# ------------------------------------------------------ PCST retrieval
+def test_retrieval_via_pcst_selects_connecting_tree():
+    """The PCST filter keeps the cheap tree connecting the prize nodes
+    and drops far junk (reference ``backend_utils.py:54``; solver is
+    the metric-closure Steiner 2-approx since pcst_fast is absent)."""
+    from pandas import DataFrame
+
+    from pytorch_geometric_tpu.data import Data
+    from pytorch_geometric_tpu.llm import retrieval_via_pcst
+
+    # chain 0-1-2-3 (prizes at 0 and 3) + junk blob 4-5-6 attached far
+    ei = np.array([[0, 1, 2, 4, 5, 3],
+                   [1, 2, 3, 5, 6, 4]], np.int64)
+    q = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    x = np.stack([q, q * 0.5 + 0.1, q * 0.5 + 0.1, q * 0.9,
+                  -q, -q, -q]).astype(np.float32)
+    ea = np.tile(-q, (6, 1)).astype(np.float32)   # edges carry no prize
+    data = Data(x=x, edge_index=ei, edge_attr=ea, num_nodes=7)
+    data = data.replace(node_idx=np.arange(7), edge_idx=np.arange(6))
+    tn = DataFrame({'node_id': range(7),
+                    'node_attr': [f'n{i}' for i in range(7)]})
+    te = DataFrame({'src': ei[0], 'edge_attr': ['r'] * 6,
+                    'dst': ei[1]})
+    out, desc = retrieval_via_pcst(data, q, tn, te, topk=2, topk_e=0,
+                                   cost_e=0.5)
+    got = set(np.asarray(out.node_idx).tolist())
+    assert {0, 3} <= got            # both prize nodes kept
+    assert got <= {0, 1, 2, 3}      # junk blob dropped
+    # selected edges form the connecting path, tracked by edge_idx
+    assert set(np.asarray(out.edge_idx).tolist()) <= {0, 1, 2}
+    assert len(np.asarray(out.edge_idx)) >= 3
+    assert 'node_id,node_attr' in desc and 'src,edge_attr,dst' in desc
+    # relabeled edge_index is consistent with x subset
+    sub_ei = np.asarray(out.edge_index)
+    assert sub_ei.max() < int(out.num_nodes)
+
+
+def test_pcst_filter_and_remote_backend_roundtrip(tmp_path):
+    from pytorch_geometric_tpu.llm import (
+        create_graph_from_triples,
+        create_remote_backend_from_graph_data, make_pcst_filter,
+        preprocess_triplet)
+
+    assert preprocess_triplet(('A', 'Likes', 'B')) == \
+        ('a', 'likes', 'b')
+
+    enc = _ConceptEncoder()
+    filler = _filler_triplets(300)
+    planted = [('curie', 'discovered', 'radium'),
+               ('curie', 'born_in', 'warsaw')]
+    trips = filler + planted
+    data = create_graph_from_triples(trips, enc)
+    assert np.asarray(data.x).shape[1] == enc.dim
+
+    # remote backend: persist + load into the RAG stores
+    loader_obj = create_remote_backend_from_graph_data(
+        data, path=str(tmp_path / 'backend.pkl'))
+    fstore, gstore = loader_obj.load()
+    from pytorch_geometric_tpu.llm import RAGQueryLoader
+    rql = RAGQueryLoader(
+        (fstore, gstore),
+        subgraph_filter=make_pcst_filter(trips, enc, topk=3,
+                                         topk_e=2),
+        config={'k_nodes': 2, 'encoder_model': enc,
+                'num_neighbors': [8, 8]})
+    out = rql.query('which researcher unearthed the glowing-metal?')
+    # PCST pruned the sampled subgraph but kept the planted chain
+    node_texts = [t for t in
+                  __import__('pytorch_geometric_tpu.llm.rag',
+                             fromlist=['x']).ordered_set(
+                      [n for tr in trips for n in (tr[0], tr[2])])]
+    got = {node_texts[int(i)] for i in np.asarray(out.node_idx)}
+    assert 'radium' in got
+    assert out._store['desc'].count('\n') >= 2
+    assert isinstance(out._store['triples'], list)
