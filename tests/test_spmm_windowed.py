@@ -450,3 +450,49 @@ def test_gatv2_flash_scatter_vs_segment_grads():
     for a, b in zip(g_sc, g_sg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_flash_scatter_fuzz_vs_dense_oracle(seed):
+    """Random shapes/chunks: scatter flash == dense softmax oracle."""
+    from pytorch_geometric_tpu.ops import edge_attention as ea
+
+    r = np.random.default_rng(seed)
+    n_src = int(r.integers(5, 40))
+    n_dst = int(r.integers(3, 30))
+    h = int(r.choice([1, 2, 4, 5]))
+    dh = int(r.choice([3, 8, 16]))
+    e = int(r.integers(10, 300))
+    c = int(r.choice([7, 16, 33]))
+    src = r.integers(0, n_src, e).astype(np.int32)
+    dst = np.sort(r.integers(0, n_dst, e)).astype(np.int32)
+    nc = -(-e // c)
+    pad = nc * c - e
+    s_ch = jnp.asarray(np.pad(src, (0, pad)).reshape(nc, c))
+    d_ch = jnp.asarray(np.pad(dst, (0, pad),
+                              constant_values=n_dst).reshape(nc, c))
+    rel_ch = jnp.asarray(np.zeros((nc, c), np.int32))
+    k = r.standard_normal((n_src, h * dh)).astype(np.float32)
+    v = r.standard_normal((n_src, h * dh)).astype(np.float32)
+    q = r.standard_normal((n_dst, h, dh)).astype(np.float32)
+    p = r.standard_normal((1, h)).astype(np.float32)
+
+    out = ea._attention_flash(n_dst, True, jnp.asarray(k),
+                              jnp.asarray(v), jnp.asarray(q),
+                              jnp.asarray(p), rel_ch, s_ch, d_ch)
+
+    # dense oracle
+    logit = ((q.reshape(n_dst, h * dh)[dst] * k[src])
+             .reshape(e, h, dh).sum(-1) * p[0])      # [E, H]
+    expect = np.zeros((n_dst, h, dh), np.float32)
+    for node in range(n_dst):
+        sel = np.nonzero(dst == node)[0]
+        if not len(sel):
+            continue
+        lo = logit[sel]
+        a = np.exp(lo - lo.max(0))
+        a = a / a.sum(0)
+        expect[node] = (v[src[sel]].reshape(-1, h, dh)
+                        * a[:, :, None]).sum(0)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4,
+                               atol=2e-5)
