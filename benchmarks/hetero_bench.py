@@ -82,7 +82,7 @@ def _timeit_step(step, args, reps):
 
 
 def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True,
-            attn_path=None):
+            attn_path=None, layouts=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -98,11 +98,11 @@ def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True,
 
     class Net(fnn.Module):
         @fnn.compact
-        def __call__(self, x_dict, ei_dict):
-            x_dict = Conv(64, metadata, heads=4,
-                          attn_path=attn_path)(x_dict, ei_dict)
-            x_dict = Conv(64, metadata, heads=4,
-                          attn_path=attn_path)(x_dict, ei_dict)
+        def __call__(self, x_dict, ei_dict, flash_layouts=None):
+            x_dict = Conv(64, metadata, heads=4, attn_path=attn_path)(
+                x_dict, ei_dict, flash_layouts)
+            x_dict = Conv(64, metadata, heads=4, attn_path=attn_path)(
+                x_dict, ei_dict, flash_layouts)
             return fnn.Dense(C)(x_dict['paper'])
 
     net = Net()
@@ -120,14 +120,21 @@ def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True,
         else:
             EI[et] = jax.device_put(coo)
     Y = jax.device_put(y)
-    params = jax.jit(net.init)(jax.random.PRNGKey(0), X, EI)
+    FL = None
+    if layouts:
+        # host-presorted chunked unions: removes the per-step device
+        # argsort (2 layers x ~E edges x ~6 ns) AND pins sorted
+        # lowering; forces the flash path for every dst type
+        from pytorch_geometric_tpu.ops import build_hgt_flash_layouts
+        FL = build_hgt_flash_layouts(metadata, edges, nodes)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), X, EI, FL)
     tx = optax.adam(1e-3)
     opt = tx.init(params)
 
     @jax.jit
-    def step(params, opt, X, EI, Y):
+    def step(params, opt, X, EI, Y, FL):
         def loss_fn(p):
-            logits = net.apply(p, X, EI)
+            logits = net.apply(p, X, EI, FL)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, Y).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -135,7 +142,7 @@ def run_hgt(nodes, edges, x, y, reps, remat=False, blocked=True,
         return optax.apply_updates(params, updates), opt, loss
 
     dt, (params, opt, loss) = _timeit_step(
-        step, (params, opt, X, EI, Y), reps)
+        step, (params, opt, X, EI, Y, FL), reps)
     e_total = sum(c.shape[1] for c in edges.values())
     return {'metric': 'hetero_hgt_train_step', 'value': round(dt, 4),
             'unit': 's/step', 'loss': round(float(loss), 4),
@@ -324,6 +331,9 @@ def main():
                     help='run the torch reference arm instead')
     ap.add_argument('--arms', default='hgt,rgcn,proj')
     ap.add_argument('--remat', action='store_true')
+    ap.add_argument('--layouts', action='store_true',
+                    help='host-presorted flash unions (no per-step '
+                         'device argsort; forces the flash path)')
     ap.add_argument('--attn-path', default=None,
                     choices=['fused', 'concat', 'blocked'],
                     help='HGT aggregation path (default: auto — fused '
@@ -352,8 +362,9 @@ def main():
     if 'hgt' in arms:
         rec = run_hgt(nodes, edges, x, y, args.reps,
                       remat=args.remat, blocked=not args.no_blocked,
-                      attn_path=args.attn_path)
+                      attn_path=args.attn_path, layouts=args.layouts)
         rec['remat'] = args.remat
+        rec['flash_layouts'] = args.layouts
         rec['blocked'] = not args.no_blocked
         rec['attn_path'] = args.attn_path or 'auto'
         print(json.dumps(rec), flush=True)

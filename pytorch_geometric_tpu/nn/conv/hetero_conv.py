@@ -97,8 +97,12 @@ class HGTConv(fnn.Module):
 
     @fnn.compact
     def __call__(self, x_dict: Dict[str, jnp.ndarray],
-                 edge_index_dict: Dict[EdgeType, Any]
+                 edge_index_dict: Dict[EdgeType, Any],
+                 flash_layouts: Optional[Dict[str, Any]] = None
                  ) -> Dict[str, jnp.ndarray]:
+        # flash_layouts: per-dst-type host-presorted union edge layouts
+        # (ops.edge_attention.build_hgt_flash_layouts) — skips the
+        # per-step device argsort on giant graphs
         node_types, edge_types = self.metadata
         H = self.heads
         D = self.out_channels // H
@@ -145,6 +149,8 @@ class HGTConv(fnn.Module):
                 path = ('blocked'
                         if all(fused_softmax_available(r[4]) for r in rels)
                         else 'fused')
+            if flash_layouts is not None and t in flash_layouts:
+                path = 'fused'
             if path == 'fused':
                 from ...ops.edge_attention import \
                     hetero_edge_attention_multi
@@ -172,7 +178,9 @@ class HGTConv(fnn.Module):
                 # transients don't coexist
                 agg = hetero_edge_attention_multi(
                     k_tabs, v_tabs, q_dict[t], p_parts, s_parts,
-                    d_parts, n, token=type_tok)
+                    d_parts, n, token=type_tok,
+                    layout=(None if flash_layouts is None
+                            else flash_layouts.get(t)))
                 agg = agg.reshape(n, -1)
                 type_tok = agg
             else:

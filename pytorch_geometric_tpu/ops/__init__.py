@@ -12,6 +12,7 @@ __all__ = [
     'sddmm', 'edge_softmax', 'edge_softmax_aggregate',
     'multi_relation_softmax_aggregate', 'fused_softmax_available',
     'hetero_edge_attention', 'hetero_edge_attention_multi',
+    'FlashLayout', 'build_union_flash_layout', 'build_hgt_flash_layouts',
     'sampled_op', 'sampled_add', 'sampled_sub', 'sampled_mul',
     'sampled_div',
 ]
@@ -24,4 +25,6 @@ from .sddmm import (sddmm, edge_softmax, edge_softmax_aggregate,
 from .sampled import (sampled_op, sampled_add, sampled_sub,
                       sampled_mul, sampled_div)
 from .edge_attention import (hetero_edge_attention,
-                             hetero_edge_attention_multi)
+                             hetero_edge_attention_multi,
+                             FlashLayout, build_union_flash_layout,
+                             build_hgt_flash_layouts)

@@ -402,3 +402,54 @@ def test_attention_sorted_path_parity():
                 np.asarray(v),
                 np.asarray(flat_r[jax.tree_util.keystr(k)]),
                 rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_hgt_flash_layout_parity():
+    """Host-precomputed FlashLayout (no device argsort) reproduces the
+    in-call sorted flash path — outputs and param grads."""
+    import os
+
+    from pytorch_geometric_tpu.ops import build_hgt_flash_layouts
+
+    data = make_hetero()
+    ei = {et: np.array(v) for et, v in data.edge_index_dict.items()}
+    meta = (tuple(data.metadata()[0]), tuple(data.metadata()[1]))
+    x_dict = data.x_dict
+    num_nodes = {t: int(x.shape[0]) for t, x in x_dict.items()}
+    conv = HGTConv(out_channels=32, metadata=meta, heads=4,
+                   attn_path='fused')
+    params = conv.init(jax.random.PRNGKey(3), x_dict, ei)
+
+    os.environ['PGT_ATTN_WIDE_BYTES'] = '0'
+    os.environ['PGT_ATTN_CHUNK_EDGES'] = '16'
+    os.environ['PGT_ATTN_SORT_MIN_EDGES'] = '1'
+    try:
+        out_ref = conv.apply(params, x_dict, ei)
+
+        def loss(p, lay):
+            out = conv.apply(p, x_dict, ei, flash_layouts=lay)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+
+        g_ref = jax.grad(lambda p: sum(
+            jnp.sum(v ** 2) for v in conv.apply(p, x_dict,
+                                                ei).values()))(params)
+        layouts = build_hgt_flash_layouts(meta, ei, num_nodes,
+                                          chunk=16)
+        out_lay = conv.apply(params, x_dict, ei,
+                             flash_layouts=layouts)
+        g_lay = jax.grad(loss)(params, layouts)
+    finally:
+        for k in ('PGT_ATTN_WIDE_BYTES', 'PGT_ATTN_CHUNK_EDGES',
+                  'PGT_ATTN_SORT_MIN_EDGES'):
+            del os.environ[k]
+
+    for t in out_ref:
+        np.testing.assert_allclose(np.asarray(out_lay[t]),
+                                   np.asarray(out_ref[t]),
+                                   rtol=2e-5, atol=1e-5)
+    flat_r = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_ref)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_lay):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
