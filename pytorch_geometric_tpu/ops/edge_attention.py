@@ -421,6 +421,103 @@ def _attention_flash_bwd(num_dst, sorted_dst, res, g):
 _attention_flash.defvjp(_attention_flash_fwd, _attention_flash_bwd)
 
 
+# -- dual-layout variant: dst-sorted forward, SRC-sorted backward -----------
+# The backward's two biggest scatters (dk/dv, [C, HD] each) index by
+# SOURCE; with a second host-presorted copy of the chunks ordered by
+# src (invalid edges carrying the table-size sentinel so they sort
+# last) they take the 1.7x sorted lowering, while the dst-side gathers
+# cost the same either way (random row gather is order-insensitive on
+# v5e — tpu-layout-memory notes). dq's scatter loses its sorted flag;
+# net win because it is one op vs two.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attention_flash_dual(num_dst, k_glob, v_glob, q_table, p_stack,
+                          rel_f, s_f, d_f, rel_b, s_b, d_b):
+    """rel_f/s_f/d_f: dst-sorted chunks (pad: d == num_dst);
+    rel_b/s_b/d_b: the SAME edges src-sorted (pad: s == M)."""
+    out, _ = _attention_flash_dual_fwd(num_dst, k_glob, v_glob,
+                                       q_table, p_stack, rel_f, s_f,
+                                       d_f, rel_b, s_b, d_b)
+    return out
+
+
+def _attention_flash_dual_fwd(num_dst, k_glob, v_glob, q_table,
+                              p_stack, rel_f, s_f, d_f, rel_b, s_b,
+                              d_b):
+    h, dh = q_table.shape[1], q_table.shape[2]
+    q_flat = q_table.reshape(num_dst, h * dh)
+
+    def logit_fn(x):
+        s, d, r = x
+        logit, _, valid, _ = _flash_logit(
+            q_flat, k_glob, p_stack, r, s, d, num_dst, h, dh)
+        return logit, valid, d
+
+    m, l, out = _scatter_flash_scan(
+        num_dst, h, dh, q_table.dtype, logit_fn,
+        lambda x: v_glob[x[0]], (s_f, d_f, rel_f))
+    res = (k_glob, v_glob, q_table, p_stack, rel_b, s_b, d_b, m, l,
+           out)
+    return out.reshape(num_dst, h, dh), res
+
+
+def _attention_flash_dual_bwd(num_dst, res, g):
+    (k_glob, v_glob, q_table, p_stack, rel_b, s_b, d_b, m, l,
+     out) = res
+    h, dh = q_table.shape[1], q_table.shape[2]
+    hd = h * dh
+    mrows = k_glob.shape[0]
+    q_flat = q_table.reshape(num_dst, hd)
+    g_flat = g.reshape(num_dst, hd)
+    l_safe = jnp.maximum(l, 1e-16)
+    gdot = (g_flat * out).reshape(num_dst, h, dh).sum(-1)
+
+    def step(carry, xs):
+        dk, dv, dq, dp = carry
+        s, d, r = xs
+        c = s.shape[0]
+        valid = d < num_dst
+        ssafe = jnp.minimum(s, mrows - 1)
+        logit, base, _, dsafe = _flash_logit(
+            q_flat, k_glob, p_stack, r, ssafe, d, num_dst, h, dh)
+        alpha = jnp.exp(logit - jnp.where(jnp.isfinite(m),
+                                          m, 0.0)[dsafe]) / l_safe[dsafe]
+        alpha = jnp.where(valid[:, None], alpha, 0.0)
+        g_e = g_flat[dsafe]
+        v_e = v_glob[ssafe]
+        dalpha = (g_e * v_e).reshape(c, h, dh).sum(-1)
+        dlogit = alpha * (dalpha - gdot[dsafe])
+        dp = dp + _seg_sum(jnp.where(valid[:, None], dlogit * base, 0),
+                           r, p_stack.shape[0])
+        dbase = _rep(dlogit * p_stack[r], dh)
+        k_e = k_glob[ssafe]
+        q_e = q_flat[dsafe]
+        # src-sorted chunks: dk/dv take the sorted lowering (s == M
+        # sentinel pads sort last and drop)
+        dv = dv.at[s].add(g_e * _rep(alpha, dh), mode='drop',
+                          indices_are_sorted=True)
+        dk = dk.at[s].add(dbase * q_e, mode='drop',
+                          indices_are_sorted=True)
+        dq = dq.at[jnp.where(valid, d, num_dst)].add(
+            dbase * k_e, mode='drop')
+        return (dk, dv, dq, dp), None
+
+    dk0 = jnp.zeros_like(k_glob)
+    dv0 = jnp.zeros_like(v_glob)
+    dq0 = jnp.zeros((num_dst, hd), q_table.dtype)
+    dp0 = jnp.zeros_like(p_stack)
+    (dk, dv, dq, dp), _ = jax.lax.scan(step, (dk0, dv0, dq0, dp0),
+                                       (s_b, d_b, rel_b))
+    return (dk, dv, dq.reshape(num_dst, h, dh), dp,
+            _float0(rel_b), _float0(s_b), _float0(d_b),
+            _float0(rel_b), _float0(s_b), _float0(d_b))
+
+
+_attention_flash_dual.defvjp(_attention_flash_dual_fwd,
+                             _attention_flash_dual_bwd)
+
+
 # wide-gather transient cap: past this many union [E, 2HD] bytes the
 # flash scan takes over. Several [E, 128-lane] buffers are live at the
 # wide bwd peak, so the real footprint is ~4-6x this figure.
@@ -436,18 +533,25 @@ class FlashLayout:
     :func:`hetero_edge_attention_multi` (a pytree — fine as a jit
     argument)."""
 
-    def __init__(self, s_ch, d_ch, rel_ch, e_tot: int):
+    def __init__(self, s_ch, d_ch, rel_ch, e_tot: int,
+                 s_t=None, d_t=None, rel_t=None):
         self.s_ch = s_ch
         self.d_ch = d_ch
         self.rel_ch = rel_ch
         self.e_tot = int(e_tot)
+        # optional SRC-sorted copy for the dual-layout backward
+        self.s_t = s_t
+        self.d_t = d_t
+        self.rel_t = rel_t
 
     def tree_flatten(self):
-        return (self.s_ch, self.d_ch, self.rel_ch), (self.e_tot,)
+        return ((self.s_ch, self.d_ch, self.rel_ch, self.s_t,
+                 self.d_t, self.rel_t), (self.e_tot,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        s_ch, d_ch, rel_ch, s_t, d_t, rel_t = children
+        return cls(s_ch, d_ch, rel_ch, aux[0], s_t, d_t, rel_t)
 
 
 jax.tree_util.register_pytree_node(
@@ -478,20 +582,35 @@ def build_union_flash_layout(s_list, d_list, table_sizes, num_dst: int,
         np.zeros(0, np.int64)
     rel_glob = np.concatenate(rel_parts) if rel_parts else \
         np.zeros(0, np.int32)
-    order = np.argsort(d_glob, kind='stable')
-    s_glob, d_glob, rel_glob = (s_glob[order], d_glob[order],
-                                rel_glob[order])
     e_tot = len(s_glob)
     c = max(min(chunk, max(e_tot, 1)), 1)
     nc = max(-(-e_tot // c), 1)
     pad = nc * c - e_tot
-    return FlashLayout(
-        jnp.asarray(np.pad(s_glob, (0, pad)).reshape(nc, c)
-                    .astype(np.int32)),
-        jnp.asarray(np.pad(d_glob, (0, pad), constant_values=num_dst)
-                    .reshape(nc, c).astype(np.int32)),
-        jnp.asarray(np.pad(rel_glob, (0, pad)).reshape(nc, c)),
-        e_tot)
+    m_total = int(off)
+
+    def _chunked(s, d, r, s_pad, d_pad):
+        return (jnp.asarray(np.pad(s, (0, pad),
+                                   constant_values=s_pad)
+                            .reshape(nc, c).astype(np.int32)),
+                jnp.asarray(np.pad(d, (0, pad),
+                                   constant_values=d_pad)
+                            .reshape(nc, c).astype(np.int32)),
+                jnp.asarray(np.pad(r, (0, pad)).reshape(nc, c)))
+
+    order = np.argsort(d_glob, kind='stable')
+    s_f, d_f, r_f = _chunked(s_glob[order], d_glob[order],
+                             rel_glob[order], 0, num_dst)
+
+    dual = os.environ.get('PGT_ATTN_BWD_SRC_SORTED', '1') != '0'
+    if not dual:
+        return FlashLayout(s_f, d_f, r_f, e_tot)
+    # src-sorted copy for the backward's dk/dv scatters: invalid edges
+    # take the table-size sentinel so they sort last AND drop
+    s2 = np.where(d_glob >= num_dst, m_total, s_glob)
+    order_t = np.argsort(s2, kind='stable')
+    s_b, d_b, r_b = _chunked(s2[order_t], d_glob[order_t],
+                             rel_glob[order_t], m_total, num_dst)
+    return FlashLayout(s_f, d_f, r_f, e_tot, s_b, d_b, r_b)
 
 
 def build_hgt_flash_layouts(metadata, edge_index_dict,
@@ -562,7 +681,13 @@ def hetero_edge_attention_multi(k_tabs, v_tabs, q_table, p_rels,
     if layout is not None:
         # host-presorted chunked union: no device argsort, no per-step
         # union build; always the flash scan (the layout exists for
-        # giant graphs)
+        # giant graphs). With a src-sorted copy the backward's dk/dv
+        # scatters take the sorted lowering too.
+        if layout.s_t is not None:
+            return _attention_flash_dual(
+                int(num_dst), k_cat, v_cat, q_table, p_stack,
+                layout.rel_ch, layout.s_ch, layout.d_ch,
+                layout.rel_t, layout.s_t, layout.d_t)
         return _attention_flash(int(num_dst), True, k_cat, v_cat,
                                 q_table, p_stack, layout.rel_ch,
                                 layout.s_ch, layout.d_ch)

@@ -453,3 +453,42 @@ def test_hgt_flash_layout_parity():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
             rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
+def test_hgt_flash_layout_dual_vs_single_bwd():
+    """The dual layout's src-sorted backward and the single-layout
+    backward produce identical gradients (PGT_ATTN_BWD_SRC_SORTED)."""
+    import os
+
+    from pytorch_geometric_tpu.ops import build_hgt_flash_layouts
+
+    data = make_hetero()
+    ei = {et: np.array(v) for et, v in data.edge_index_dict.items()}
+    meta = (tuple(data.metadata()[0]), tuple(data.metadata()[1]))
+    x_dict = data.x_dict
+    num_nodes = {t: int(x.shape[0]) for t, x in x_dict.items()}
+    conv = HGTConv(out_channels=32, metadata=meta, heads=4,
+                   attn_path='fused')
+    params = conv.init(jax.random.PRNGKey(3), x_dict, ei)
+
+    def loss(p, lay):
+        out = conv.apply(p, x_dict, ei, flash_layouts=lay)
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    lay_dual = build_hgt_flash_layouts(meta, ei, num_nodes, chunk=16)
+    assert next(iter(lay_dual.values())).s_t is not None
+    os.environ['PGT_ATTN_BWD_SRC_SORTED'] = '0'
+    try:
+        lay_single = build_hgt_flash_layouts(meta, ei, num_nodes,
+                                             chunk=16)
+        assert next(iter(lay_single.values())).s_t is None
+    finally:
+        del os.environ['PGT_ATTN_BWD_SRC_SORTED']
+    g_d = jax.grad(loss)(params, lay_dual)
+    g_s = jax.grad(loss)(params, lay_single)
+    flat_s = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(g_s)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_d):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_s[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
