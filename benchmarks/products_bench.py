@@ -409,7 +409,8 @@ def run_gat(coo, n, e, hidden):
             'backend': jax.default_backend()}
 
 
-def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False):
+def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False,
+               bwd_src_sorted=True):
     """Full-graph GAT train step at products scale as K DISPATCHES:
     the axon tunnel kills single executions past ~60-90 s, so the
     scale-1.0 (124M-edge) step could only be projected until now. The
@@ -460,6 +461,19 @@ def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False):
     D = [jax.device_put(d_ch[i * kb:(i + 1) * kb])
          for i in range(kblocks)]
     del s_ch, d_ch
+    # src-sorted copy for the backward blocks: dsrc/dv scatters take
+    # the sorted lowering (invalid pads carry s == n and drop)
+    SB = DB = None
+    if bwd_src_sorted:
+        order_b = np.argsort(src, kind='stable')
+        sb = np.pad(src[order_b], (0, pad), constant_values=n)
+        db = np.pad(dst[order_b], (0, pad), constant_values=n)
+        sb, db = sb.reshape(nc, c), db.reshape(nc, c)
+        SB = [jax.device_put(sb[i * kb:(i + 1) * kb])
+              for i in range(kblocks)]
+        DB = [jax.device_put(db[i * kb:(i + 1) * kb])
+              for i in range(kblocks)]
+        del sb, db
 
     # params from the SAME flax net run_gat uses (exact parity)
     class Net(fnn.Module):
@@ -499,10 +513,12 @@ def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False):
                                        slope))
     f_blk2 = jax.jit(functools.partial(ea.gat_flash_fwd_block, n,
                                        slope))
-    b_blk1 = jax.jit(functools.partial(ea.gat_flash_bwd_block, n,
-                                       slope))
-    b_blk2 = jax.jit(functools.partial(ea.gat_flash_bwd_block, n,
-                                       slope))
+    b_blk1 = jax.jit(functools.partial(
+        ea.gat_flash_bwd_block, n, slope,
+        src_sorted=bwd_src_sorted))
+    b_blk2 = jax.jit(functools.partial(
+        ea.gat_flash_bwd_block, n, slope,
+        src_sorted=bwd_src_sorted))
 
     # jitted once up-front: fresh jit objects inside the timed loop
     # would retrace+recompile every rep (review finding)
@@ -520,10 +536,12 @@ def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False):
             carry = f_blk(a_s, a_d, v, S[i], D[i], carry)
         return f_fin(carry)
 
+    BS_, BD_ = (SB, DB) if bwd_src_sorted else (S, D)
+
     def flash_bwd(b_blk, b_fin, a_s, a_d, v, m, l, out, g, h):
         carry = ea.gat_flash_bwd_start(n, n, h, v.shape[1])
         for i in range(kblocks):
-            carry = b_blk(a_s, a_d, v, m, l, out, g, S[i], D[i],
+            carry = b_blk(a_s, a_d, v, m, l, out, g, BS_[i], BD_[i],
                           carry)
         return b_fin(carry)
 
@@ -627,6 +645,7 @@ def run_gat_md(coo, n, e, hidden, kblocks=8, reps=2, check=False):
             'loss': round(float(loss), 4),
             'edges_per_s': round(2 * e_eff / dt),
             'dispatch_blocks': kblocks,
+            'bwd_src_sorted': bwd_src_sorted,
             'path': 'flash scan, multi-dispatch (scatter impl)',
             'backend': jax.default_backend()}
 
@@ -719,6 +738,8 @@ def main():
                     help='full-graph GAT step as K dispatches '
                          '(dodges the tunnel per-execution limit)')
     ap.add_argument('--kblocks', type=int, default=8)
+    ap.add_argument('--no-bwd-src', action='store_true',
+                    help='gat-md: keep dst-sorted chunks in backward')
     ap.add_argument('--check', action='store_true',
                     help='gat-md: assert loss parity vs the '
                          'single-dispatch step')
@@ -758,7 +779,9 @@ def main():
     if args.gat_md:
         print(json.dumps(run_gat_md(coo, n, e, args.hidden,
                                     kblocks=args.kblocks,
-                                    check=args.check)), flush=True)
+                                    check=args.check,
+                                    bwd_src_sorted=not args.no_bwd_src)),
+              flush=True)
     if args.sol:
         print(json.dumps(run_sol(coo, n, e)), flush=True)
     if args.train:

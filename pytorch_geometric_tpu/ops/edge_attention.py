@@ -922,9 +922,17 @@ def gat_flash_bwd_start(n_src, num_dst, h, hd, dtype=jnp.float32):
 
 
 def gat_flash_bwd_block(num_dst, slope, a_src, a_dst, v_glob, m, l,
-                        out, g_flat, s_blk, d_blk, carry):
+                        out, g_flat, s_blk, d_blk, carry,
+                        src_sorted: bool = False):
     """Advance the backward scan (dsrc, ddst, dv carries) over one
-    chunk block; same math as ``_gat_flash_bwd``'s step."""
+    chunk block; same math as ``_gat_flash_bwd``'s step.
+
+    ``src_sorted=False``: chunks are dst-sorted (pad: d == num_dst) —
+    ddst takes the sorted lowering. ``src_sorted=True``: chunks are
+    SRC-sorted with invalid edges carrying ``s == n_src`` (so they
+    sort last and drop) — the two src-side scatters (dsrc, dv) take
+    the 1.7x sorted lowering instead; gathers cost the same either way
+    (random row gather is order-insensitive on v5e)."""
     h = a_src.shape[1]
     hd = v_glob.shape[1]
     dh = hd // h
@@ -937,23 +945,26 @@ def gat_flash_bwd_block(num_dst, slope, a_src, a_dst, v_glob, m, l,
         dsrc_p, ddst_p, dv = c
         s, d = x
         cc = s.shape[0]
-        logit, base, valid, dsafe = _gat_logit(a_src, a_dst, slope, s,
-                                               d, num_dst)
+        ssafe = jnp.minimum(s, n_src - 1) if src_sorted else s
+        logit, base, valid, dsafe = _gat_logit(a_src, a_dst, slope,
+                                               ssafe, d, num_dst)
         alpha = jnp.exp(logit - jnp.where(jnp.isfinite(m),
                                           m, 0.0)[dsafe]) / l_safe[dsafe]
         alpha = jnp.where(valid[:, None], alpha, 0.0)
         g_e = g_flat[dsafe]
-        v_e = v_glob[s]
+        v_e = v_glob[ssafe]
         dalpha = (g_e * v_e).reshape(cc, h, dh).sum(-1)
         dlogit = alpha * (dalpha - gdot[dsafe])
         dbase = jnp.where(base >= 0, dlogit, slope * dlogit)
         dbase = jnp.where(valid[:, None], dbase, 0.0)
         dbase_p = _padw(dbase, 0.0, w)
-        sdrop = jnp.where(valid, s, n_src)
-        dsrc_p = dsrc_p.at[sdrop].add(dbase_p, mode='drop')
+        sdrop = s if src_sorted else jnp.where(valid, s, n_src)
+        dsrc_p = dsrc_p.at[sdrop].add(dbase_p, mode='drop',
+                                      indices_are_sorted=src_sorted)
         ddst_p = ddst_p.at[jnp.where(valid, d, num_dst)].add(
-            dbase_p, indices_are_sorted=True)
-        dv = dv.at[sdrop].add(g_e * _rep(alpha, dh), mode='drop')
+            dbase_p, indices_are_sorted=not src_sorted)
+        dv = dv.at[sdrop].add(g_e * _rep(alpha, dh), mode='drop',
+                              indices_are_sorted=src_sorted)
         return (dsrc_p, ddst_p, dv), None
 
     carry, _ = jax.lax.scan(step, carry, (s_blk, d_blk))
