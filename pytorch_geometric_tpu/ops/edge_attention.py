@@ -207,8 +207,16 @@ def _seg_sum(x, d, n, sorted_=False):
 
 
 def _scatter_mode() -> bool:
+    """Default flash impl: in-place scatters on TPU (the sorted
+    lowering + no full-carry traffic), segment ops on CPU (XLA:CPU
+    scatters serialize — measured ~30% slower at 2M edges). Override
+    with PGT_ATTN_FLASH_IMPL=scatter|segment."""
     import os
-    return os.environ.get('PGT_ATTN_FLASH_IMPL', 'scatter') == 'scatter'
+    mode = os.environ.get('PGT_ATTN_FLASH_IMPL')
+    if mode is None:
+        mode = ('segment' if jax.default_backend() == 'cpu'
+                else 'scatter')
+    return mode == 'scatter'
 
 
 def _padw(x, fill, w):
