@@ -85,6 +85,58 @@ def partition_spmm_halo(x_own: jnp.ndarray, halo_send: jnp.ndarray,
     return jax.ops.segment_sum(msg, dst, n_max + 1)[:n_max]
 
 
+def partition_gat_attention(x_own: jnp.ndarray,
+                            halo_send: jnp.ndarray,
+                            halo_send_mask: jnp.ndarray,
+                            edge_src: jnp.ndarray,
+                            edge_dst: jnp.ndarray,
+                            edge_mask: jnp.ndarray,
+                            att_src: jnp.ndarray,
+                            att_dst: jnp.ndarray,
+                            negative_slope: float = 0.2,
+                            axis_name: str = 'graph') -> jnp.ndarray:
+    """Partition-parallel GAT attention aggregation (dst-owned edges).
+    Call INSIDE shard_map.
+
+    The union edge softmax needs NO cross-device reduction: edges are
+    dst-partitioned (the Partitioner invariant — every destination's
+    ENTIRE in-neighborhood lives with its owner), so the segment
+    softmax is device-local; only SOURCE features cross the mesh, via
+    the same one-collective sparse halo as :func:`partition_spmm_halo`.
+    The source logit halves are recomputed from the received rows
+    (``att_src`` is replicated), so the wire carries just [h_max, H*C]
+    per peer. This is the graph analog of sequence-parallel attention
+    (SURVEY §5): softmax-dimension locality by partitioning.
+
+    x_own: [n_max, H, C] projected features; att_src/att_dst: [H, C].
+    Returns [n_max, H, C].
+    """
+    n_max, h, c = x_own.shape
+    f = h * c
+    num_p, h_max = halo_send.shape
+    flat = x_own.reshape(n_max, f)
+    x_pad = jnp.concatenate([flat, jnp.zeros((1, f), flat.dtype)])
+    send = x_pad[jnp.minimum(halo_send, n_max)]
+    send = jnp.where(halo_send_mask[..., None], send, 0)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    buf = jnp.concatenate([flat, recv.reshape(num_p * h_max, f),
+                           jnp.zeros((1, f), flat.dtype)])
+    a_src_buf = (buf.reshape(-1, h, c) * att_src).sum(-1)   # [B, H]
+    a_dst = (x_own * att_dst).sum(-1)                       # [n_max, H]
+    src = jnp.minimum(edge_src, buf.shape[0] - 1)
+    dsafe = jnp.minimum(edge_dst, n_max - 1)
+    base = a_src_buf[src] + a_dst[dsafe]
+    logit = jnp.where(base >= 0, base, negative_slope * base)
+    from ..ops.softmax import softmax as segment_softmax
+    alpha = segment_softmax(logit, dsafe, n_max, mask=edge_mask)
+    msg = buf[src].reshape(-1, h, c) * alpha[:, :, None]
+    msg = jnp.where(edge_mask[:, None, None], msg, 0)
+    dst = jnp.where(edge_mask, edge_dst, n_max)
+    out = jax.ops.segment_sum(msg.reshape(-1, f), dst, n_max + 1)
+    return out[:n_max].reshape(n_max, h, c)
+
+
 def partition_spmm_hub(x_own: jnp.ndarray, halo_send: jnp.ndarray,
                        halo_send_mask: jnp.ndarray,
                        hub_local: jnp.ndarray,

@@ -198,3 +198,99 @@ def test_train_partition_parallel_ring_matches_halo():
     _, l_ring = train_partition_parallel(data, 8, hidden=16, num_steps=3,
                                          mesh=mesh, exchange='ring')
     np.testing.assert_allclose(l_ring, l_halo, rtol=1e-5, atol=1e-6)
+
+
+def test_partition_gat_attention_matches_single_device():
+    """Partition-parallel GAT: dst-partitioned edges make the union
+    softmax device-local; only source rows ride the sparse halo.
+    Forward AND gradients match the single-device computation."""
+    from jax import shard_map
+    from pytorch_geometric_tpu.parallel import partition_gat_attention
+
+    parts, coo, w, data = _make_parts(f=8)
+    n, f = data.num_nodes, 8
+    h, c = 2, 4
+    x = np.asarray(data.x)
+    P_ = parts.num_parts
+    n_max = parts.n_max
+    mesh = Mesh(np.array(jax.devices('cpu')[:P_]), ('graph',))
+    rng = np.random.default_rng(5)
+    att_s = jnp.asarray(rng.standard_normal((h, c)).astype(np.float32))
+    att_d = jnp.asarray(rng.standard_normal((h, c)).astype(np.float32))
+
+    x_sh = jnp.asarray(np.asarray(parts.x)).reshape(P_, n_max, h, c)
+
+    def body(x_own, hs, hm, es, ed, em, a_s, a_d):
+        return partition_gat_attention(x_own[0], hs[0], hm[0], es[0],
+                                       ed[0], em[0], a_s, a_d)[None]
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P('graph'),) * 6 + (P(), P()),
+        out_specs=P('graph'), check_vma=False)
+    args = (x_sh, jnp.asarray(parts.halo_send),
+            jnp.asarray(parts.halo_send_mask),
+            jnp.asarray(parts.edge_src_halo),
+            jnp.asarray(parts.edge_dst), jnp.asarray(parts.edge_mask))
+    out = np.asarray(fn(*args, att_s, att_d))
+
+    # single-device oracle: per-dst softmax over the global graph
+    xr = x.reshape(n, h, c)
+    a_src_g = (xr * np.asarray(att_s)).sum(-1)
+    a_dst_g = (xr * np.asarray(att_d)).sum(-1)
+    valid = coo[1] < n
+    base = a_src_g[np.minimum(coo[0], n - 1)] + \
+        a_dst_g[np.minimum(coo[1], n - 1)]
+    logit = np.where(base >= 0, base, 0.2 * base)
+    ref = np.zeros((n, h, c), np.float32)
+    for node in range(n):
+        sel = np.nonzero(valid & (coo[1] == node))[0]
+        if not len(sel):
+            continue
+        lo = logit[sel]
+        a = np.exp(lo - lo.max(0))
+        a = a / a.sum(0)
+        ref[node] = (xr[coo[0][sel]] * a[:, :, None]).sum(0)
+
+    own, own_mask = np.asarray(parts.own), np.asarray(parts.own_mask)
+    ref_parts = np.zeros((P_, n_max, h, c), np.float32)
+    ref_parts[own_mask] = ref[own[own_mask]]
+    np.testing.assert_allclose(
+        out.reshape(P_, n_max, h, c) * own_mask[..., None, None],
+        ref_parts, rtol=2e-4, atol=2e-5)
+
+    # gradients flow through the halo collective
+    def loss(x_sh, a_s, a_d):
+        return jnp.sum(fn(x_sh, *args[1:], a_s, a_d) ** 2)
+
+    gx, gs, gd = jax.grad(loss, argnums=(0, 1, 2))(x_sh, att_s, att_d)
+
+    def ref_loss(xf, a_s, a_d):
+        xr = xf.reshape(n, h, c)
+        a_src_g = (xr * a_s).sum(-1)
+        a_dst_g = (xr * a_d).sum(-1)
+        si = jnp.minimum(coo[0], n - 1)
+        di = jnp.minimum(coo[1], n - 1)
+        base = a_src_g[si] + a_dst_g[di]
+        logit = jnp.where(base >= 0, base, 0.2 * base)
+        from pytorch_geometric_tpu.ops.softmax import softmax
+        alpha = softmax(logit, di, n, mask=jnp.asarray(valid))
+        msg = xr[si] * alpha[:, :, None]
+        msg = jnp.where(jnp.asarray(valid)[:, None, None], msg, 0)
+        out = jax.ops.segment_sum(msg.reshape(-1, f),
+                                  jnp.where(jnp.asarray(valid), di, n),
+                                  n + 1)[:n]
+        return jnp.sum(out ** 2)
+
+    gxr, gsr, gdr = jax.grad(ref_loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), att_s, att_d)
+    # scatter reference grads into partition layout
+    gx_parts = np.zeros((P_, n_max, h, c), np.float32)
+    gx_parts[own_mask] = np.asarray(gxr).reshape(n, h, c)[own[own_mask]]
+    np.testing.assert_allclose(
+        np.asarray(gx) * own_mask[..., None, None], gx_parts,
+        rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gsr),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gdr),
+                               rtol=2e-3, atol=2e-4)
