@@ -337,8 +337,22 @@ def create_remote_backend_from_graph_data(
     Partitioner."""
     from .stores import (KNNRAGFeatureStore,
                          NeighborSamplingRAGGraphStore)
-    graph_db = graph_db or NeighborSamplingRAGGraphStore
-    feature_db = feature_db or KNNRAGFeatureStore
+    if n_parts > 1:
+        # partition persistence needs from_partition constructors —
+        # default to the distributed local stores (the reference's
+        # defaults, ``backend_utils.py:322``)
+        from ..distributed import LocalFeatureStore, LocalGraphStore
+        graph_db = graph_db or LocalGraphStore
+        feature_db = feature_db or LocalFeatureStore
+        for db in (graph_db, feature_db):
+            if not hasattr(db, 'from_partition'):
+                raise TypeError(
+                    f'{db.__name__} has no from_partition; n_parts > 1 '
+                    f'requires partition-loadable stores (e.g. '
+                    f'distributed.LocalFeatureStore/LocalGraphStore)')
+    else:
+        graph_db = graph_db or NeighborSamplingRAGGraphStore
+        feature_db = feature_db or KNNRAGFeatureStore
     if n_parts == 1:
         import pickle
         payload = {
@@ -361,12 +375,20 @@ def create_remote_backend_from_graph_data(
 
 def make_pcst_filter(triples: List[TripletLike], model,
                      topk: int = 5, topk_e: int = 5,
-                     cost_e: float = 0.5, num_clusters: int = 1
+                     cost_e: float = 0.5, num_clusters: int = 1,
+                     pre_transform: Optional[Callable] = None
                      ) -> Callable[[Data, str], Data]:
     """``subgraph_filter`` for :class:`~.stores.RAGQueryLoader`:
     PCST-prune the retrieved subgraph around the query and attach the
-    textualised description (reference ``backend_utils.py:367``)."""
+    textualised description (reference ``backend_utils.py:367``).
+
+    Pass the SAME ``pre_transform`` that built the backend
+    (:func:`create_graph_from_triples`) — edge ids index the
+    deduplicated post-transform triple list, so a mismatched
+    normalisation would misalign every edge's text."""
     from pandas import DataFrame
+    if pre_transform is not None:
+        triples = [tuple(pre_transform(tuple(t))) for t in triples]
     triples = list(dict.fromkeys(tuple(t) for t in triples))
     nodes: List[str] = []
     for h, _, t in triples:
@@ -386,9 +408,13 @@ def make_pcst_filter(triples: List[TripletLike], model,
         out, desc = retrieval_via_pcst(
             graph, q_emb, textual_nodes, textual_edges, topk=topk,
             topk_e=topk_e, cost_e=cost_e, num_clusters=num_clusters)
+        # parse the csv tail properly (pandas quotes fields that
+        # contain commas — a naive split would mangle them)
+        import csv as _csv
+        import io as _io
         where = desc.find('src,edge_attr,dst')
-        parsed = [tuple(line.split(','))
-                  for line in desc[where + 18:-1].split('\n') if line]
+        parsed = [tuple(row) for row in _csv.reader(
+            _io.StringIO(desc[where:])) if row][1:]
         ok = parsed and parsed != [('',)] and \
             np.asarray(_get(out, 'edge_index')).size > 0
         out = out.replace(question=np.frombuffer(

@@ -454,6 +454,15 @@ def _attention_flash_dual_fwd(num_dst, k_glob, v_glob, q_table,
                               p_stack, rel_f, s_f, d_f, rel_b, s_b,
                               d_b):
     h, dh = q_table.shape[1], q_table.shape[2]
+    if not _scatter_mode():
+        # honor PGT_ATTN_FLASH_IMPL / the CPU segment default: run the
+        # segment-op forward and repack its residuals for the dual bwd
+        out, res0 = _attention_flash_fwd(num_dst, True, k_glob, v_glob,
+                                         q_table, p_stack, rel_f, s_f,
+                                         d_f)
+        m, l, out_flat = res0[7], res0[8], res0[9]
+        return out, (k_glob, v_glob, q_table, p_stack, rel_b, s_b,
+                     d_b, m, l, out_flat)
     q_flat = q_table.reshape(num_dst, h * dh)
 
     def logit_fn(x):
@@ -622,16 +631,26 @@ def build_union_flash_layout(s_list, d_list, table_sizes, num_dst: int,
 
 
 def build_hgt_flash_layouts(metadata, edge_index_dict,
-                            num_nodes_dict, chunk: int = None):
+                            num_nodes_dict, chunk: int = None,
+                            feature_types=None):
     """Per-dst-type :class:`FlashLayout` dict for
     :class:`~pytorch_geometric_tpu.nn.HGTConv` — replicates the conv's
     relation grouping/order and endpoint clamping exactly (see
-    ``nn/conv/hetero_conv.py`` fused branch)."""
+    ``nn/conv/hetero_conv.py`` fused branch). ``feature_types``: the
+    node types present in ``x_dict`` at call time (default: every type
+    in ``num_nodes_dict``) — the conv DROPS relations whose endpoint
+    type has no features, and the layout must drop the same ones or
+    its relation ids / table offsets go stale (the conv cross-checks
+    the edge totals and raises on mismatch)."""
     node_types, edge_types = metadata
+    if feature_types is None:
+        feature_types = set(num_nodes_dict)
+    feature_types = set(feature_types)
     by_dst = {}
     for et in edge_types:
         src, rel, dst = et
-        if et not in edge_index_dict:
+        if (et not in edge_index_dict or src not in feature_types
+                or dst not in feature_types):
             continue
         by_dst.setdefault(dst, []).append((src, et))
     out = {}
@@ -691,14 +710,22 @@ def hetero_edge_attention_multi(k_tabs, v_tabs, q_table, p_rels,
         # union build; always the flash scan (the layout exists for
         # giant graphs). With a src-sorted copy the backward's dk/dv
         # scatters take the sorted lowering too.
-        if layout.s_t is not None:
+        if layout.e_tot != e_tot:
+            raise ValueError(
+                f'FlashLayout holds {layout.e_tot} union edges but '
+                f'the call provides {e_tot}: the layout is stale or '
+                f'was built with a different relation set (rebuild '
+                f'with build_hgt_flash_layouts, passing the x_dict '
+                f'key set as feature_types)')
+        lay = _seq(layout, token)   # keep the cross-type sequencing
+        if lay.s_t is not None:
             return _attention_flash_dual(
                 int(num_dst), k_cat, v_cat, q_table, p_stack,
-                layout.rel_ch, layout.s_ch, layout.d_ch,
-                layout.rel_t, layout.s_t, layout.d_t)
+                lay.rel_ch, lay.s_ch, lay.d_ch,
+                lay.rel_t, lay.s_t, lay.d_t)
         return _attention_flash(int(num_dst), True, k_cat, v_cat,
-                                q_table, p_stack, layout.rel_ch,
-                                layout.s_ch, layout.d_ch)
+                                q_table, p_stack, lay.rel_ch,
+                                lay.s_ch, lay.d_ch)
     off, s_off, rel_parts = 0, [], []
     for i, (k, s) in enumerate(zip(k_tabs, s_list)):
         s_off.append(s + off)

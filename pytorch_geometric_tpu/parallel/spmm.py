@@ -51,6 +51,25 @@ def partition_spmm(x_own: jnp.ndarray, edge_src: jnp.ndarray,
     return jax.ops.segment_sum(msg, dst, n_max + 1)[:n_max]
 
 
+def _halo_exchange(x_own: jnp.ndarray, halo_send: jnp.ndarray,
+                   halo_send_mask: jnp.ndarray,
+                   axis_name: str) -> jnp.ndarray:
+    """Sparse boundary exchange shared by the halo SpMM and attention
+    paths: gather this device's boundary rows (pad -> zero row), ONE
+    ``all_to_all`` (device q's send[r] lands as this device's recv[q];
+    slot order was agreed at partition time), return the addressable
+    ``[own | recv | zero]`` buffer."""
+    n_max, f = x_own.shape
+    num_p, h_max = halo_send.shape
+    x_pad = jnp.concatenate([x_own, jnp.zeros((1, f), x_own.dtype)])
+    send = x_pad[jnp.minimum(halo_send, n_max)]          # [P, h, F]
+    send = jnp.where(halo_send_mask[..., None], send, 0)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)  # [P, h, F]
+    return jnp.concatenate([x_own, recv.reshape(num_p * h_max, f),
+                            jnp.zeros((1, f), x_own.dtype)])
+
+
 def partition_spmm_halo(x_own: jnp.ndarray, halo_send: jnp.ndarray,
                         halo_send_mask: jnp.ndarray,
                         edge_src: jnp.ndarray, edge_dst: jnp.ndarray,
@@ -65,18 +84,8 @@ def partition_spmm_halo(x_own: jnp.ndarray, halo_send: jnp.ndarray,
     edge_src:       [e_max] position in the [own | recv] buffer
     edge_dst:       [e_max] local dst position
     """
-    n_max, f = x_own.shape
-    num_p, h_max = halo_send.shape
-    # Boundary gather (pad -> zero row), then ONE all_to_all: device q's
-    # send[r] lands as this device's recv[q]; slot order was agreed at
-    # partition time, so recv is directly addressable.
-    x_pad = jnp.concatenate([x_own, jnp.zeros((1, f), x_own.dtype)])
-    send = x_pad[jnp.minimum(halo_send, n_max)]          # [P, h, F]
-    send = jnp.where(halo_send_mask[..., None], send, 0)
-    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
-                              concat_axis=0, tiled=True)  # [P, h, F]
-    buf = jnp.concatenate([x_own, recv.reshape(num_p * h_max, f),
-                           jnp.zeros((1, f), x_own.dtype)])
+    n_max = x_own.shape[0]
+    buf = _halo_exchange(x_own, halo_send, halo_send_mask, axis_name)
     src = jnp.minimum(edge_src, buf.shape[0] - 1)
     msg = buf[src]
     if edge_weight is not None:
@@ -113,15 +122,8 @@ def partition_gat_attention(x_own: jnp.ndarray,
     """
     n_max, h, c = x_own.shape
     f = h * c
-    num_p, h_max = halo_send.shape
     flat = x_own.reshape(n_max, f)
-    x_pad = jnp.concatenate([flat, jnp.zeros((1, f), flat.dtype)])
-    send = x_pad[jnp.minimum(halo_send, n_max)]
-    send = jnp.where(halo_send_mask[..., None], send, 0)
-    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
-                              concat_axis=0, tiled=True)
-    buf = jnp.concatenate([flat, recv.reshape(num_p * h_max, f),
-                           jnp.zeros((1, f), flat.dtype)])
+    buf = _halo_exchange(flat, halo_send, halo_send_mask, axis_name)
     a_src_buf = (buf.reshape(-1, h, c) * att_src).sum(-1)   # [B, H]
     a_dst = (x_own * att_dst).sum(-1)                       # [n_max, H]
     src = jnp.minimum(edge_src, buf.shape[0] - 1)

@@ -260,3 +260,29 @@ def test_pcst_filter_and_remote_backend_roundtrip(tmp_path):
     assert 'radium' in got
     assert out._store['desc'].count('\n') >= 2
     assert isinstance(out._store['triples'], list)
+
+
+def test_remote_backend_partitioned_roundtrip(tmp_path):
+    """n_parts > 1 persists through the distributed Partitioner and
+    loads each partition's stores via from_partition."""
+    from pytorch_geometric_tpu.data import Data
+    from pytorch_geometric_tpu.llm import (
+        create_remote_backend_from_graph_data)
+
+    n = 60
+    coo = np.stack([rng.integers(0, n, 300),
+                    rng.integers(0, n, 300)]).astype(np.int32)
+    data = Data(x=rng.standard_normal((n, 8)).astype(np.float32),
+                edge_index=coo, num_nodes=n)
+    loader = create_remote_backend_from_graph_data(
+        data, path=str(tmp_path / 'parts'), n_parts=2)
+    fs0, gs0 = loader.load(pid=0)
+    assert fs0.num_own > 0
+    got = fs0.get_global_tensor('x', fs0.n_id[:3])
+    np.testing.assert_allclose(got, np.asarray(data.x)[fs0.n_id[:3]])
+    # default KNN stores are rejected for partition mode
+    from pytorch_geometric_tpu.llm import KNNRAGFeatureStore
+    with pytest.raises(TypeError, match='from_partition'):
+        create_remote_backend_from_graph_data(
+            data, feature_db=KNNRAGFeatureStore,
+            path=str(tmp_path / 'p2'), n_parts=2)

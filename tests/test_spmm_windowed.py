@@ -407,6 +407,26 @@ def test_gat_flash_block_api_matches_oneshot():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gv_ref),
                                rtol=5e-5, atol=1e-6)
 
+    # src-sorted backward blocks (the gat-md record default): same
+    # grads from the SRC-ordered chunking with s==n_src sentinel pads
+    order_b = np.argsort(src, kind='stable')
+    sb = np.pad(src[order_b], (0, pad), constant_values=n_src)
+    db = np.pad(dst[order_b], (0, pad), constant_values=n_dst)
+    sb_ch = jnp.asarray(sb.reshape(nc, c))
+    db_ch = jnp.asarray(db.reshape(nc, c))
+    bc2 = ea.gat_flash_bwd_start(n_src, n_dst, h, h * dh)
+    for blk in (slice(0, nc // 2), slice(nc // 2, nc)):
+        bc2 = ea.gat_flash_bwd_block(n_dst, 0.2, a_src, a_dst, v, m,
+                                     l, out_flat, g_flat, sb_ch[blk],
+                                     db_ch[blk], bc2, src_sorted=True)
+    dsrc2, ddst2, dv2 = ea.gat_flash_bwd_finish(n_dst, h, bc2)
+    np.testing.assert_allclose(np.asarray(dsrc2), np.asarray(gs_ref),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ddst2), np.asarray(gd_ref),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(gv_ref),
+                               rtol=5e-5, atol=1e-6)
+
 
 def test_gatv2_flash_scatter_vs_segment_grads():
     """GATv2 form: scatter vs segment flash impls agree on outputs AND
@@ -452,9 +472,13 @@ def test_gatv2_flash_scatter_vs_segment_grads():
                                    rtol=5e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize('impl', ['scatter', 'segment'])
 @pytest.mark.parametrize('seed', [0, 1, 2])
-def test_flash_scatter_fuzz_vs_dense_oracle(seed):
-    """Random shapes/chunks: scatter flash == dense softmax oracle."""
+def test_flash_scatter_fuzz_vs_dense_oracle(seed, impl, monkeypatch):
+    """Random shapes/chunks: BOTH flash impls == dense softmax oracle
+    (the CPU default is segment — force each explicitly so the TPU
+    default scatter path keeps fuzz coverage in CI)."""
+    monkeypatch.setenv('PGT_ATTN_FLASH_IMPL', impl)
     from pytorch_geometric_tpu.ops import edge_attention as ea
 
     r = np.random.default_rng(seed)
