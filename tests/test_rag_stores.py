@@ -286,3 +286,34 @@ def test_remote_backend_partitioned_roundtrip(tmp_path):
         create_remote_backend_from_graph_data(
             data, feature_db=KNNRAGFeatureStore,
             path=str(tmp_path / 'p2'), n_parts=2)
+
+
+def test_retrieval_via_pcst_edge_prizes_virtual_nodes():
+    """Edges whose prize exceeds their cost go through the
+    virtual-node split (reference ``backend_utils.py:106-128``) and
+    must come back as selected edges."""
+    from pandas import DataFrame
+
+    from pytorch_geometric_tpu.data import Data
+    from pytorch_geometric_tpu.llm import retrieval_via_pcst
+
+    q = np.array([1.0, 0.0, 0.0], np.float32)
+    # nodes carry NO prize signal (orthogonal to q)
+    x = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (6, 1))
+    ei = np.array([[0, 1, 2, 4], [1, 2, 3, 5]], np.int64)
+    # edge 1 (1->2) is the query-relevant relation; others orthogonal
+    ea = np.stack([[0, 0, 1.], q, [0, 0, 1.], [0, 0, 1.]]).astype(
+        np.float32)
+    data = Data(x=x, edge_index=ei, edge_attr=ea, num_nodes=6)
+    data = data.replace(node_idx=np.arange(6), edge_idx=np.arange(4))
+    tn = DataFrame({'node_id': range(6),
+                    'node_attr': [f'n{i}' for i in range(6)]})
+    te = DataFrame({'src': ei[0], 'edge_attr': ['r'] * 4,
+                    'dst': ei[1]})
+    out, desc = retrieval_via_pcst(data, q, tn, te, topk=0, topk_e=2,
+                                   cost_e=0.5)
+    sel = set(np.asarray(out.edge_idx).tolist())
+    assert 1 in sel                       # the high-prize edge kept
+    assert 3 not in sel                   # disconnected junk dropped
+    got_nodes = set(np.asarray(out.node_idx).tolist())
+    assert {1, 2} <= got_nodes
