@@ -47,8 +47,33 @@ def test_xconv_oracle_vs_reference():
         col = idx.reshape(-1)
         return torch.from_numpy(np.stack([row, col]).astype(np.int64))
 
-    old = ref_mod.knn_graph
-    ref_mod.knn_graph = fake_knn_graph
+    # older reference revisions call a module-level ``knn_graph``; the
+    # current one calls ``torch.ops.pyg.knn`` (x_conv.py:133) — provide
+    # the deterministic numpy knn through whichever hook exists.
+    if hasattr(ref_mod, 'knn_graph'):
+        old = ref_mod.knn_graph
+        ref_mod.knn_graph = fake_knn_graph
+        restore = lambda: setattr(ref_mod, 'knn_graph', old)  # noqa: E731
+    else:
+        try:
+            torch.library.define(
+                "pyg::knn", "(Tensor x, Tensor y, Tensor? ptr_x, "
+                "Tensor? ptr_y, int k, bool cosine, int num_workers) "
+                "-> Tensor")
+        except RuntimeError:
+            pass  # already defined by a previous test run
+
+        def _fake_pyg_knn(xq, yq, ptr_x, ptr_y, k, cosine, num_workers):
+            assert k == K
+            row = np.repeat(np.arange(N), K)
+            col = idx.reshape(-1)
+            return torch.from_numpy(np.stack([row, col]).astype(np.int64))
+
+        torch.library.impl("pyg::knn", "CPU")(_fake_pyg_knn)
+        import torch_geometric.typing as _tgt
+        if hasattr(_tgt, 'WITH_KNN'):
+            _tgt.WITH_KNN = True
+        restore = lambda: None  # noqa: E731
     try:
         ref = ref_mod.XConv(C_IN, C_OUT, dim=D, kernel_size=K,
                             hidden_channels=HID).eval()
@@ -58,7 +83,7 @@ def test_xconv_oracle_vs_reference():
         sd = {kk: v.detach().numpy() for kk, v in
               ref.state_dict().items()}
     finally:
-        ref_mod.knn_graph = old
+        restore()
 
     ours = pgnn.XConv(out_channels=C_OUT, dim=D, kernel_size=K,
                       hidden_channels=HID)

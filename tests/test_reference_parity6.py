@@ -253,13 +253,17 @@ def _np_gravnet_oracle(ref, x, k):
 
 def test_gravnet_conv_numpy_oracle():
     K = 5
-    # reference __init__ refuses to construct without torch_cluster
-    # (gravnet_conv.py:60); we only need its state_dict for the numpy
-    # oracle, so satisfy the guard with a sentinel.
+    # reference __init__ refuses to construct without a knn backend
+    # (gravnet_conv.py:54 WITH_KNN guard; older revisions a module-level
+    # `knn is None` check); we only need its state_dict for the numpy
+    # oracle, so satisfy whichever guard this revision has.
     import torch_geometric.nn.conv.gravnet_conv as _gm
-    if _gm.knn is None:
+    import torch_geometric.typing as _tgt
+    if getattr(_gm, 'knn', 'absent') is None:
         _gm.knn = lambda *a, **kw: (_ for _ in ()).throw(
             RuntimeError('knn sentinel called'))
+    if hasattr(_tgt, 'WITH_KNN') and not _tgt.WITH_KNN:
+        _tgt.WITH_KNN = True
     ref = tg.nn.GravNetConv(F_IN, F_OUT, space_dimensions=4,
                             propagate_dimensions=6, k=K).eval()
     want = _np_gravnet_oracle(ref, X, K)
