@@ -206,6 +206,22 @@ def _seg_sum(x, d, n, sorted_=False):
     return jax.ops.segment_sum(x, d, n, indices_are_sorted=sorted_)
 
 
+def _carry_w(h: int) -> int:
+    """Scatter-carry lane width: 128 for narrow heads (narrow TPU
+    scatters serialize — ops/scatter.py measurements), the natural
+    width otherwise. ``PGT_ATTN_FLASH_W`` overrides the padded width
+    (clamped to >= h) — the m/l carries are ``[num_dst+1, w]``, so at
+    multi-million-node graphs dropping w from 128 to 16-32 trades some
+    scatter throughput for ~2 GB of HBM per layer (what lets the
+    123.7M-edge products GAT step fit on the 16 GB chip)."""
+    import os
+    w = 128 if h < 16 else h
+    ov = os.environ.get('PGT_ATTN_FLASH_W')
+    if ov is not None:
+        w = max(int(ov), h)
+    return w
+
+
 def _scatter_mode() -> bool:
     """Default flash impl: in-place scatters on TPU (the sorted
     lowering + no full-carry traffic), segment ops on CPU (XLA:CPU
@@ -281,7 +297,7 @@ def _scatter_online_update(m, l, acc, logit, valid, d, v_e, num_dst,
 def _scatter_flash_scan(num_dst, h, dh, dtype, logit_fn, v_fn, xs):
     """Run the scatter-based online scan; returns ``(m, l, out)`` each
     sliced to ``[num_dst, ·]`` (h-wide m/l, h*dh-wide out)."""
-    w = 128 if h < 16 else h
+    w = _carry_w(h)
 
     def step(carry, x):
         m, l, acc = carry
@@ -864,7 +880,7 @@ def _gat_flash_bwd(num_dst, slope, sorted_dst, res, g):
     # carry width: lane-pad narrow [*, H] grads to 128 (narrow scatters
     # serialize on TPU); H >= 16 scatters at its own width — the carry
     # MUST match whatever width dbase is padded to below
-    w = 128 if h < 16 else h
+    w = _carry_w(h)
 
     def step(carry, xs):
         dsrc_p, ddst_p, dv = carry
@@ -913,7 +929,7 @@ _gat_flash.defvjp(_gat_flash_fwd, _gat_flash_bwd)
 def gat_flash_fwd_start(num_dst, h, dh, dtype=jnp.float32):
     """Initial (m, l, acc) carry in the scatter layout
     ([num_dst+1, w] rows; see :func:`_scatter_online_update`)."""
-    w = 128 if h < 16 else h
+    w = _carry_w(h)
     return (jnp.full((num_dst + 1, w), -jnp.inf, dtype),
             jnp.zeros((num_dst + 1, w), dtype),
             jnp.zeros((num_dst + 1, h * dh), dtype))
@@ -950,7 +966,7 @@ def gat_flash_fwd_finish(num_dst, h, dh, carry):
 
 
 def gat_flash_bwd_start(n_src, num_dst, h, hd, dtype=jnp.float32):
-    w = 128 if h < 16 else h
+    w = _carry_w(h)
     return (jnp.zeros((n_src, w), dtype),
             jnp.zeros((num_dst + 1, w), dtype),
             jnp.zeros((n_src, hd), dtype))
