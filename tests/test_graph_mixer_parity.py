@@ -85,7 +85,10 @@ def test_link_encoder():
         _norm(ov, f'mlp_mixer.{name}', f'mlp_mixer.{name}')
     params = transplant(ref, params, ov)
     g = ours.apply(params, *args)
-    np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-5)
+    # atol 3e-5: XLA:CPU fusion order varies with what compiled earlier
+    # in the process; observed 1.3e-5 max-abs drift when run after the
+    # schnet+visnet parity files but not in isolation.
+    np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=3e-5)
 
 
 def test_gpse_node_encoder():
